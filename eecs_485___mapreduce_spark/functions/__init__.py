@@ -1,0 +1,126 @@
+"""Reusable column expressions.
+
+Two design rules applied everywhere:
+
+1. **Hash-stable aggregates.** The driver compares Spark results to a
+   DuckDB oracle with an order-insensitive *value hash*, so floating
+   point must be bit-identical across engines. Summing doubles is
+   association-order-dependent; summing decimals is exact. Money/qty
+   aggregates therefore go through ``decimal(18,2)`` (exact, order
+   independent) and are cast to double only at the very end — the final
+   double is then a deterministic rounding of an exact value in both
+   engines.
+
+2. **JVM-side only.** Everything here compiles to Catalyst expressions
+   inside WholeStageCodegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- decimals
+
+
+def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to an exact decimal so downstream sums are order-independent."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({precision},{scale})")
+
+
+def dsum(c: Column | str, alias: str) -> Column:
+    """Exact decimal sum, surfaced as double (deterministic rounding)."""
+    return F.sum(dec(c)).cast("double").alias(alias)
+
+
+def dsum_expr(expr: Column, alias: str) -> Column:
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def davg(c: Column | str, alias: str) -> Column:
+    """sum(decimal)/count as double — identical in Spark and DuckDB
+    (exact numerator, single double division)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec(col)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+# ---------------------------------------------------------------- text
+
+
+def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokens of lowercased text, empty strings dropped.
+
+    Mirrors the reference word-count tokenizer (tests/testdata/exec/
+    wc_map.sh:12 splits on [ \\t] and lowercases) but drops the empty
+    tokens that quirk produces — both the Spark and oracle sides of
+    every query use this same definition.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(col), pattern), lambda x: x != F.lit(""))
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (for MinHash / Jaccard dedup).
+
+    Documents shorter than k tokens yield their whole token string as a
+    single shingle so they still participate in dedup.
+    """
+    joined = F.array_join(tok, " ")
+    k_shingles = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (k - 1)),
+        lambda i: F.array_join(F.slice(tok, i, k), " "),
+    )
+    return F.array_distinct(F.when(F.size(tok) >= k, k_shingles).otherwise(F.array(joined)))
+
+
+# ---------------------------------------------------------------- hashing
+
+# 60-bit hash from the md5 hex prefix: identical in Spark
+# (conv(substr(md5(x),1,15),16,10)) and DuckDB
+# (('0x' || substr(md5(x),1,15))::bigint). Used for dedup keys, the
+# MinHash family, and the reference-parity md5 partitioner
+# (reference mapreduce/worker/__main__.py:142-144 uses md5(key) % R).
+
+
+def md5_long(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`md5_long` for oracle SQL."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash(shingle_col: Column, seed: int) -> Column:
+    """One member of the MinHash family: min over shingles of a seeded
+    md5-derived 60-bit hash. Seeding by string concat keeps the family
+    reproducible in ANSI SQL for the oracle."""
+    return F.array_min(
+        F.transform(shingle_col, lambda s: md5_long(F.concat(F.lit(f"seed{seed}:"), s)))
+    )
+
+
+# ---------------------------------------------------------------- vectors
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, JVM-side (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

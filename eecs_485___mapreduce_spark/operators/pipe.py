@@ -1,0 +1,113 @@
+r"""Exec-compat streaming-executable layer: the reference's defining
+feature, rebuilt on ``rdd.pipe``.
+
+The reference runs arbitrary executables as operators with the Hadoop
+Streaming contract (reference mapreduce/worker/__main__.py):
+
+- map (:130-148): each input file streams through the executable;
+  stdout lines are ``key\tvalue`` records, key = text before the FIRST
+  tab (:141), routed to partition ``md5(key) % R`` (:142-144);
+- each map-output partition file is byte-sorted whole-line (:150-152);
+- reduce (:173-194): a k-way merge of the sorted runs (so the reducer
+  sees keys sorted, equal keys adjacent) streams through the reducer
+  executable.
+
+Spark equivalences: ``rdd.pipe`` = the executable boundary (one
+process per partition instead of per file — same contract, fewer
+forks); ``repartitionAndSortWithinPartitions`` = hash partition +
+external sort + merge in one shuffle. ``md5_partition`` reproduces the
+reference's exact partition function for layout parity
+(Murmur3/`repartition` is the default everywhere else — md5 parity
+only matters to byte-identical file layout, which value semantics
+never depend on).
+
+These operators are opaque barriers to Catalyst (no pushdown through a
+subprocess) — documented limitation, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+def md5_partition(key: str, num_partitions: int) -> int:
+    """The reference's partition function (mapreduce/worker/__main__.py:142-144)."""
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
+
+
+def _first_tab_split(line: str) -> tuple[str, str]:
+    """key = text before the first tab (reference worker :141); lines
+    with no tab become (line, '') like the reference's partition()."""
+    head, _, tail = line.partition("\t")
+    return head, tail
+
+
+def pipe_map(
+    df: DataFrame,
+    command: str,
+    num_mappers: int | None = None,
+) -> DataFrame:
+    """Stream rows through a mapper executable; parse stdout as
+    ``key\tvalue`` records.
+
+    ``df`` is serialized one line per row: single-column rows pass
+    through verbatim; multi-column rows join on tabs. ``num_mappers``
+    emulates the reference's M knob via repartition.
+    """
+    spark = df.sparkSession
+    if num_mappers:
+        df = df.repartition(num_mappers)
+    lines = df.rdd.map(
+        lambda row: row[0] if len(row) == 1 else "\t".join("" if c is None else str(c) for c in row)
+    )
+    out = lines.pipe(command).map(_first_tab_split).map(lambda kv: Row(key=kv[0], value=kv[1]))
+    return spark.createDataFrame(out, schema="key string, value string")
+
+
+def pipe_reduce(
+    df: DataFrame,
+    command: str,
+    num_reducers: int = 1,
+) -> DataFrame:
+    """Shuffle ``DataFrame[key, value]`` into ``num_reducers`` md5-hash
+    partitions, byte-sort each partition whole-line, and stream every
+    partition through the reducer executable — the reference's reduce
+    contract (sorted keys, equal keys adjacent, values sorted within
+    key), including empty-string keys.
+
+    The sort is Spark's external shuffle sort (spills like the
+    reference's GNU ``sort``), not an in-memory ``sorted()``.
+    """
+    spark = df.sparkSession
+    kv = df.rdd.map(lambda row: ("" if row[0] is None else str(row[0]),
+                                 "" if row[1] is None else str(row[1])))
+    lines = kv.map(lambda r: (r[0] + "\t" + r[1], None))
+    arranged = lines.repartitionAndSortWithinPartitions(
+        numPartitions=num_reducers,
+        partitionFunc=lambda line: md5_partition(line.split("\t", 1)[0], num_reducers),
+    )
+    out = arranged.map(lambda pair: pair[0]).pipe(command)
+    return spark.createDataFrame(out.map(lambda v: Row(value=v)), schema="value string")
+
+
+def run_streaming_job(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    mapper: str,
+    reducer: str,
+    num_mappers: int = 2,
+    num_reducers: int = 1,
+) -> None:
+    """One reference job end-to-end: text dir -> mapper exec -> md5
+    shuffle + sort -> reducer exec -> part-files (overwrite), mirroring
+    submit-job semantics (reference mapreduce/submit.py:80-88 and the
+    output-dir overwrite at manager/__main__.py:87-90)."""
+    from ..sources import read_text_dir
+
+    text = read_text_dir(spark, input_dir, num_partitions=num_mappers)
+    mapped = pipe_map(text, mapper)
+    reduced = pipe_reduce(mapped, reducer, num_reducers=num_reducers)
+    reduced.write.mode("overwrite").text(output_dir)

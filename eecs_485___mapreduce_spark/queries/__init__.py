@@ -1,0 +1,16 @@
+"""Query surface: importing this package populates the registry.
+
+Each module is one SURVEY.md section-2 category. Every query is a
+``(spark, sf_dir) -> DataFrame`` callable registered with a DuckDB
+oracle where ANSI-SQL-expressible.
+"""
+
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    reference,
+    relational,
+    similarity,
+    text,
+    timeseries,
+)

@@ -1,0 +1,269 @@
+r"""Deduplication operators over ``documents``: exact, MinHash+LSH,
+n-gram Jaccard, and SimHash.
+
+At 100 TB, dedup is THE dominant pre-training pipeline cost, and the
+design rule is: never compare all pairs. Every near-dup operator here
+is candidate-generation (an equi-join on a bucket key: LSH band,
+shared shingle, simhash band) followed by verification on the
+candidates only — so the shuffle key is always a small hash, the join
+is an equi-join Catalyst can plan, and the pair-verification work is
+proportional to candidates, not n^2.
+
+Hash parity: all hashes derive from md5 (identical in Spark and
+DuckDB); 60-bit integers come from the md5 hex prefix (see
+``functions.md5_long``). Jaccard divides exact set sizes into one
+double. Both engines therefore agree bit-for-bit.
+
+Tokenizer/shingles are the same definitions as the text module:
+lowercase, split \s+, drop empties; distinct 3-word shingles (short
+docs fall back to their whole token string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, minhash, shingles, tokens
+from ..registry import register
+from ..sources import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+              i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+N_MINHASH = 8  # 4 bands x 2 rows: catches jaccard >= ~0.5 with high prob
+MINHASH_JACCARD_THRESHOLD = 0.5
+NGRAM_JACCARD_THRESHOLD = 0.2
+
+
+@register(
+    "dedup_exact",
+    bench=True,
+    tags=("dedup", "hash"),
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS content_key,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content: hash-groupBy on the canonical
+    token stream, keep the lowest doc_id deterministically.
+
+    Scale: one shuffle on a 128-bit key; partial agg map-side. This is
+    the exact pattern used on full CommonCrawl-scale corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(tokens("text"), " "))
+    return (
+        docs.groupBy(key.alias("content_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_sql_sigs() -> str:
+    cols = []
+    for i in range(N_MINHASH):
+        seeded = _H60.format(x="concat('seed{}:', s)".format(i))
+        cols.append(f"list_min(list_transform(sh, s -> {seeded})) AS h{i}")
+    return ",\n           ".join(cols)
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("dedup", "hash", "join"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, sh,
+           {_minhash_sql_sigs()}
+           FROM t),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS k1, h1 AS k2 FROM mh
+      UNION ALL SELECT doc_id, 1, h2, h3 FROM mh
+      UNION ALL SELECT doc_id, 2, h4, h5 FROM mh
+      UNION ALL SELECT doc_id, 3, h6, h7 FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.doc_a
+    JOIN t tb ON tb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.sh, tb.sh))) >= {MINHASH_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> 8-signature MinHash -> 4 bands of 2 -> band-bucket
+    equi-join for candidates -> exact Jaccard verification >= 0.5.
+
+    Scale: candidates come from an equi-join on (band, sig, sig) — no
+    all-pairs comparison anywhere. At 100 TB the band join is the only
+    shuffle and its key space is uniform 120-bit, so no skew; exact
+    verification touches candidate pairs only (LSH guarantees recall at
+    the chosen band geometry: P(candidate) = 1-(1-j^2)^4, >0.96 at
+    j=0.8).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", shingles(tokens("text")).alias("sh"))
+    sigs = t.select(
+        "doc_id", "sh", *[minhash(F.col("sh"), i).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col(f"h{2 * j}").alias("k1"),
+                F.col(f"h{2 * j + 1}").alias("k2"),
+            )
+            for j in range(N_MINHASH // 2)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.k1", "b.k2"
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("dedup", "join"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM t),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs by exact n-gram Jaccard via an inverted-index
+    join (docs sharing >=1 shingle), |A∩B| counted by the join, union by
+    inclusion-exclusion.
+
+    Scale: the shuffle key is the shingle; hot shingles (boilerplate)
+    skew this join, which is why the MinHash variant is the primary
+    scale path — this operator is the exact verifier / small-corpus
+    tool. AQE skew-join splitting handles moderate skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", shingles(tokens("text")).alias("sh"))
+    e = t.select("doc_id", F.explode("sh").alias("s"))
+    sizes = t.select("doc_id", F.size("sh").alias("n"))
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "hash"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents
+               WHERE len({_TOKS}) > 0),
+    h AS (SELECT doc_id, {_H60.format(x='tok')} AS hv
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
+    bitsum AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document (distinct-token feature
+    set, md5-derived feature hashes): bit b of the signature is the
+    majority vote of feature-hash bit b.
+
+    Scale: computed in ONE pass — per-token hash, then 60 static
+    conditional-sum aggregates per doc (no row blowup, no shuffle
+    beyond the doc_id agg). Near-dup candidates at scale come from
+    equi-joins on signature bands (Hamming-distance blocking), same
+    no-all-pairs rule as MinHash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.array_distinct(tokens("text"))
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    h = t.select("doc_id", F.explode("tk").alias("tok")).select(
+        "doc_id", md5_long(F.col("tok")).alias("hv")
+    )
+    bit_counts = [
+        F.sum(
+            F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(60)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*bit_counts)
+    sim = None
+    for b in range(60):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,484 @@
+"""Relational suite over the star schema: joins, aggregations, windows,
+top-k, set ops, date/string/math/json functions.
+
+The reference has none of these (SURVEY.md section 2.B — its only
+"relational" ops are the grep filter and wc projection), but they are
+the committed engine surface per the north star. All Catalyst-native.
+
+Hash-stability: every money/qty aggregate goes through decimal(18,2)
+(exact, order-independent) and is cast to double at the end — see
+``functions`` module docstring. Every top-k has a deterministic
+tiebreak key.
+
+Scale notes per query are on the docstrings: the recurring themes are
+broadcast joins for dims (region/nation/customer/supplier/part all
+broadcast at 100 TB — fact tables shuffle once on their join key),
+partial aggregation before every shuffle, and TakeOrdered for top-k
+(no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import davg, dec, dsum, dsum_expr
+from ..registry import register
+from ..sources import load_table, load_tables
+
+_DEC = "CAST({c} AS DECIMAL(18,2))"
+
+
+def _d(c: str) -> str:
+    return _DEC.format(c=c)
+
+
+# --------------------------------------------------------------- TPC-H Q1
+
+
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("agg",),
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_d('l_quantity')}) AS DOUBLE)                         AS sum_qty,
+           CAST(SUM({_d('l_extendedprice')}) AS DOUBLE)                    AS sum_base_price,
+           CAST(SUM({_d('l_extendedprice')} * (1 - {_d('l_discount')})) AS DOUBLE)
+                                                                           AS sum_disc_price,
+           CAST(SUM({_d('l_extendedprice')} * (1 - {_d('l_discount')})
+                    * (1 + {_d('l_tax')})) AS DOUBLE)                      AS sum_charge,
+           CAST(SUM({_d('l_quantity')}) AS DOUBLE) / COUNT(*)              AS avg_qty,
+           CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) / COUNT(*)         AS avg_price,
+           CAST(SUM({_d('l_discount')}) AS DOUBLE) / COUNT(*)              AS avg_disc,
+           COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary.
+
+    Scale: single scan with shipdate pushed to parquet, partial hash agg
+    map-side, 4-group shuffle. No other strategy needed at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum_expr(disc_price, "sum_disc_price"),
+        dsum_expr(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------- join pipeline
+
+
+@register(
+    "q3_top_orders",
+    bench=True,
+    tags=("join", "topk"),
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_d('l_extendedprice')} * (1 - {_d('l_discount')})) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'FURNITURE'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: segment filter -> 3-way join -> agg -> top-k.
+
+    Scale: customer (filtered) broadcasts; orders/lineitem join
+    shuffles on orderkey only. Top-k via orderBy+limit plans
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "FURNITURE")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum_expr(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    bench=True,
+    tags=("join", "agg"),
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_d('l_extendedprice')} * (1 - {_d('l_discount')})) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join.
+
+    Scale: region/nation/customer/supplier broadcast (dims); the only
+    shuffle is orders-lineitem on orderkey. The s_nationkey=c_nationkey
+    local-supplier condition rides the broadcast join for free.
+    """
+    t = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    dims = (
+        t["region"]
+        .filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], t["nation"].n_regionkey == t["region"].r_regionkey)
+        .join(t["customer"], t["customer"].c_nationkey == t["nation"].n_nationkey)
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(dims), t["orders"].o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(t["supplier"]),
+            (t["supplier"].s_suppkey == t["lineitem"].l_suppkey)
+            & (t["supplier"].s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue, "revenue"))
+    )
+
+
+@register(
+    "topk_customers",
+    tags=("join", "topk", "agg"),
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_d('o_totalprice')}) AS DOUBLE) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime spend (agg -> broadcast join -> top-k)."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        dsum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_cust.join(F.broadcast(t["customer"]), per_cust.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.col("total_spent").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@register(
+    "semi_anti_join",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi + left-anti joins.
+
+    Scale: both sides reduce to distinct custkeys before the join
+    (Catalyst rewrites IN to semi-join with build-side dedup); the
+    filtered orders projections broadcast.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    f_cust = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_cust = t["orders"].filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        t["customer"]
+        .join(f_cust, F.col("c_custkey") == f_cust.o_custkey, "left_semi")
+        .join(p_cust, F.col("c_custkey") == p_cust.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ------------------------------------------------------------- set ops
+
+
+@register(
+    "set_ops_custkeys",
+    tags=("setops",),
+    oracle="""
+    (
+      (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+      UNION
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / UNION / EXCEPT over custkey sets."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(pred):  # noqa: ANN001 - Column predicate
+        return orders.filter(pred).select(F.col("o_custkey").alias("custkey"))
+
+    both = keys(F.col("o_orderstatus") == "F").intersect(keys(F.col("o_orderstatus") == "O"))
+    with_p = both.union(keys(F.col("o_orderstatus") == "P"))
+    return with_p.subtract(keys(F.col("o_totalprice") > 450000))
+
+
+# ------------------------------------------------------------- windows
+
+
+@register(
+    "window_events",
+    tags=("window",),
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           ROW_NUMBER() OVER w AS rn,
+           LAG(value) OVER w AS prev_value,
+           CAST(SUM({_d('value')}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking, lag, and a running sum per user over the event stream.
+
+    The running sum is decimal-exact so the incremental (Spark) and
+    segment-tree (DuckDB) accumulation orders cannot diverge.
+    Scale: one shuffle on user_id; frames evaluate within partitions.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(dec("value")).over(running).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "topk_per_group",
+    tags=("window", "topk"),
+    oracle="""
+    SELECT user_id, event_id, value, rk
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      FROM events WHERE event_type = 'purchase'
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 purchases per user — the canonical window top-k pattern.
+
+    Scale: predicate pushdown on event_type, then one user_id shuffle;
+    row_number truncates groups early under WholeStageCodegen.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        events.select("user_id", "event_id", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ----------------------------------------------------- scalar functions
+
+
+@register(
+    "date_agg_orders",
+    tags=("datetime", "agg"),
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_d('o_totalprice')}) AS DOUBLE) AS month_total,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def date_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order rollup (date_trunc + count/sum/distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "month_total"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "json_events",
+    tags=("json", "agg"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@register(
+    "string_part_stats",
+    tags=("string", "agg"),
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_type) AS n_types,
+           CAST(SUM(length(p_name)) AS DOUBLE) / COUNT(*) AS avg_name_len,
+           MAX(upper(p_type)) AS max_type,
+           SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widgets
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def string_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (length/upper/like) feeding aggregates."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+        (F.sum(F.length("p_name")).cast("double") / F.count(F.lit(1))).alias("avg_name_len"),
+        F.max(F.upper("p_type")).alias("max_type"),
+        F.sum(F.when(F.col("p_name").like("%widget%"), 1).otherwise(0)).alias("n_widgets"),
+    )
+
+
+@register(
+    "math_lineitem",
+    tags=("math", "agg"),
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(l_orderkey % 97) AS BIGINT) AS sum_mod,
+           CAST(SUM(abs(l_partkey - l_suppkey)) AS BIGINT) AS sum_absdiff,
+           CAST(SUM(greatest(l_partkey, l_suppkey) - least(l_partkey, l_suppkey)) AS BIGINT)
+               AS sum_range,
+           CAST(MAX(floor(l_quantity)) AS BIGINT) AS max_floor_qty,
+           CAST(MIN(ceil(l_quantity)) AS BIGINT) AS min_ceil_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (mod/abs/greatest/least/floor/ceil) on exact
+    integer domains so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.col("l_orderkey") % 97).alias("sum_mod"),
+        F.sum(F.abs(F.col("l_partkey") - F.col("l_suppkey"))).alias("sum_absdiff"),
+        F.sum(
+            F.greatest("l_partkey", "l_suppkey") - F.least("l_partkey", "l_suppkey")
+        ).alias("sum_range"),
+        F.max(F.floor("l_quantity")).alias("max_floor_qty"),
+        F.min(F.ceil("l_quantity")).alias("min_ceil_qty"),
+    )
+
+
+@register(
+    "agg_distinct_stats",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / countDistinct / min / max over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register("approx_distinct_parts", tags=("agg", "approx"), oracle=None)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate — the 100 TB path for cardinality
+    (no exact-distinct shuffle). No oracle: HLL estimates are
+    engine-specific; the driver records a rows-only check, and the unit
+    test asserts <5% relative error against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rollup_orders",
+    tags=("agg", "rollup"),
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM({_d('o_totalprice')}) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> priority -> grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )

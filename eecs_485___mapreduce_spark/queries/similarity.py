@@ -1,0 +1,195 @@
+"""Similarity search over the ``embeddings`` table (array<float>
+column): brute-force cosine top-k (the correctness baseline, with a
+DuckDB oracle) and a signed-random-projection LSH variant (the scale
+path; rows-only check — the unit tests assert its recall against
+brute force).
+
+Scale: brute force is O(n_queries * n_corpus) — fine for a bounded
+query set against any corpus size (it's a broadcast nested-loop of the
+small query side; the corpus is never shuffled), but wrong for
+all-pairs. The LSH variant buckets vectors by sign-bit sketch so
+candidate generation is an equi-join on the bucket key, the same
+no-all-pairs rule as dedup.
+
+All arithmetic is double (array<float> cast element-exact to double);
+similarities are rounded to 6 decimals on both engines before the
+top-k tiebreak (rounded-sim DESC, then neighbor id) so accumulation
+micro-differences cannot reorder results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import as_double_array, cosine
+from ..registry import register
+from ..sources import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+_COS_SQL = (
+    "list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+)
+
+
+@register(
+    "similarity_topk_cosine",
+    bench=True,
+    tags=("similarity", "vector"),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+    s AS (SELECT qid, nid, round({_COS_SQL}, 6) AS sim
+          FROM q CROSS JOIN c WHERE qid <> nid),
+    r AS (SELECT qid, nid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+          FROM s)
+    SELECT qid, nid, sim, rk FROM r WHERE rk <= {TOP_K}
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against.
+
+    Scale: query side broadcasts (bounded), corpus side streams through
+    a single scan — no shuffle of the corpus; per-query top-k via
+    window on the tiny scored set.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("nid"), as_double_array("embedding").alias("ce"))
+    sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    return (
+        scored.select("qid", "nid", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+# ------------------------------------------------ LSH (scale variant)
+
+N_PLANES = 12  # 4096 buckets
+_DIM = 64
+
+
+def _deterministic_planes(n_planes: int = N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """+-1 hyperplanes derived from md5 — stable across runs/sessions
+    (no RNG), so the operator is reproducible and resumable."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            digest = hashlib.md5(f"plane{p}:dim{j}".encode()).digest()
+            row.append(1.0 if digest[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+@register("similarity_topk_lsh", tags=("similarity", "vector", "approx"), oracle=None)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via signed random projection LSH.
+
+    Each vector gets a sketch of sign bits against N_PLANES fixed
+    +-1 hyperplanes; candidates = corpus vectors whose sketch matches
+    the query's in >= (N_PLANES - 3) bits (probed via the bucket join
+    on sketch, then Hamming filter); exact cosine re-ranks candidates.
+
+    No oracle: approximate by construction. tests/test_similarity.py
+    asserts recall@10 >= 0.6 vs the brute-force baseline.
+
+    Scale: sketches are 1 bigint per vector; the candidate join is an
+    equi-join on sketch prefix (bucket), so corpus size only affects
+    bucket occupancy, never pair count. Re-rank touches candidates
+    only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _deterministic_planes()
+    planes_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+
+    def sketch(vec_col: F.Column) -> F.Column:
+        bits = F.transform(
+            planes_col,
+            lambda plane: F.when(
+                F.aggregate(
+                    F.zip_with(vec_col, plane, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(N_PLANES)])
+        return F.aggregate(
+            F.zip_with(bits, pow2, lambda bit, p: bit.cast("bigint") * p),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    vecs = emb.select(
+        F.col("vec_id"), as_double_array("embedding").alias("v"), sketch(as_double_array("embedding")).alias("sk")
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qe"), F.col("sk").alias("qsk")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("ce"), F.col("sk").alias("csk")
+    )
+    # Hamming distance between sketches via popcount of XOR.
+    ham = F.bit_count(F.col("qsk").bitwiseXOR(F.col("csk")))
+    cand = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .filter(ham <= 3)
+    )
+    sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    return (
+        cand.select("qid", "nid", sim.alias("sim"))
+        .select("qid", "nid", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    tags=("similarity", "vector", "agg"),
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT label, d, val
+          FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS d,
+                                  unnest(v) AS val))
+    SELECT label, d AS dim, round(SUM(val), 6) AS coord_sum, COUNT(*) AS n
+    FROM u GROUP BY label, d
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation (the aggregation step of k-means
+    / IVF coarse quantization): explode vectors positionally, sum per
+    (label, dim).
+
+    Rounded to 6 decimals: float-sum association differs across
+    engines; at these magnitudes the rounded values agree.
+
+    Scale: posexplode + partial agg — shuffle carries only
+    (label, dim) keys, i.e. O(labels * dim) groups.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(as_double_array("embedding")).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.sum("val"), 6).alias("coord_sum"), F.count(F.lit(1)).alias("n"))
+    )

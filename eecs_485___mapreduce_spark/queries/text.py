@@ -1,0 +1,154 @@
+r"""Text-analysis operators over the ``documents`` table: token stats,
+quality scoring, language stats, a stopword language-ID heuristic, and
+document fingerprinting.
+
+These extend the reference's string surface (lowercase + whitespace
+tokenize in tests/testdata/exec/wc_map.sh:12) into the operators a
+training-data pipeline needs. Everything is Catalyst higher-order
+functions on arrays — no Python in the data path — so at 100 TB these
+are embarrassingly parallel scan->project pipelines with zero shuffle
+(the per-doc ones) or a tiny agg shuffle (the per-lang ones).
+
+The Spark expression and the DuckDB oracle implement the *same
+tokenizer* (split lowercased text on \s+, drop empties) so results are
+bit-identical; ratios divide exact ints into one double at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..registry import register
+from ..sources import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+_STOPWORDS = ("the", "a", "and", "of", "to")
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@register(
+    "text_token_stats",
+    bench=True,
+    tags=("text", "string"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks) END AS avg_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: total, distinct, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.when(n == 0, F.lit(None)).otherwise(total_len.cast("double") / n).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("text",),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, length(text) AS len_chars, {_TOKS} AS toks
+               FROM documents)
+    SELECT doc_id, lang, len_chars,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                     / len(toks) END AS stop_ratio,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS uniq_ratio,
+           CASE WHEN len(toks) >= 10 AND len(toks) <= 1000
+                     AND len(list_distinct(toks)) * 5 >= len(toks)
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length bounds, stopword ratio,
+    type/token (repetitiveness) ratio, and a pass/fail gate — the
+    standard pre-training corpus filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    is_stop = lambda x: x.isin(*_STOPWORDS)  # noqa: E731
+    n_stop = F.size(F.filter(toks, is_stop))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_chars"),
+        n.alias("n_tokens"),
+        F.when(n == 0, None).otherwise(n_stop.cast("double") / n).alias("stop_ratio"),
+        F.when(n == 0, None).otherwise(n_uniq.cast("double") / n).alias("uniq_ratio"),
+        F.when((n >= 10) & (n <= 1000) & (n_uniq * 5 >= n), 1).otherwise(0).alias(
+            "passes_quality"
+        ),
+    )
+
+
+@register(
+    "text_lang_stats",
+    tags=("text", "agg"),
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(tokens("text"))).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "hash"),
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_TOKS}, ' ')) AS fp,
+           CAST(('0x' || substr(md5(array_to_string({_TOKS}, ' ')), 1, 15)) AS BIGINT) AS fp64
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 over the canonical token
+    stream (whitespace-insensitive, case-insensitive). ``fp64`` is the
+    60-bit integer form used as an exact-dedup join key at scale."""
+    from ..functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(tokens("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fp"),
+        md5_long(canon).alias("fp64"),
+    )

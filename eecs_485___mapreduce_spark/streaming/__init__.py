@@ -1,0 +1,9 @@
+"""Structured Streaming surface (the reference has no streams — its
+"streaming" is OS pipes; this module is north-star surface)."""
+
+from .events import (  # noqa: F401
+    dedup_events_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+    run_stream_to_memory,
+)

@@ -1,0 +1,72 @@
+"""Structured Streaming over the events table: watermarked windowed
+aggregation and within-watermark dedup.
+
+The batch twins in ``queries.timeseries`` define the semantics (and
+carry the DuckDB oracles); these streaming versions process the same
+parquet through ``readStream`` with event-time watermarks, verified by
+the unit tests via availableNow + memory sink (a bounded drain of the
+full input, so results must equal the batch twin's).
+
+Scale: watermark bounds state (late data beyond 10 minutes is
+dropped); window+type grouping keys keep state O(windows x types).
+``maxFilesPerTrigger`` paces micro-batches when replaying large
+directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(f"{sf_dir}/events.parquet")
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of queries.timeseries.events_hourly: tumbling
+    1-hour window per event type with an event-time watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving
+    within the watermark horizon (bounded dedup state)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a bounded stream synchronously into a memory sink; returns
+    the StreamingQuery (stopped). Results land in table ``name``."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
