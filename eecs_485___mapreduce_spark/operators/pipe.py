@@ -62,7 +62,11 @@ def pipe_map(
     lines = df.rdd.map(
         lambda row: row[0] if len(row) == 1 else "\t".join("" if c is None else str(c) for c in row)
     )
-    out = lines.pipe(command).map(_first_tab_split).map(lambda kv: Row(key=kv[0], value=kv[1]))
+    out = (
+        lines.pipe(command, checkCode=True)
+        .map(_first_tab_split)
+        .map(lambda kv: Row(key=kv[0], value=kv[1]))
+    )
     return spark.createDataFrame(out, schema="key string, value string")
 
 
@@ -88,7 +92,7 @@ def pipe_reduce(
         numPartitions=num_reducers,
         partitionFunc=lambda line: md5_partition(line.split("\t", 1)[0], num_reducers),
     )
-    out = arranged.map(lambda pair: pair[0]).pipe(command)
+    out = arranged.map(lambda pair: pair[0]).pipe(command, checkCode=True)
     return spark.createDataFrame(out.map(lambda v: Row(value=v)), schema="value string")
 
 

@@ -38,4 +38,12 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return physical_plan(df).count("WholeStageCodegen")
+    """Number of WholeStageCodegen subtrees (codegen explain mode; the
+    formatted mode hides codegen annotation under AQE)."""
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "codegen"
+    )
+    import re
+
+    m = re.search(r"Found (\d+) WholeStageCodegen", text)
+    return int(m.group(1)) if m else 0

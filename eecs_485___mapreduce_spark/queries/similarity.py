@@ -80,7 +80,8 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ LSH (scale variant)
 
-N_PLANES = 12  # 4096 buckets
+N_PLANES = 16
+HAMMING_MAX = 8  # neighbors at cos~0.3 sit near E[ham]=6 of 16; 8 keeps ~85% of them
 _DIM = 64
 
 
@@ -151,7 +152,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("qsk").bitwiseXOR(F.col("csk")))
     cand = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .filter(ham <= 3)
+        .filter(ham <= HAMMING_MAX)
     )
     sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")

@@ -19,10 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# ts arrives as a nanos long (TIMESTAMP(NANOS) parquet +
+# spark.sql.legacy.parquet.nanosAsLong) and is converted to a
+# microsecond timestamp below — same convention as sources.catalog.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,10 +37,20 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    """Stream the events table. FileStreamSource needs a *directory*
+    base path, so the sf_dir is the path and a glob filter selects the
+    events file — at scale this is a directory of arriving part files,
+    which is exactly the production shape."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(f"{sf_dir}/events.parquet")
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

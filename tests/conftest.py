@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from eecs_485___mapreduce_spark.session import get_spark
+
+    s = get_spark(app_name="eecs485-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    """Driver-style canonical form: sort columns by name, render, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def render(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    return sorted(tuple(render(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="session")
+def text_corpus(tmp_path_factory) -> str:
+    """A small deterministic line-oriented corpus (our own fixture — the
+    reference's test corpus is not copied)."""
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "file01").write_text("Hello World\nhello spark\nThe quick brown fox\n")
+    (d / "file02").write_text("hello  world\n\nProduct catalog line\nthe lazy dog\n")
+    (d / "file03").write_text("spark spark SPARK\nproduct PRODUCT Product\n")
+    return str(d)

@@ -1,0 +1,48 @@
+"""Similarity search quality gates: the LSH scale path must recover
+most of the exact brute-force neighbors; HLL distinct must be within
+tolerance."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from eecs_485___mapreduce_spark.queries.relational import approx_distinct_parts
+from eecs_485___mapreduce_spark.queries.similarity import (
+    similarity_topk_cosine,
+    similarity_topk_lsh,
+)
+
+from .conftest import SF_SMALL
+
+
+def _topk_sets(df):
+    out = defaultdict(set)
+    for r in df.collect():
+        out[r.qid].add(r.nid)
+    return out
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    exact = _topk_sets(similarity_topk_cosine(spark, SF_SMALL))
+    approx = _topk_sets(similarity_topk_lsh(spark, SF_SMALL))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    rows = approx_distinct_parts(spark, SF_SMALL).collect()
+    from eecs_485___mapreduce_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.l_returnflag: r.d
+        for r in load_table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert rel_err < 0.05, f"{r.l_returnflag}: {rel_err}"
