@@ -79,3 +79,164 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     the opaque payload — the downstream plumbing is identical.
     """
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+# ------------------------------------------------------------------
+# Frame sampling (video-shaped payloads)
+
+FRAME_CHARS = 256  # fake frame = 256-char slice of the payload text
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_start bigint, frame_len bigint, "
+    "frame_md5 string"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_chars: int = FRAME_CHARS,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """mapInPandas frame sampler: one output row per sampled frame.
+
+    A real video decoder would seek to every ``stride``-th frame and
+    emit (timestamp, jpeg_bytes); the deterministic fake slices the
+    payload into fixed-size frames and fingerprints each sampled slice.
+    The 1→N row fan-out, Arrow batching, and schema are the real
+    production shape.
+
+    Scale: fan-out happens executor-side per Arrow batch; no shuffle,
+    no driver involvement. Output partitioning inherits the scan.
+    """
+    import hashlib
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, lens, md5s = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n = len(text)
+                n_frames = math.ceil(n / frame_chars)
+                for fi in range(0, n_frames, stride):
+                    off = fi * frame_chars
+                    chunk = text[off : off + frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    starts.append(off + 1)  # 1-based, matches SQL substring
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_start": pd.Series(starts, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Resize planning (image-shaped payloads)
+
+RESIZE_FIT = 128  # fit into a 128x128 box, aspect preserved
+
+RESIZE_SCHEMA = "doc_id bigint, src_w bigint, src_h bigint, dst_w bigint, dst_h bigint"
+
+
+def plan_resize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fit: int = RESIZE_FIT,
+) -> DataFrame:
+    """mapInPandas resize planner: fake-decode dims, then compute the
+    aspect-preserving fit into a ``fit`` x ``fit`` box.
+
+    A real implementation decodes pixels and interpolates; the stub
+    stops at the dimension plan (all-integer arithmetic so the oracle
+    agrees bit-for-bit). Degenerate dims (0-width/height fakes) yield
+    NULL targets rather than a divide-by-zero.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "src_w": [], "src_h": [], "dst_w": [], "dst_h": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = decode_image_meta(payload, fake=True)
+                w, h = m["fake_width"], m["fake_height"]
+                if w == 0 or h == 0:
+                    dw = dh = None
+                elif w >= h:
+                    dw, dh = fit, (h * fit) // w
+                else:
+                    dw, dh = (w * fit) // h, fit
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["dst_w"].append(dw)
+                rows["dst_h"].append(dh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "src_w": pd.Series(rows["src_w"], dtype="int64"),
+                    "src_h": pd.Series(rows["src_h"], dtype="int64"),
+                    "dst_w": pd.Series(rows["dst_w"], dtype="Int64"),
+                    "dst_h": pd.Series(rows["dst_h"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Feature extraction (embedding-shaped output)
+
+N_FEATURES = 8
+FEATURE_CHUNK = 64  # each feature hashes one 64-char slice
+
+FEATURE_SCHEMA = "doc_id bigint, dim bigint, feature bigint"
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = N_FEATURES,
+    chunk: int = FEATURE_CHUNK,
+) -> DataFrame:
+    """mapInPandas feature extractor: an ``n_features``-dim deterministic
+    fake embedding (60-bit hash of each payload chunk), exploded to
+    (doc_id, dim, feature) rows.
+
+    A real extractor runs a vision/audio model per Arrow batch and
+    yields float vectors; swap the per-chunk function, keep the batch
+    plumbing and exploded layout (the layout every downstream
+    similarity/centroid operator in this engine consumes).
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, dims, feats = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for d in range(n_features):
+                    piece = text[d * chunk : (d + 1) * chunk]
+                    hx = hashlib.md5(piece.encode("utf-8")).hexdigest()
+                    ids.append(doc_id)
+                    dims.append(d)
+                    feats.append(int(hx[:15], 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dim": pd.Series(dims, dtype="int64"),
+                    "feature": pd.Series(feats, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, FEATURE_SCHEMA)

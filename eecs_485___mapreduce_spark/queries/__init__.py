@@ -6,6 +6,7 @@ oracle where ANSI-SQL-expressible.
 """
 
 from . import (  # noqa: F401
+    advanced,
     dedup,
     multimodal,
     reference,

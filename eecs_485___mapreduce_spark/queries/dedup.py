@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import md5_long, minhash, shingles, tokens
+from ..functions import as_double_array, cosine, md5_long, minhash, shingles, tokens
 from ..registry import register
 from ..sources import load_table
 
@@ -40,6 +40,7 @@ _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 N_MINHASH = 8  # 4 bands x 2 rows: catches jaccard >= ~0.5 with high prob
 MINHASH_JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.2
+EMBEDDING_COSINE_THRESHOLD = 0.30  # 99th pct of within-cell sim in the corpus
 
 
 @register(
@@ -267,3 +268,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "vector", "join"),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= {EMBEDDING_COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with coarse-cell blocking:
+    candidates = pairs sharing a cell (the ``label`` column stands in
+    for an IVF/k-means cell id), verified by exact cosine >= 0.30.
+
+    Scale: the same no-all-pairs rule as MinHash — the only shuffle is
+    the equi-join on the cell id, so pair work is sum of per-cell
+    squares, not corpus^2. At 100 TB the cell id comes from a coarse
+    quantizer (k chosen so cells hold ~sqrt(n) vectors) and hot cells
+    split by AQE skew handling. Similarities are rounded to 6 decimals
+    on both engines before the threshold so accumulation
+    micro-differences cannot flip boundary pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double_array("embedding").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= EMBEDDING_COSINE_THRESHOLD)
+    )
