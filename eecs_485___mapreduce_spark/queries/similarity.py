@@ -163,6 +163,79 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ IVF (cell-probe variant)
+
+N_PROBE = 4
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Per-cell mean vector (the coarse quantizer codebook). At 100 TB
+    the codebook comes from sampled k-means; here the stored ``label``
+    is the cell id and the codebook is its exact mean — computed
+    distributed (posexplode + avg), never on the driver."""
+    return (
+        emb.select("label", F.posexplode(as_double_array("embedding")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x["cval"]).alias("cvec"))
+    )
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE, top_k: int = TOP_K
+) -> DataFrame:
+    """IVF ANN: queries probe the ``n_probe`` nearest coarse cells, and
+    only vectors in probed cells are scored exactly.
+
+    With n_probe == number of cells this degrades to exhaustive search
+    and must equal brute force exactly — the unit test asserts that.
+
+    Scale: the codebook is tiny (cells x dim) and broadcasts; cell
+    assignment is a broadcast nested-loop over the codebook only; the
+    candidate fetch is an equi-join on cell id. Corpus is scanned once,
+    shuffled once (on cell id) — the canonical IVF-Flat layout. On disk
+    this pairs with partitionBy(cell) so probes prune files entirely.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _centroids(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qe")
+    )
+    # Rank cells per query by centroid cosine; keep the n_probe best.
+    cell_sim = F.round(cosine(F.col("qe"), F.col("cvec")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("cell_sim").desc(), "label")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qe", "label", cell_sim.alias("cell_sim"))
+        .withColumn("cell_rk", F.row_number().over(wq))
+        .filter(F.col("cell_rk") <= n_probe)
+        .select("qid", "qe", "label")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), as_double_array("embedding").alias("ce"), "label"
+    )
+    sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    return (
+        c.join(F.broadcast(probed), "label")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+        .select("qid", "nid", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= top_k)
+    )
+
+
+@register("similarity_topk_ivf", tags=("similarity", "vector", "approx"), oracle=None)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN at the default probe width. No oracle
+    (approximate by construction); tests/test_similarity.py asserts the
+    exhaustive-probe limit equals brute force and measures recall at
+    the default."""
+    return ivf_topk(spark, sf_dir)
+
+
 @register(
     "embedding_label_centroids",
     tags=("similarity", "vector", "agg"),

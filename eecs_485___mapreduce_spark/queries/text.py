@@ -152,3 +152,95 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fp"),
         md5_long(canon).alias("fp64"),
     )
+
+
+@register(
+    "text_top_bigrams",
+    tags=("text", "agg", "topk"),
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                       i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+          FROM t WHERE len(toks) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (word-level 2-grams): the n-gram
+    mining primitive behind contamination checks and boilerplate
+    detection.
+
+    Scale: bigrams are generated array-side (higher-order transform,
+    no join), partially aggregated map-side before the single shuffle
+    on the bigram key; top-k plans TakeOrdered. Hot bigrams are exactly
+    the partial-agg win — duplicates collapse before the exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks — the regex shape GPT-2-style byte-pair encoders use
+# as their pre-split (identical semantics in Java regex and RE2).
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_stats",
+    tags=("text", "string"),
+    oracle=f"""
+    WITH m AS (SELECT doc_id,
+                      regexp_extract_all(text, '{_BPE_PATTERN}') AS pieces
+               FROM documents)
+    SELECT doc_id,
+           len(pieces) AS n_pieces,
+           len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$')))
+               AS n_word_pieces,
+           len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]+$')))
+               AS n_num_pieces,
+           len(list_filter(pieces, p -> NOT regexp_matches(p, '^[A-Za-z0-9]')))
+               AS n_punct_pieces
+    FROM m
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts per document: total pieces and
+    the word / number / punctuation class split — the token-budget
+    estimator for a training corpus (whitespace tokens undercount;
+    BPE pre-pieces track real tokenizer output much more closely).
+
+    Scale: pure scan->project, zero shuffle; the regex runs inside
+    codegen on the JVM (no Python).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+
+    def n_matching(pat: str) -> F.Column:
+        return F.size(F.filter(pieces, lambda p: p.rlike(pat)))
+
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        n_matching("^[A-Za-z]+$").alias("n_word_pieces"),
+        n_matching("^[0-9]+$").alias("n_num_pieces"),
+        F.size(F.filter(pieces, lambda p: ~p.rlike("^[A-Za-z0-9]"))).alias(
+            "n_punct_pieces"
+        ),
+    )

@@ -21,6 +21,40 @@ SESSION_GAP_S = 1800
 
 
 @register(
+    "events_sliding_windows",
+    tags=("datetime", "agg", "streaming-batch"),
+    oracle="""
+    WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS k
+               FROM events),
+    w AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                   - TO_MICROSECONDS(k * 900000000) AS win_start,
+                 event_type, value
+          FROM x)
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes per event type (each
+    event lands in 4 overlapping windows) — the batch twin of the
+    streaming sliding aggregation.
+
+    Scale: the window expansion is a 4x map-side explode of *keys*, not
+    data (partial agg collapses before the shuffle); output cardinality
+    is windows x types regardless of input size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
     "events_hourly",
     bench=True,
     tags=("datetime", "agg", "streaming-batch"),

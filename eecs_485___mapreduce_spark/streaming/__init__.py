@@ -6,4 +6,6 @@ from .events import (  # noqa: F401
     hourly_rollup_stream,
     read_events_stream,
     run_stream_to_memory,
+    sessionize_stream,
+    sliding_rollup_stream,
 )

@@ -71,6 +71,99 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def sliding_rollup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of queries.timeseries.events_sliding_windows:
+    1-hour windows sliding every 15 minutes per event type. State is
+    bounded at (4 overlapping windows + watermark horizon) x types."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+# ------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization
+
+SESSION_GAP_S = 1800
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based session counting per user, the streaming twin of
+    queries.timeseries.sessionize_users.
+
+    Per user the state is O(1) — (last event time, running counts) —
+    so state size is bounded by the user cardinality, not the event
+    volume. Each micro-batch's events are sorted inside the group
+    function (micro-batches don't guarantee event-time order); across
+    batches the gap check continues from the persisted last_ts, which
+    is exact as long as batches don't interleave event time (true for
+    file replays; with out-of-order sources pair this with a watermark
+    and session-window aggregation instead).
+
+    Emits the running per-user totals in update mode.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):  # noqa: ANN001
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_events, n_sessions = state.get
+        else:
+            last_ts, n_events, n_sessions = None, 0, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"]).sort_values()
+            for t in ts:
+                # Epoch-second floor, matching the batch twin's
+                # date_diff('second') boundary-count semantics.
+                sec = t.value // 1_000_000_000
+                if last_ts is None or sec - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = sec
+                n_events += 1
+        state.update((last_ts, n_events, n_sessions))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n_events], dtype="int64"),
+                "n_sessions": pd.Series([n_sessions], dtype="int64"),
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a bounded stream synchronously into a memory sink; returns
     the StreamingQuery (stopped). Results land in table ``name``."""

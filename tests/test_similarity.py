@@ -8,7 +8,9 @@ from collections import defaultdict
 
 from eecs_485___mapreduce_spark.queries.relational import approx_distinct_parts
 from eecs_485___mapreduce_spark.queries.similarity import (
+    ivf_topk,
     similarity_topk_cosine,
+    similarity_topk_ivf,
     similarity_topk_lsh,
 )
 
@@ -29,6 +31,29 @@ def test_lsh_recall_vs_brute_force(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    """Probing every cell degrades IVF to exhaustive search: results
+    must match brute force exactly (same pairs, same ranks)."""
+    exact = {
+        (r.qid, r.rk): r.nid
+        for r in similarity_topk_cosine(spark, SF_SMALL).collect()
+    }
+    n_cells = 10  # labels 0..9 in the synthetic corpus
+    full = {(r.qid, r.rk): r.nid for r in ivf_topk(spark, SF_SMALL, n_probe=n_cells).collect()}
+    assert full == exact
+
+
+def test_ivf_default_probe_recall(spark):
+    """At the default probe width IVF returns k results per query and
+    recovers a nontrivial share of the true neighbors (the synthetic
+    labels are weak clusters, so the floor is modest)."""
+    exact = _topk_sets(similarity_topk_cosine(spark, SF_SMALL))
+    approx = _topk_sets(similarity_topk_ivf(spark, SF_SMALL))
+    assert set(approx) == set(exact)  # every query answered
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, f"mean recall too low: {recalls}"
 
 
 def test_approx_distinct_within_tolerance(spark):

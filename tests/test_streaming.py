@@ -3,12 +3,18 @@ the batch twins (which carry the DuckDB oracles)."""
 
 from __future__ import annotations
 
-from eecs_485___mapreduce_spark.queries.timeseries import events_hourly
+from eecs_485___mapreduce_spark.queries.timeseries import (
+    events_hourly,
+    events_sliding_windows,
+    sessionize_users,
+)
 from eecs_485___mapreduce_spark.streaming import (
     dedup_events_stream,
     hourly_rollup_stream,
     read_events_stream,
     run_stream_to_memory,
+    sessionize_stream,
+    sliding_rollup_stream,
 )
 
 from .conftest import SF_SMALL, normalize
@@ -24,6 +30,46 @@ def test_hourly_rollup_stream_equals_batch(spark):
     assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
         [tuple(r) for r in want.collect()], want.columns
     )
+
+
+def test_sliding_rollup_stream_equals_batch(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    rollup = sliding_rollup_stream(stream)
+    run_stream_to_memory(rollup, "sliding_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM sliding_test")
+    want = events_sliding_windows(spark, SF_SMALL)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
+        [tuple(r) for r in want.collect()], want.columns
+    )
+
+
+def test_sessionize_stream_equals_batch(spark):
+    """The stateful operator's final per-user counts must match the
+    batch sessionization (same gap rule, same epoch-second floor)."""
+    stream = read_events_stream(spark, SF_SMALL)
+    sessions = sessionize_stream(stream)
+    run_stream_to_memory(sessions, "session_test", output_mode="update")
+    # update mode emits one row per user per micro-batch; the last
+    # emission per user carries the final running totals.
+    got = {
+        r.user_id: (r.n_events, r.n_sessions)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, n_sessions FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) AS rk FROM session_test
+            ) WHERE rk = 1
+            """
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.n_sessions)
+        for r in sessionize_users(spark, SF_SMALL)
+        .select("user_id", "n_events", "n_sessions")
+        .collect()
+    }
+    assert got == want
 
 
 def test_dedup_stream_within_watermark(spark):
