@@ -24,7 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import as_double_array, cosine, md5_long, minhash, shingles, tokens
+from ..functions import (
+    CANONICAL_TEXT_SQL,
+    as_double_array,
+    canonical_text,
+    cosine,
+    md5_long,
+    minhash,
+    shingles,
+    tokens,
+)
 from ..registry import register
 from ..sources import load_table
 
@@ -48,7 +57,7 @@ EMBEDDING_COSINE_THRESHOLD = 0.30  # 99th pct of within-cell sim in the corpus
     bench=True,
     tags=("dedup", "hash"),
     oracle=f"""
-    SELECT md5(array_to_string({_TOKS}, ' ')) AS content_key,
+    SELECT md5({CANONICAL_TEXT_SQL.format(c='text')}) AS content_key,
            CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            COUNT(*) AS n_copies
     FROM documents
@@ -57,13 +66,14 @@ EMBEDDING_COSINE_THRESHOLD = 0.30  # 99th pct of within-cell sim in the corpus
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized content: hash-groupBy on the canonical
-    token stream, keep the lowest doc_id deterministically.
+    token stream (single-regex whitespace collapse — same output as
+    split+join, one pass), keep the lowest doc_id deterministically.
 
     Scale: one shuffle on a 128-bit key; partial agg map-side. This is
     the exact pattern used on full CommonCrawl-scale corpora.
     """
     docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.array_join(tokens("text"), " "))
+    key = F.md5(canonical_text("text"))
     return (
         docs.groupBy(key.alias("content_key"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))

@@ -133,20 +133,24 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     tags=("text", "hash"),
     oracle=f"""
+    WITH c AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canon
+               FROM documents)
     SELECT doc_id,
-           md5(array_to_string({_TOKS}, ' ')) AS fp,
-           CAST(('0x' || substr(md5(array_to_string({_TOKS}, ' ')), 1, 15)) AS BIGINT) AS fp64
-    FROM documents
+           md5(canon) AS fp,
+           CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT) AS fp64
+    FROM c
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint: md5 over the canonical token
-    stream (whitespace-insensitive, case-insensitive). ``fp64`` is the
-    60-bit integer form used as an exact-dedup join key at scale."""
-    from ..functions import md5_long
+    stream (whitespace-insensitive, case-insensitive; computed by the
+    single-pass regex collapse). ``fp64`` is the 60-bit integer form
+    used as an exact-dedup join key at scale."""
+    from ..functions import canonical_text, md5_long
 
     docs = load_table(spark, sf_dir, "documents")
-    canon = F.array_join(tokens("text"), " ")
+    canon = canonical_text("text")
     return docs.select(
         "doc_id",
         F.md5(canon).alias("fp"),

@@ -1,0 +1,64 @@
+"""Sinks: partitioned file output.
+
+The reference's sink is ``part-{t:05d}`` text files, one per reduce
+partition, with the output directory overwritten per job (reference
+mapreduce/worker/__main__.py:180-198, manager/__main__.py:87-90).
+Spark's file sinks already emit one ``part-*`` file per partition and
+``mode("overwrite")`` replaces the directory — these wrappers add the
+reference's R knob (deterministic output file count) and the columnar
+variants a real pipeline needs.
+
+Scale notes: ``num_files`` uses ``repartition`` (a shuffle) only when
+the count must be exact; prefer leaving it None and letting AQE
+coalesce — at 100 TB, forcing small R serializes the write. For
+parquet, ``partition_by`` gives directory-level partition pruning to
+every downstream scan; pair with sensible file sizes
+(``maxRecordsPerFile``) so a 1000-executor read isn't stuck on four
+giant files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _with_file_count(df: DataFrame, num_files: int | None) -> DataFrame:
+    if num_files is None:
+        return df
+    # repartition (not coalesce): coalesce(1) would collapse upstream
+    # parallelism into the single writing task; repartition keeps the
+    # compute wide and only narrows the write.
+    return df.repartition(num_files)
+
+
+def write_text(df: DataFrame, output_dir: str, num_files: int | None = None) -> None:
+    """Reference-style text sink: one string column -> part files,
+    overwrite semantics. ``num_files`` is the reference's R."""
+    _with_file_count(df, num_files).write.mode("overwrite").text(output_dir)
+
+
+def write_parquet(
+    df: DataFrame,
+    output_dir: str,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    writer = _with_file_count(df, num_files).write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(output_dir)
+
+
+def write_csv(
+    df: DataFrame, output_dir: str, header: bool = True, num_files: int | None = None
+) -> None:
+    _with_file_count(df, num_files).write.mode("overwrite").option(
+        "header", str(header).lower()
+    ).csv(output_dir)
+
+
+def write_json(df: DataFrame, output_dir: str, num_files: int | None = None) -> None:
+    _with_file_count(df, num_files).write.mode("overwrite").json(output_dir)
