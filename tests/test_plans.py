@@ -49,8 +49,34 @@ def test_joins_broadcast_dims(spark):
 
 
 def test_no_cartesian_products(spark):
-    for q in (q3_top_orders, q5_region_revenue, dedup_minhash_lsh):
+    from eecs_485___mapreduce_spark.queries.advanced import (
+        asof_join_purchase_click,
+        correlated_subquery_q17,
+        range_join_click_burst,
+    )
+    from eecs_485___mapreduce_spark.queries.dedup import dedup_embedding_cosine
+
+    for q in (
+        q3_top_orders,
+        q5_region_revenue,
+        dedup_minhash_lsh,
+        correlated_subquery_q17,
+        range_join_click_burst,
+        dedup_embedding_cosine,
+        asof_join_purchase_click,
+    ):
         assert_no_cartesian(q(spark, SF_SMALL))
+
+
+def test_asof_join_is_window_based(spark):
+    """The as-of composition must plan as union + window — no join
+    operator at all (a join+argmax formulation would materialize
+    per-pair rows and die at scale)."""
+    from eecs_485___mapreduce_spark.queries.advanced import asof_join_purchase_click
+
+    plan = physical_plan(asof_join_purchase_click(spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
 
 
 def test_scan_agg_uses_codegen(spark):

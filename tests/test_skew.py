@@ -1,0 +1,61 @@
+"""Skew operators must be result-identical to their naive forms —
+salting changes the physical distribution, never the answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eecs_485___mapreduce_spark.operators.skew import salted_join, two_phase_distinct
+from eecs_485___mapreduce_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(orders, "l_orderkey").select(
+        "l_orderkey", "l_quantity", "o_orderstatus"
+    )
+    salted = salted_join(li, orders, on="l_orderkey", n_salts=8).select(
+        "l_orderkey", "l_quantity", "o_orderstatus"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A 100%-skewed large side (every row the same key) must land in
+    more than one shuffle partition after salting."""
+    hot = spark.range(10_000).select(
+        F.lit(42).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(42, "x")], "k bigint, name string")
+    out = salted_join(hot, dim, on="k", n_salts=8)
+    assert out.count() == 10_000
+    # the salt column spread the rows across multiple groups
+    n_salt_groups = (
+        hot.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8))
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salt_groups > 1
+
+
+def test_two_phase_distinct_equals_count_distinct(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    want = {
+        (r.key, r.n)
+        for r in li.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.key, r.n_distinct)
+        for r in two_phase_distinct(li, "l_returnflag", "l_orderkey").collect()
+    }
+    assert got == want
