@@ -107,12 +107,37 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def minhash(shingle_col: Column, seed: int) -> Column:
-    """One member of the MinHash family: min over shingles of a seeded
-    md5-derived 60-bit hash. Seeding by string concat keeps the family
-    reproducible in ANSI SQL for the oracle."""
+# MinHash universal-hash family over a Mersenne-prime field: one md5
+# base hash per shingle, then h_i(x) = (a_i*x + b_i) mod (2^31-1) for
+# each family member. One md5 per shingle instead of one per
+# (shingle x member) — 8x less hashing CPU, which dominates MinHash
+# cost at corpus scale. (a_i, b_i) derive deterministically from md5
+# of the member index, so Spark and the SQL oracle agree exactly.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) % (MINHASH_PRIME - 1) + 1
+    b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+    return a, b
+
+
+def base_hashes(shingle_col: Column) -> Column:
+    """60-bit md5 hash of each shingle, folded into the Mersenne field —
+    computed ONCE and shared by every MinHash family member."""
+    return F.transform(shingle_col, lambda s: F.pmod(md5_long(s), F.lit(MINHASH_PRIME)))
+
+
+def minhash(base_hash_col: Column, seed: int) -> Column:
+    """Family member ``seed`` over precomputed :func:`base_hashes`."""
+    a, b = minhash_params(seed)
     return F.array_min(
-        F.transform(shingle_col, lambda s: md5_long(F.concat(F.lit(f"seed{seed}:"), s)))
+        F.transform(
+            base_hash_col,
+            lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)),
+        )
     )
 
 

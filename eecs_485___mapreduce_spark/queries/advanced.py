@@ -181,6 +181,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_join_purchase_click",
+    bench=True,
     tags=("join", "asof", "window"),
     oracle="""
     WITH clicks AS (

@@ -26,11 +26,14 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     CANONICAL_TEXT_SQL,
+    MINHASH_PRIME,
     as_double_array,
+    base_hashes,
     canonical_text,
     cosine,
     md5_long,
     minhash,
+    minhash_params,
     shingles,
     tokens,
 )
@@ -83,19 +86,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql_sigs() -> str:
     cols = []
     for i in range(N_MINHASH):
-        seeded = _H60.format(x="concat('seed{}:', s)".format(i))
-        cols.append(f"list_min(list_transform(sh, s -> {seeded})) AS h{i}")
+        a, b = minhash_params(i)
+        cols.append(
+            f"list_min(list_transform(hb, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+            f" AS h{i}"
+        )
     return ",\n           ".join(cols)
 
 
 @register(
     "dedup_minhash_lsh",
+    bench=True,
     tags=("dedup", "hash", "join"),
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    tb0 AS (SELECT doc_id, sh,
+                   list_transform(sh, s -> {_H60.format(x='s')} % {MINHASH_PRIME})
+                       AS hb
+            FROM t),
     mh AS (SELECT doc_id, sh,
            {_minhash_sql_sigs()}
-           FROM t),
+           FROM tb0),
     bands AS (
       SELECT doc_id, 0 AS band, h0 AS k1, h1 AS k2 FROM mh
       UNION ALL SELECT doc_id, 1, h2, h3 FROM mh
@@ -120,8 +131,9 @@ def _minhash_sql_sigs() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
-    shingle -> 8-signature MinHash -> 4 bands of 2 -> band-bucket
-    equi-join for candidates -> exact Jaccard verification >= 0.5.
+    shingle -> md5 base hash (once per shingle) -> 8 universal-hash
+    family members -> 4 bands of 2 -> band-bucket equi-join for
+    candidates -> exact Jaccard verification >= 0.5.
 
     Scale: candidates come from an equi-join on (band, sig, sig) — no
     all-pairs comparison anywhere. At 100 TB the band join is the only
@@ -131,9 +143,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j=0.8).
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", shingles(tokens("text")).alias("sh"))
+    # The shingle set is the working set of the whole dedup job (used
+    # by signature generation AND exact verification): materialize it
+    # once instead of re-tokenizing the corpus three times.
+    t = docs.select("doc_id", shingles(tokens("text")).alias("sh")).persist()
     sigs = t.select(
-        "doc_id", "sh", *[minhash(F.col("sh"), i).alias(f"h{i}") for i in range(N_MINHASH)]
+        "doc_id",
+        base_hashes(F.col("sh")).alias("hb"),
+    ).select(
+        "doc_id", *[minhash(F.col("hb"), i).alias(f"h{i}") for i in range(N_MINHASH)]
     )
     band_structs = F.array(
         *[

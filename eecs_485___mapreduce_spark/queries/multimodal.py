@@ -51,6 +51,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
+    bench=True,
     tags=("multimodal", "udf"),
     oracle=f"""
     WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

@@ -22,6 +22,7 @@ SESSION_GAP_S = 1800
 
 @register(
     "events_sliding_windows",
+    bench=True,
     tags=("datetime", "agg", "streaming-batch"),
     oracle="""
     WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS k

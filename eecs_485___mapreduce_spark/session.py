@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Bucketed-table warehouse (operators/sinks write_bucketed);
+        # kept out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

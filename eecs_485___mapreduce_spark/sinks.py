@@ -62,3 +62,29 @@ def write_csv(
 
 def write_json(df: DataFrame, output_dir: str, num_files: int | None = None) -> None:
     _with_file_count(df, num_files).write.mode("overwrite").json(output_dir)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed, optionally sort-ordered parquet table (saveAsTable —
+    bucketing metadata lives in the catalog, files under the session
+    warehouse dir).
+
+    This is THE co-located join tool at 100 TB: two tables bucketed by
+    the same key into the same bucket count join with **zero
+    exchanges** — the scan itself is the partitioning. Pre-bucket the
+    fact tables on their join keys once at ingest and every downstream
+    join/aggregation on those keys skips its shuffle forever
+    (tests/test_bucketing.py asserts the exchange-free plan).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

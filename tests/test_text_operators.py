@@ -60,3 +60,32 @@ def test_grep_case_insensitive_sorted(spark, text_corpus):
 
 def test_grep_no_match(spark, text_corpus):
     assert grep_text_dir(spark, text_corpus, "zzzznothing").count() == 0
+
+
+def test_canonical_text_equals_token_join_on_nasty_inputs(spark):
+    """The single-pass canonical_text fast path must equal the
+    split+filter+join definition on every whitespace shape: tabs,
+    newlines, CRs, runs, leading/trailing, empty, whitespace-only."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.functions import canonical_text, tokens
+
+    nasty = [
+        "plain words here",
+        "  leading spaces",
+        "trailing spaces   ",
+        "\tleading tab",
+        "internal\t\ttabs and\nnewlines\r\nboth kinds",
+        "many     spaces",
+        "",
+        "   \t \n ",
+        "MiXeD CaSe\tToKeNs",
+        "one",
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "text string")
+    rows = df.select(
+        canonical_text("text").alias("fast"),
+        F.array_join(tokens("text"), " ").alias("slow"),
+    ).collect()
+    for r in rows:
+        assert r.fast == r.slow, (r.fast, r.slow)
