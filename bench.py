@@ -30,8 +30,12 @@ def main() -> int:
     from eecs_485___mapreduce_spark.session import get_spark
 
     spark = get_spark(app_name="eecs485-bench")
-    # Warm up the JVM / file listing outside the timed region.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm up the JVM, codegen, and per-table file listing outside the
+    # timed region so timings measure the engine, not first-touch I/O.
+    from eecs_485___mapreduce_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name, q in all_queries().items():

@@ -310,6 +310,94 @@ def range_join_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- SQL entry point
+
+
+@register(
+    "sql_q6_discount_revenue",
+    tags=("agg", "sql"),
+    oracle=f"""
+    SELECT CAST(SUM({_d('l_extendedprice')} * {_d('l_discount')}) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 25
+    """,
+)
+def sql_q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue query, expressed through the
+    engine's SQL entry point (``register_views`` + ``spark.sql``) —
+    proving the surface is reachable from ANSI SQL, not only the
+    DataFrame API. Catalyst produces the identical plan either way:
+    all four predicates push to the parquet scan, one scalar aggregate,
+    no shuffle beyond the final partial-merge.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 25
+        """
+    )
+
+
+@register(
+    "q18_large_orders",
+    tags=("join", "subquery", "agg", "topk"),
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(SUM({_d('l_quantity')}) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM({_d('l_quantity')}) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume-order lookup: IN over a HAVING
+    aggregate subquery, as a semi-join against the per-order rollup.
+
+    Scale: the HAVING aggregate and the outer sum share the lineitem
+    shuffle key (l_orderkey), so AQE reuses one exchange; customer
+    broadcasts; top-k is TakeOrdered.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), t["orders"].o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 # ------------------------------------------------- full outer join
 
 

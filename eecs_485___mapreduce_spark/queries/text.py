@@ -200,6 +200,91 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Language-ID heuristic profiles: distinctive function words per
+# language plus a CJK-character signal. On real corpora these separate
+# languages sharply; scoring is deterministic (argmax with alphabetical
+# tiebreak) so both engines agree exactly.
+_LANG_PROFILES = {
+    "de": ("der", "die", "und", "ist", "das", "nicht"),
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "y", "los", "que", "una"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+_CJK = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+
+def _lang_scores_sql() -> str:
+    cols = [
+        f"len(list_filter(toks, t -> t IN ('" + "', '".join(words) + f"'))) AS s_{lang}"
+        for lang, words in _LANG_PROFILES.items()
+    ]
+    cols.append(f"len(regexp_extract_all(text, '{_CJK}')) AS s_zh")
+    return ",\n           ".join(cols)
+
+
+@register(
+    "text_lang_id",
+    tags=("text", "string"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+           {_lang_scores_sql()}
+          FROM t)
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+               THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang,
+           s_de, s_en, s_es, s_fr, s_zh
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language identification: score each document
+    against per-language function-word profiles (plus a CJK character
+    count for zh) and take the argmax, alphabetical on ties.
+
+    The synthetic corpus's text is language-agnostic so predictions
+    here don't track the stored ``lang`` column — the operator is the
+    committed surface; swap richer profiles for real corpora.
+
+    Scale: pure scan->project (set-membership filters over the token
+    array, one regex count), zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    def in_profile(words):  # noqa: ANN001 - single-arg lambda for F.filter
+        return lambda t: t.isin(*words)
+
+    scores = {
+        f"s_{lang}": F.size(F.filter(toks, in_profile(words)))
+        for lang, words in _LANG_PROFILES.items()
+    }
+    scores["s_zh"] = F.size(F.regexp_extract_all("text", F.lit(_CJK), 0))
+    s = docs.select(
+        "doc_id", "lang", *[c.alias(n) for n, c in scores.items()]
+    )
+    c = F.col
+    pred = (
+        F.when(
+            (c("s_de") >= c("s_en")) & (c("s_de") >= c("s_es"))
+            & (c("s_de") >= c("s_fr")) & (c("s_de") >= c("s_zh")),
+            "de",
+        )
+        .when((c("s_en") >= c("s_es")) & (c("s_en") >= c("s_fr")) & (c("s_en") >= c("s_zh")), "en")
+        .when((c("s_es") >= c("s_fr")) & (c("s_es") >= c("s_zh")), "es")
+        .when(c("s_fr") >= c("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.select(
+        "doc_id", "lang", pred.alias("pred_lang"), "s_de", "s_en", "s_es", "s_fr", "s_zh"
+    )
+
+
 # BPE-ish pre-tokenizer classes: letter runs, digit runs, single
 # non-alnum marks — the regex shape GPT-2-style byte-pair encoders use
 # as their pre-split (identical semantics in Java regex and RE2).

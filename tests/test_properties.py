@@ -1,0 +1,59 @@
+"""Property-based tests (hypothesis) for the pure contract functions:
+the md5 partitioner, the first-tab record split, and the MinHash
+family parameters. These pin the exec-compat contract (reference
+mapreduce/worker/__main__.py:141-144) over the whole input space, not
+just fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eecs_485___mapreduce_spark.functions import (
+    MINHASH_PRIME,
+    minhash_params,
+)
+from eecs_485___mapreduce_spark.operators.pipe import (
+    _first_tab_split,
+    md5_partition,
+)
+
+
+@given(st.text(), st.integers(min_value=1, max_value=1000))
+def test_md5_partition_in_range_and_reference_exact(key, r):
+    p = md5_partition(key, r)
+    assert 0 <= p < r
+    # byte-for-byte the reference's formula
+    assert p == int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % r
+
+
+@given(st.text())
+def test_first_tab_split_roundtrip(line):
+    key, value = _first_tab_split(line)
+    assert "\t" not in key
+    if "\t" in line:
+        assert line == key + "\t" + value
+    else:
+        assert (key, value) == (line, "")
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="\t\n"), min_size=0))
+def test_empty_and_plain_keys_are_legal(key):
+    """Empty-string keys flow through the partitioner like any other —
+    the reference's tests require this (SURVEY.md section 1.1)."""
+    assert 0 <= md5_partition(key, 7) < 7
+
+
+@settings(max_examples=50)
+@given(st.integers(min_value=0, max_value=1023))
+def test_minhash_params_valid_field_elements(i):
+    a, b = minhash_params(i)
+    assert 1 <= a < MINHASH_PRIME  # a != 0 keeps the hash non-degenerate
+    assert 0 <= b < MINHASH_PRIME
+
+
+def test_minhash_params_distinct_members():
+    seen = {minhash_params(i) for i in range(64)}
+    assert len(seen) == 64
