@@ -212,21 +212,19 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (which shuffles pairs) and is exactly how as-of joins
     are done on tick data at scale. Skewed users split fine because the
     window is per-user but the running frame never materializes pairs.
+    The tie collapse needs no pre-aggregation shuffle: ordering equal-ts
+    clicks by value makes ``last()`` pick the max, so the whole operator
+    is ONE exchange on user_id.
     """
     events = load_table(spark, sf_dir, "events")
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("click_value"))
-        .select(
-            "user_id",
-            F.col("ts").alias("ev_ts"),
-            F.lit(None).cast("bigint").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
-            F.col("ts").alias("click_ts"),
-            "click_value",
-            F.lit(0).alias("is_purchase"),
-        )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("is_purchase"),
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -237,12 +235,15 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("click_value"),
         F.lit(1).alias("is_purchase"),
     )
-    # Order clicks *after* purchases at equal ts: a click at the same
-    # instant must not match (strict p.ts > c.ts).
     unioned = clicks.unionByName(purchases)
+    # Sort order encodes the strict as-of semantics: purchases BEFORE
+    # clicks at equal ts (is_purchase desc), so a same-instant click is
+    # outside the purchase's frame (p.ts > c.ts is strict); among the
+    # clicks of one instant, value ascending makes last() = max value
+    # (the oracle's GROUP BY ... MAX(value) tie collapse).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ev_ts", "is_purchase")
+        .orderBy("ev_ts", F.col("is_purchase").desc(), "click_value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

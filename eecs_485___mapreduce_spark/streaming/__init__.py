@@ -5,6 +5,7 @@ from .events import (  # noqa: F401
     dedup_events_stream,
     hourly_rollup_stream,
     read_events_stream,
+    purchase_click_join_stream,
     run_stream_to_memory,
     sessionize_stream,
     sliding_rollup_stream,

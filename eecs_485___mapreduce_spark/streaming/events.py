@@ -84,6 +84,43 @@ def sliding_rollup_stream(events: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame, watermark: str = "10 minutes", window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks from the preceding ``window`` (strictly before the
+    purchase) — the streaming twin of the batch range join
+    (queries.advanced.range_join_click_burst, pre-aggregation).
+
+    Both sides carry watermarks and the join predicate bounds click_ts
+    within [purchase_ts - window, purchase_ts), so Spark can expire
+    join state: clicks older than the window beyond the watermark are
+    dropped from state. Without the time bound the state would grow
+    unboundedly — this is THE rule for stream-stream joins at scale.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("p_event_id", "p_user", "p_ts", "c_ts")
+
+
 # ------------------------------------------------------------------
 # Custom stateful operator: streaming sessionization
 

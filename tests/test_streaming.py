@@ -11,6 +11,7 @@ from eecs_485___mapreduce_spark.queries.timeseries import (
 from eecs_485___mapreduce_spark.streaming import (
     dedup_events_stream,
     hourly_rollup_stream,
+    purchase_click_join_stream,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -70,6 +71,47 @@ def test_sessionize_stream_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The stream-stream interval join must produce exactly the pairs
+    the equivalent batch join produces (single availableNow drain, so
+    no rows are lost to the watermark)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    stream = read_events_stream(spark, SF_SMALL)
+    joined = purchase_click_join_stream(stream)
+    run_stream_to_memory(joined, "ssjoin_test", output_mode="append")
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT p_event_id, p_user, p_ts, c_ts FROM ssjoin_test"
+        ).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        tuple(r)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .select("p_event_id", "p_user", "p_ts", "c_ts")
+        .collect()
+    }
+    assert got == want
+    assert got  # nonempty: the fixture has qualifying pairs
 
 
 def test_dedup_stream_within_watermark(spark):
