@@ -482,3 +482,36 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
     )
+
+
+@register(
+    "percentiles_lineitem",
+    tags=("agg", "stats"),
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90/p99 of extended price per return
+    flag). Spark's ``percentile`` and DuckDB's ``quantile_cont`` both
+    use linear interpolation between closest ranks, so rounded values
+    agree.
+
+    Scale note: exact percentiles sort each group; at 100 TB use
+    ``approx_percentile`` (t-digest, mergeable sketch, one pass) and
+    accept the epsilon — the exact form here is the correctness anchor
+    the approximate one is validated against.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

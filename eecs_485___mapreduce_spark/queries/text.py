@@ -1,6 +1,6 @@
 r"""Text-analysis operators over the ``documents`` table: token stats,
-quality scoring, language stats, a stopword language-ID heuristic, and
-document fingerprinting.
+quality scoring, language stats, a stopword language-ID heuristic,
+document fingerprinting, and reproducible stratified sampling.
 
 These extend the reference's string surface (lowercase + whitespace
 tokenize in tests/testdata/exec/wc_map.sh:12) into the operators a
@@ -333,3 +333,51 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_punct_pieces"
         ),
     )
+
+
+# Per-language sampling rates (percent) for the stratified sample:
+# downsample the dominant language, keep the rest.
+_SAMPLE_PCT = {"en": 30, "fr": 80, "de": 80, "es": 80, "zh": 80}
+_SAMPLE_PCT_SQL = " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in _SAMPLE_PCT.items()
+)
+
+
+@register(
+    "sample_stratified",
+    tags=("text", "sampling"),
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100
+          < CASE lang {_SAMPLE_PCT_SQL} ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling by hash-mod gating: a document
+    is kept iff md5('sample:'||doc_id) mod 100 falls under its
+    language's rate — the corpus-rebalancing step of a training-data
+    pipeline.
+
+    Hash gating beats rand()-based Bernoulli sampling at scale: the
+    decision is a pure function of the row key, so it is reproducible
+    across runs/engines/retries (a re-executed task keeps the same
+    sample — rand() would not), composes with incremental ingestion,
+    and needs no seed-per-partition bookkeeping. Zero shuffle: pure
+    scan->filter.
+    """
+    from ..functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.pmod(
+        md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in _SAMPLE_PCT.items()
+        ],
+        F.lit(0),
+    )
+    return docs.filter(gate < rate).select("doc_id", "lang", "n_chars")
