@@ -1,0 +1,805 @@
+"""Extended TPC-H-style suite over the driver star schema.
+
+The reference framework has no relational operators at all (SURVEY.md
+section 2.B — its programs are word count and grep,
+``tests/testdata/exec/wc_map.py``, ``grep_map.py``); these queries
+complete the warehouse surface the north star commits to: EXISTS
+rewrites, multi-dim join chains, market-share ratios, distribution
+(count-of-counts) queries, disjunctive pushdown, scalar subqueries,
+multiset set ops, grouping sets, and decimal-exact statistical moments.
+
+Hash-stability rules (package-wide): every money/quantity aggregate is
+an exact DECIMAL(18,2+) sum cast to double at the end; every ratio is
+computed double/double with the SAME expression shape in the Spark code
+and the oracle SQL (IEEE 754 ops on identical inputs are deterministic
+across engines); every top-k carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dec, dsum, dsum_expr
+from ..registry import register
+from ..sources import load_table, load_tables, register_views
+
+_DEC = "CAST({c} AS DECIMAL(18,2))"
+
+
+def _d(c: str) -> str:
+    return _DEC.format(c=c)
+
+
+_REV = f"{_d('l_extendedprice')} * (1 - {_d('l_discount')})"
+
+
+def _rev() -> F.Column:
+    return dec("l_extendedprice") * (1 - dec("l_discount"))
+
+
+# ------------------------------------------------------------ TPC-H Q4
+
+
+@register(
+    "q4_order_priority",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style priority check: orders of one year having at least
+    one lineitem shipped more than 60 days after the order date,
+    counted per priority (EXISTS -> left-semi join on the order key).
+
+    Scale: the date predicate pushes to the orders scan; lineitem is
+    projected to (l_orderkey, l_shipdate) before the shuffle; the semi
+    join keeps at most one match per order so no fan-out crosses the
+    exchange. At 100 TB both sides shuffle once on l_orderkey.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ------------------------------------------------------------ TPC-H Q7
+
+
+@register(
+    "q7_nation_volume",
+    tags=("join", "agg", "date"),
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND n1.n_nationkey < 4 AND n2.n_nationkey < 4
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style cross-nation shipping volume: revenue between
+    distinct (supplier nation, customer nation) pairs per ship year,
+    restricted to a 4-nation subset (Q7 uses a 2-nation pair).
+
+    Scale: supplier/customer/nation are broadcast dims — the only real
+    shuffle is lineitem-orders on the order key. The nation-subset
+    filters push through the broadcast joins to the dim scans, and AQE
+    would skew-split any hot order partition. Five joins, ONE exchange.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation")
+    n1 = t["nation"].filter(F.col("n_nationkey") < 4).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].filter(F.col("n_nationkey") < 4).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(F.col("n1_key") != F.col("n2_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(dsum_expr(_rev(), "revenue"))
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q8
+
+
+@register(
+    "q8_market_share",
+    tags=("join", "agg", "ratio"),
+    oracle=f"""
+    WITH base AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+             CAST({_REV} AS DECIMAL(18,4)) AS volume,
+             n1.n_regionkey AS supp_region
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n2.n_regionkey = 2
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_region = 2 THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM base
+    GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: among orders from ASIA customers
+    (regionkey 2), the fraction of revenue supplied from within ASIA,
+    per order year.
+
+    Scale: the ratio is a conditional aggregate over ONE join tree —
+    never two scans diffed. Both the numerator and denominator are
+    exact decimal sums; the division is the only double op and has the
+    same shape in both engines. Dims broadcast; one fact-fact shuffle.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("supp_region")
+    )
+    n2 = t["nation"].filter(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("n2_key")
+    )
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    base = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"), "inner")
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            vol.cast("decimal(18,4)").alias("volume"),
+            "supp_region",
+        )
+    )
+    return base.groupBy("order_year").agg(
+        (
+            F.sum(F.when(F.col("supp_region") == 2, F.col("volume")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q10
+
+
+@register(
+    "q10_returned_items",
+    tags=("join", "agg", "topk"),
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: customers ranked by revenue
+    lost to returns ('R' flag) for orders in one half-year.
+
+    Scale: l_returnflag and the o_orderdate window both push to the
+    parquet scans; customer and nation broadcast; the single exchange is
+    lineitem-orders. Top-k is TakeOrdered (no global sort), custkey
+    tie-break keeps it deterministic.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_expr(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q13
+
+
+@register(
+    "q13_order_distribution",
+    tags=("join", "agg"),
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution (how many
+    customers placed N non-urgent orders, including zero).
+
+    Scale: the classic count-of-counts double aggregate. First agg
+    shuffles on c_custkey (high cardinality, well spread); second agg's
+    key (the count) is tiny and skewed by design — Spark's partial
+    aggregation collapses it map-side, so the skew never hits the wire.
+    The join predicate's filter lives in the join condition (not WHERE)
+    to preserve left-join zero rows; Catalyst still pushes it to the
+    orders scan.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ----------------------------------------------------------- TPC-H Q14
+
+
+@register(
+    "q14_promo_revenue",
+    tags=("join", "agg", "ratio"),
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) AS promo_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion revenue share: percent of one month's
+    revenue from PROMO-type parts.
+
+    Scale: single broadcast join (part is a dim), conditional decimal
+    aggregate, scalar output — the shipdate window prunes the lineitem
+    scan. Division shape mirrors the oracle exactly: 100.0 * promo /
+    total, all three doubles derived from exact decimal sums.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = _rev()
+    return (
+        li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q16
+
+
+@register(
+    "q16_supplier_variety",
+    tags=("join", "agg", "distinct"),
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier variety: distinct suppliers shipping
+    each (brand, type) combination, excluding one brand and off-list
+    sizes. (The reference schema has no partsupp table; lineitem's
+    supplier column carries the same relationship.)
+
+    Scale: COUNT(DISTINCT) over a joined fact — Spark plans the classic
+    two-shuffle expand-distinct (partial distinct on (group, suppkey),
+    then final count); the dim filters broadcast-prune the probe before
+    either shuffle.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q19
+
+
+@register(
+    "q19_disjunctive_revenue",
+    tags=("join", "agg", "predicate"),
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate join: three OR'd
+    brand/size/quantity clause groups across the join boundary.
+
+    Scale: Catalyst extracts the common conjuncts per side — the brand
+    IN-list and size range push to the part scan, the quantity envelope
+    (1..40) pushes to lineitem — before evaluating the full disjunction
+    post-join. This is the query class where predicate extraction
+    matters most at 100 TB; expressing it declaratively gets it free.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#3") & s.between(1, 15) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#12") & s.between(10, 30) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#20") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return joined.filter(cond).agg(
+        dsum_expr(_rev(), "revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q22
+
+
+@register(
+    "q22_idle_customers",
+    tags=("join", "subquery", "agg"),
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM({_d('c_acctbal')}) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM({_d('c_acctbal')}) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global-sales-opportunity: customers with
+    above-average positive balance and no recent (1999+) order, rolled
+    up by market segment (scalar subquery + anti join).
+
+    Scale: the scalar average is a one-row broadcast; the anti join
+    projects orders to its key column before the shuffle. The average
+    is decimal-exact then double, so the > comparison is bit-identical
+    in both engines.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    okeys = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(okeys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
+    )
+
+
+# ----------------------------------------------- multiset set operations
+
+
+@register(
+    "set_ops_multiset",
+    tags=("setop",),
+    oracle="""
+    SELECT 'both' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    UNION ALL
+    SELECT 'only_1996' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL over
+    per-year customer order lists — duplicate counts carry through,
+    unlike the distinct variants in ``set_ops_custkeys``.
+
+    Scale: Spark plans both as a single shuffle on the value with
+    per-key count bookkeeping (no row explosion); the year windows push
+    to the orders scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y0: str, y1: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    k96 = year_keys("1996-01-01", "1997-01-01")
+    k97 = year_keys("1997-01-01", "1998-01-01")
+    both = k96.intersectAll(k97).select(F.lit("both").alias("op"), "custkey")
+    only96 = k96.exceptAll(k97).select(F.lit("only_1996").alias("op"), "custkey")
+    return both.unionByName(only96)
+
+
+# ------------------------------------------------------- grouping sets
+
+
+@register(
+    "grouping_sets_revenue",
+    tags=("agg", "rollup", "sql"),
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: a chosen set
+    list) with GROUPING() null-vs-group disambiguators, through the SQL
+    entry point — the DataFrame API has no grouping-sets primitive, so
+    the engine's SQL surface carries it.
+
+    Scale: identical to cube/rollup — map-side expand per grouping set,
+    partial agg before the single shuffle; output is the sum of the
+    tiny per-set cardinalities.
+    """
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT)  AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT)  AS g_ls,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ------------------------------------------ decimal-exact moment stats
+
+
+@register(
+    "stats_quantity_price",
+    tags=("agg", "stats"),
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM({_d('l_quantity')}) AS DOUBLE)       AS sx,
+             CAST(SUM({_d('l_extendedprice')}) AS DOUBLE)  AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           sx / n AS mean_qty,
+           sy / n AS mean_price,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           (syy - sy * sy / n) / (n - 1) AS var_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar,
+           (sxy - sx * sy / n)
+             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qp
+    FROM m
+    """,
+)
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean/variance/covariance/correlation of
+    quantity vs price) via decimal-exact raw sums, finished in double
+    with the identical expression tree in both engines — the built-in
+    ``corr``/``var_samp`` use streaming update formulas whose float
+    error differs per engine and per partitioning, so a hash-stable
+    engine computes moments from exact sums instead.
+
+    Scale: one pass, one scalar output row, partial sums map-side. The
+    two-pass textbook formula is unnecessary because the sums are exact
+    decimals (no catastrophic cancellation until the final double ops,
+    which are deterministic).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.alias("n"),
+        (sx / n).alias("mean_qty"),
+        (sy / n).alias("mean_price"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        ((syy - sy * sy / n) / (n - 1)).alias("var_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qp"),
+    )
+
+
+# ------------------------------------------------------------ histogram
+
+
+@register(
+    "histogram_totalprice",
+    tags=("agg",),
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k buckets) with per-bin
+    min/max — the building block for distribution profiling of a
+    100 TB column without any sort.
+
+    Scale: bucket id is computed map-side; the shuffle carries only
+    (bucket, partials). min/max of raw doubles are exact (no summation)
+    so hash-stable as-is.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------- nth-value window
+
+
+@register(
+    "second_richest_per_nation",
+    tags=("window", "topk"),
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn = 2
+    """,
+)
+def second_richest_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group nth element (the second-highest account balance per
+    nation) via ROW_NUMBER with a unique tie-break.
+
+    Scale: rank-filter windows with a LIMIT-like rn predicate get
+    Spark's window-group-limit pushdown — each partition keeps a
+    running top-2 heap instead of fully sorting, so skewed nations
+    cost O(n) not O(n log n).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        cust.select(
+            "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 2)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+# ------------------------------------------------------ event funnel
+
+
+@register(
+    "funnel_view_click_purchase",
+    tags=("window", "agg", "events"),
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+               JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+               JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    viewed, then clicked strictly after their first view, then
+    purchased strictly after that first qualifying click.
+
+    Scale: each stage reduces to a per-user scalar BEFORE the next
+    stage's join, so every join input is one row per user (the heavy
+    events→stage joins shuffle on user_id, the same key throughout —
+    AQE reuses the exchange). Per-stage event-type filters push to the
+    parquet scan. Three tiny crossJoins assemble the scalar report row.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            purchases.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+# ------------------------------------------------- window dedup (latest)
+
+
+@register(
+    "dedup_latest_event",
+    tags=("window", "dedup", "events"),
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: one row per (user, event_type) — the newest by
+    timestamp, event_id as the deterministic tie-break. The standard
+    CDC/compaction primitive (complements ``dedup_exact``, which keys
+    on content).
+
+    Scale: rn=1 window benefits from Spark's window-group-limit
+    (running top-1, no per-group sort materialization); shuffle carries
+    the full row once. For 100 TB compaction jobs the same plan applies
+    per partition-date.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type", "ts", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
