@@ -344,3 +344,110 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= EMBEDDING_COSINE_THRESHOLD)
     )
+
+
+# ------------------------------------------- connected components
+
+
+@register(
+    "dedup_clusters",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM t),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+            >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    walk(doc_id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.doc_id
+    )
+    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the n-gram
+    Jaccard pair graph (pairs >= 0.2, same generation as
+    ``dedup_ngram_jaccard``), labeling every clustered doc with the
+    minimum doc_id of its component — the iterative operator class
+    (label propagation) the one-shot map/reduce reference cannot
+    express at all.
+
+    Spark-first: a driver loop of join + min-aggregate rounds, each
+    round one shuffle on doc_id, converging in O(component diameter)
+    rounds (near-dup components are shallow); ``localCheckpoint``
+    truncates lineage so plans stay flat. At 100 TB this is the
+    standard large-star/small-star CC regime: rounds are few because
+    min-labels hop across, not along, chains once a hub is labeled.
+    The convergence check is a driver-side count of changed labels —
+    the only driver data is that single long.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", shingles(tokens("text")).alias("sh"))
+    e = t.select("doc_id", F.explode("sh").alias("s"))
+    sizes = t.select("doc_id", F.size("sh").alias("n"))
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jaccard >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -1,0 +1,173 @@
+"""Native Python UDF surface: the engine's replacement for the
+reference's arbitrary-executable operators.
+
+The reference's defining feature is user code as streaming executables
+(``mapreduce/worker/__main__.py:134-139`` pipes each input file through
+the mapper binary; ``:185-194`` pipes the merged sorted stream through
+the reducer). ``operators/pipe.py`` reproduces that contract verbatim
+via ``rdd.pipe``; THIS module is the modern path the engine steers
+users to instead — Arrow-batched pandas UDFs, which keep data columnar
+across the JVM/Python boundary (~10-100x over row-at-a-time Python
+UDFs) and stay inside the DataFrame planner.
+
+One query per UDF shape:
+- scalar ``pandas_udf``  (Series -> Series)         — vectorized map
+- ``applyInPandas``      (grouped DataFrame -> DF)  — the reduce analog
+- ``mapInPandas``        (batch iterator -> batches) — the map analog
+
+Every output column is an integer so the DuckDB oracle compare is
+exact (no float summation-order concerns at the Python boundary).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from ..sources import load_table
+
+
+# ------------------------------------------------ scalar pandas UDF
+
+
+@register(
+    "udf_token_stats_arrow",
+    tags=("udf", "text"),
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS n_tokens,
+           len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> ''))) AS n_unique
+    FROM documents
+    """,
+)
+def udf_token_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + distinct-token count per document via a scalar
+    ``pandas_udf`` (whitespace-run tokenization, empties dropped —
+    the same rule as ``wc_map.py:6-9`` in the reference's word count).
+
+    Scale: the UDF is stateless per-row and Arrow-batched, so it
+    pipelines inside the scan stage — zero shuffles, and column pruning
+    still reaches parquet (only doc_id+text are read). The same counts
+    ARE expressible with built-ins (see ``text_token_stats``); this
+    entry exists to pin the pandas-UDF contract itself.
+    """
+
+    @F.pandas_udf(LongType())
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split().map(len).astype("int64")
+
+    @F.pandas_udf(LongType())
+    def n_unique(s: pd.Series) -> pd.Series:
+        return s.str.split().map(lambda t: len(set(t))).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("n_tokens"),
+        n_unique(F.col("text")).alias("n_unique"),
+    )
+
+
+# -------------------------------------------------- applyInPandas
+
+
+@register(
+    "udf_grouped_rank_arrow",
+    tags=("udf", "window"),
+    oracle="""
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS size_rank
+    FROM documents
+    """,
+)
+def udf_grouped_rank_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language size rank of documents via ``applyInPandas`` — the
+    engine's arbitrary-group-reduce: the whole group arrives as one
+    pandas DataFrame, mirroring the reference reducer's contract of
+    seeing all records of a key together (``grep_reduce.py:17-25``
+    groups adjacent keys; here the group is materialized instead).
+
+    Scale: one shuffle on the group key, group-at-a-time memory — fine
+    while groups fit an executor (languages here; use the window-
+    function form for mega-groups, see ``second_richest_per_nation``).
+    Deterministic: sort inside the group by (n_chars desc, doc_id).
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("size_rank", LongType()),
+        ]
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "size_rank": range(1, len(pdf) + 1),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(rank_group, schema=schema)
+
+
+# --------------------------------------------------- mapInPandas
+
+
+@register(
+    "udf_mapinpandas_bytes",
+    tags=("udf", "text"),
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS non_empty
+    FROM documents
+    """,
+)
+def udf_mapinpandas_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 byte length per document via ``mapInPandas`` — the
+    batch-iterator shape used for expensive per-batch setup (codec
+    handles, model weights; see the multimodal module for the decode
+    pipeline built on the same contract).
+
+    Scale: streams Arrow batches through Python with O(batch) memory,
+    no shuffle; prune-safe. The iterator form lets one-time setup
+    amortize across batches, which a scalar UDF can't express.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("non_empty", LongType()),
+        ]
+    )
+
+    def batches(it):  # noqa: ANN001 - iterator of pandas DataFrames
+        for pdf in it:
+            text = pdf["text"].fillna("")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": text.str.encode("utf-8").map(len).astype("int64"),
+                    "non_empty": (text.str.len() > 0).astype("int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(batches, schema=schema)
