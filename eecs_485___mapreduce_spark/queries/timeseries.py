@@ -120,3 +120,145 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_d").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "rolling_1h_user_value",
+    tags=("window", "datetime", "events"),
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS rolling_value_1h,
+           COUNT(*) OVER w AS n_events_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour rollup: for every event, the sum/count of
+    the same user's events in the preceding 3600 s — a RANGE (value-
+    based) window frame, the time-series primitive ROWS frames can't
+    express when event spacing is irregular.
+
+    Scale: one shuffle on user_id, then a per-partition two-pointer
+    sliding frame — O(n) per user, state bounded by the hour span.
+    Both engines floor ts to epoch seconds (Spark ``cast(ts as long)``,
+    DuckDB ``epoch_us // 1e6``) so frame membership is identical; the
+    framed sum is decimal-exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_value_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
+
+
+@register(
+    "events_gapfill_ffill",
+    tags=("datetime", "window", "events"),
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+              FROM types, b)
+    SELECT s.event_type, s.hr,
+           COALESCE(n, 0) AS n,
+           last_value(hour_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM spine s
+    LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hr = s.hr
+    """,
+)
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: a dense hourly spine per event type
+    (``sequence`` + ``explode`` — no data pass generates it), left-join
+    of the observed hourly rollup, zero-fill for counts and
+    forward-fill (last observation carried forward) for values.
+
+    Scale: the spine's size is hours x types — independent of input
+    rows; the rollup partial-aggregates before its shuffle; the ffill
+    is one window pass over the tiny spine. This is the standard
+    gap-fill plan for IoT/metrics stores, expressed entirely in
+    built-ins.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("hour_value"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "approx_percentiles_price",
+    tags=("agg", "approx", "sketch"),
+    oracle=None,  # sketch-based: quality pinned by tests/test_properties.py
+)
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of ``l_extendedprice`` via Spark's
+    Greenwald-Khanna quantile sketch (``percentile_approx``, accuracy
+    10000) — the single-pass, mergeable, bounded-memory companion to
+    the exact ``percentiles_lineitem`` (which needs a sort at scale).
+
+    No DuckDB oracle (its ``approx_quantile`` is t-digest — different
+    sketch, different answers); the unit suite pins relative error
+    against the exact percentiles instead. At 100 TB the sketch is
+    the only viable plan: O(1/eps) memory per partition, one merge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+    )
+    return li.agg(
+        pct.getItem(0).alias("p50_approx"),
+        pct.getItem(1).alias("p95_approx"),
+        pct.getItem(2).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

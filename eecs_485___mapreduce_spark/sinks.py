@@ -64,6 +64,21 @@ def write_json(df: DataFrame, output_dir: str, num_files: int | None = None) -> 
     _with_file_count(df, num_files).write.mode("overwrite").json(output_dir)
 
 
+def write_orc(
+    df: DataFrame,
+    output_dir: str,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """ORC sink (overwrite) — same knobs as the parquet writer; ORC
+    adds stripe-level bloom filters via ``option("orc.bloom.filter.columns", ...)``
+    for point-lookup-heavy downstream scans."""
+    writer = _with_file_count(df, num_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(output_dir)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -52,3 +52,19 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    **options: str,
+) -> DataFrame:
+    """ORC scan. Like parquet, ORC is a self-describing columnar format:
+    Spark's vectorized ORC reader gives column pruning and predicate
+    pushdown (including bloom-filter and min/max stripe skipping) with
+    no schema argument needed.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)

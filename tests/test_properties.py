@@ -57,3 +57,22 @@ def test_minhash_params_valid_field_elements(i):
 def test_minhash_params_distinct_members():
     seen = {minhash_params(i) for i in range(64)}
     assert len(seen) == 64
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """The GK sketch at accuracy 10000 must sit within 1% relative
+    error of the exact percentiles (driver records it rows-only, so
+    the quality gate lives here)."""
+    from eecs_485___mapreduce_spark.registry import all_queries
+    from .conftest import SF_SMALL
+    import duckdb
+
+    row = all_queries()["approx_percentiles_price"].fn(spark, SF_SMALL).collect()[0]
+    exact = duckdb.connect().execute(
+        f"""SELECT quantile_disc(l_extendedprice, 0.5),
+                   quantile_disc(l_extendedprice, 0.95),
+                   quantile_disc(l_extendedprice, 0.99)
+            FROM read_parquet('{SF_SMALL}/lineitem.parquet')"""
+    ).fetchone()
+    for approx, true in zip((row.p50_approx, row.p95_approx, row.p99_approx), exact):
+        assert abs(approx - true) / true < 0.01

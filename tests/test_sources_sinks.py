@@ -11,11 +11,12 @@ from pyspark.sql import functions as F
 from eecs_485___mapreduce_spark.sinks import (
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_text,
 )
 from eecs_485___mapreduce_spark.sources import load_table
-from eecs_485___mapreduce_spark.sources.formats import read_csv, read_json
+from eecs_485___mapreduce_spark.sources.formats import read_csv, read_json, read_orc
 
 from .conftest import SF_SMALL
 
@@ -80,3 +81,20 @@ def test_text_sink_part_count_and_overwrite(spark, tmp_path):
     parts = sorted(glob.glob(f"{out}/part-*"))
     assert len(parts) == 1
     assert sum(1 for _ in open(parts[0])) == 10
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    src = _sample(spark)
+    out = str(tmp_path / "orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert _as_set(back) == _as_set(src)
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        read_orc(spark, out)
+        .filter(F.col("o_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan
