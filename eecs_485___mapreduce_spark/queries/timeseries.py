@@ -124,6 +124,7 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rolling_1h_user_value",
+    bench=True,
     tags=("window", "datetime", "events"),
     oracle="""
     SELECT event_id, user_id, ts,

@@ -84,6 +84,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7_nation_volume",
+    bench=True,
     tags=("join", "agg", "date"),
     oracle=f"""
     SELECT n1.n_name AS supp_nation,
@@ -208,6 +209,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
+    bench=True,
     tags=("join", "agg", "topk"),
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
@@ -708,6 +710,7 @@ def second_richest_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "funnel_view_click_purchase",
+    bench=True,
     tags=("window", "agg", "events"),
     oracle="""
     WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events

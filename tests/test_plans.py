@@ -88,3 +88,60 @@ def test_scan_agg_uses_codegen(spark):
         assert codegen_stage_count(grep(spark, SF_SMALL)) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tpch_single_shuffle_join_trees(spark):
+    """The Q7/Q8/Q10/Q4 docstrings claim 'dims broadcast, ONE fact
+    shuffle' — pin it so a regression (e.g. a dropped broadcast hint or
+    a threshold change) fails loudly rather than silently degrading the
+    100 TB plan."""
+    from eecs_485___mapreduce_spark.queries.tpch import (
+        q4_order_priority,
+        q7_nation_volume,
+        q8_market_share,
+        q10_returned_items,
+    )
+
+    for q, max_shuffles in (
+        (q4_order_priority, 1),
+        (q7_nation_volume, 1),
+        (q8_market_share, 1),
+        (q10_returned_items, 1),
+    ):
+        plan = physical_plan(q(spark, SF_SMALL))
+        shuffles = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        assert shuffles <= max_shuffles, (
+            f"{q.__name__}: {shuffles} shuffles > {max_shuffles}\n{plan}"
+        )
+        assert_no_cartesian(q(spark, SF_SMALL))
+
+
+def test_q19_predicates_push_to_both_scans(spark):
+    """Q19's disjunction must decompose: the quantity envelope reaches
+    the lineitem scan, the brand/size predicates the part scan."""
+    from eecs_485___mapreduce_spark.queries.tpch import q19_disjunctive_revenue
+
+    df = q19_disjunctive_revenue(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan
+    # lineitem scan gets the quantity bounds extracted from the OR
+    assert "l_quantity" in plan[plan.index("PushedFilters") :]
+
+
+def test_dedup_latest_event_single_shuffle_with_group_limit(spark):
+    from eecs_485___mapreduce_spark.queries.tpch import dedup_latest_event
+
+    df = dedup_latest_event(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+    assert shuffles == 1, plan
+    # rn=1 must plan the running-top-1 WindowGroupLimit, not a full sort
+    assert "WindowGroupLimit" in plan
