@@ -81,3 +81,43 @@ def grep_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+@register(
+    "pipe_wordcount",
+    tags=("reference", "pipe", "udf"),
+    oracle=rf"""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKEN_SQL}) AS w FROM documents)
+    GROUP BY w
+    """,
+)
+def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the EXEC-COMPAT layer: documents.text piped
+    through the repo's Hadoop-streaming-contract mapper/reducer
+    executables (``tests/fixtures/wc_map.py`` / ``wc_reduce.py``) via
+    ``operators.pipe`` — the reference's defining feature (arbitrary
+    executables as operators, reference worker ``__main__.py:134-139``
+    map pipe, ``:185-194`` reduce pipe), oracle-checked against the
+    same SQL as the native ``wordcount``.
+
+    Scale: the pipe stages are opaque to Catalyst (no pushdown through
+    them — documented limitation); the shuffle between them is the
+    md5-partitioned sorted repartition the reference contract
+    requires. Executable startup amortizes per partition, not per row.
+    """
+    import sys
+    from pathlib import Path
+
+    from ..operators import pipe_map, pipe_reduce
+
+    fixtures = Path(__file__).resolve().parents[2] / "tests" / "fixtures"
+    py = sys.executable
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    mapped = pipe_map(docs, f"{py} {fixtures / 'wc_map.py'}")
+    reduced = pipe_reduce(mapped, f"{py} {fixtures / 'wc_reduce.py'}", num_reducers=4)
+    parts = F.split("value", "\t")
+    return reduced.select(
+        parts.getItem(0).alias("word"),
+        parts.getItem(1).cast("bigint").alias("cnt"),
+    )

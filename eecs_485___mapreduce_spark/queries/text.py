@@ -47,12 +47,15 @@ _STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting: total, distinct, mean token length."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # Materialize tokens once: inlining tokens() into every use would
+    # re-run the regexp split per reference (see functions.shingles).
+    base = docs.select("doc_id", "n_chars", tokens("text").alias("tok"))
+    toks = F.col("tok")
     n = F.size(toks)
     total_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         "n_chars",
         n.alias("n_tokens"),
@@ -87,15 +90,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     type/token (repetitiveness) ratio, and a pass/fail gate — the
     standard pre-training corpus filter shape."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    base = docs.select(
+        "doc_id", "lang", F.length("text").alias("len_chars"),
+        tokens("text").alias("tok"),
+    )
+    toks = F.col("tok")
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     is_stop = lambda x: x.isin(*_STOPWORDS)  # noqa: E731
     n_stop = F.size(F.filter(toks, is_stop))
-    return docs.select(
+    return base.select(
         "doc_id",
         "lang",
-        F.length("text").alias("len_chars"),
+        "len_chars",
         n.alias("n_tokens"),
         F.when(n == 0, None).otherwise(n_stop.cast("double") / n).alias("stop_ratio"),
         F.when(n == 0, None).otherwise(n_uniq.cast("double") / n).alias("uniq_ratio"),
@@ -183,7 +190,10 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partial-agg win — duplicates collapse before the exchange.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # tok is referenced inside the per-bigram lambda: it MUST be a
+    # materialized column, or the tokenizer re-runs per bigram.
+    base = docs.select(tokens("text").alias("tok"))
+    toks = F.col("tok")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -192,7 +202,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -256,7 +266,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, one regex count), zero shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    base = docs.select("doc_id", "lang", "text", tokens("text").alias("tok"))
+    toks = F.col("tok")
     def in_profile(words):  # noqa: ANN001 - single-arg lambda for F.filter
         return lambda t: t.isin(*words)
 
@@ -265,7 +276,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, words in _LANG_PROFILES.items()
     }
     scores["s_zh"] = F.size(F.regexp_extract_all("text", F.lit(_CJK), 0))
-    s = docs.select(
+    s = base.select(
         "doc_id", "lang", *[c.alias(n) for n, c in scores.items()]
     )
     c = F.col
