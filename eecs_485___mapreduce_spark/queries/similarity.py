@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import as_double_array, cosine
+from ..functions import as_double_array, cosine, l2_norm
 from ..registry import register
 from ..sources import load_table
 
@@ -266,4 +266,43 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.sum("val"), 6).alias("coord_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "embedding_array_stats",
+    tags=("vector", "array"),
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           ROUND(SQRT(list_aggregate(
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 'sum')), 6) AS l2,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax
+    FROM embeddings
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array profiling via higher-order functions only
+    (size / filter / transform / aggregate / array_max — all JVM-side
+    codegen, no UDF): dimensionality, positive-component count, L2
+    norm, max component.
+
+    Scale: pure scan->project, zero shuffle, column-pruned to the
+    embedding column. The norm is a sequential in-order fold in both
+    engines (same float addition order), rounded to 6 decimals so the
+    value hash is insensitive to any residual last-bit drift.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", as_double_array("embedding").alias("v"))
+    v = F.col("v")
+    return base.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(l2_norm(v), 6).alias("l2"),
+        F.round(F.array_max(v), 6).alias("vmax"),
     )

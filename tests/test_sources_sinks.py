@@ -98,3 +98,30 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """At 100 TB the fact table is date/key-partitioned and joins must
+    prune partitions from a FILTERED DIM at runtime (DPP) — a filter
+    that only names dim columns still has to cut the fact scan."""
+    from eecs_485___mapreduce_spark.sinks import write_parquet
+
+    fact = _sample(spark)  # orders sample
+    out = str(tmp_path / "fact_by_status")
+    write_parquet(fact, out, partition_by=["o_orderstatus"])
+    fact_p = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, status_name string",
+    )
+    joined = fact_p.join(
+        dim, fact_p.o_orderstatus == dim.status
+    ).filter(F.col("status_name") == "finished")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull" in plan
+    ), plan
+    # and the result is correct
+    got = {r.o_orderkey for r in joined.collect()}
+    want = {r.o_orderkey for r in fact.filter(F.col("o_orderstatus") == "F").collect()}
+    assert got == want
