@@ -41,9 +41,16 @@ def main() -> int:
     for name, q in all_queries().items():
         if not q.bench:
             continue
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the first run pays one-off codegen/JIT compile
+        # for the query's operators; the min is the steady-state number
+        # and is far more stable across rounds than a single sample.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

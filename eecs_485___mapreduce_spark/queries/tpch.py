@@ -806,3 +806,140 @@ def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
+
+
+# ----------------------------------------------------------- TPC-H Q15
+
+
+@register(
+    "q15_top_supplier",
+    tags=("join", "subquery", "agg"),
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with the maximum
+    quarterly revenue — a scalar MAX subquery over a derived view,
+    keeping ALL ties (which a LIMIT 1 would drop).
+
+    Scale: the revenue rollup shuffles once on l_suppkey; the scalar
+    max is a one-row broadcast back onto the same rollup (AQE reuses
+    the exchange rather than recomputing); supplier is a broadcast dim.
+    The equality compare is double==double over the SAME exact-decimal
+    derivation on both sides, so ties are bit-identical.
+    """
+    t = load_tables(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum_expr(_rev(), "total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ------------------------------------------------- ranking functions
+
+
+@register(
+    "window_rank_suite",
+    tags=("window",),
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST()    OVER w AS cdist,
+           NTILE(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family per nation (rank, dense_rank,
+    percent_rank, cume_dist, ntile) over account balance with a unique
+    tie-break.
+
+    Scale: all five functions share ONE window spec, so Spark computes
+    them in a single per-partition sorted pass after one shuffle.
+    percent_rank/cume_dist are exact integer-ratio divisions — both
+    engines compute (rank-1)/(n-1) and rank_high/n in double from the
+    same integers, so the values compare bit-identically.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ------------------------------------------------- null semantics
+
+
+@register(
+    "null_semantics_events",
+    tags=("predicate", "null"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+           SUM(CASE WHEN value IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END)
+             AS n_zero_nullsafe,
+           SUM(CASE WHEN COALESCE(value, -1.0) < 0 THEN 1 ELSE 0 END)
+             AS n_neg_or_null,
+           SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END)
+             AS n_error
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def null_semantics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics in one pass: IS NULL, null-safe equality
+    (``<=>`` / IS NOT DISTINCT FROM), COALESCE defaulting, NULLIF —
+    the SQL three-valued-logic corners every engine must pin down.
+
+    Scale: single partial-agg shuffle on the tiny event_type key; every
+    output is an integer count so the compare is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(cond, alias):  # noqa: ANN001
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
+
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("value").isNull(), "n_null_value"),
+        cnt(F.col("value").eqNullSafe(F.lit(0.0)), "n_zero_nullsafe"),
+        cnt(F.coalesce(F.col("value"), F.lit(-1.0)) < 0, "n_neg_or_null"),
+        cnt(F.nullif(F.col("event_type"), F.lit("error")).isNull(), "n_error"),
+    )
