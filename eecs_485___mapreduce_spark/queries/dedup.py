@@ -50,9 +50,28 @@ _SHINGLES = f"""
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 N_MINHASH = 8  # 4 bands x 2 rows: catches jaccard >= ~0.5 with high prob
+
+# Scoped persist bookkeeping: query functions that cache an
+# intermediate (the shingle working set) register it here keyed by
+# (query, sf_dir); a repeat call unpersists the previous generation
+# before re-persisting, so repeated invocations (bench loops, the
+# driver's 80-query batch) hold at most ONE cached copy per key and
+# never trip Spark's "Asked to cache already cached data" warning.
+# Unpersisting is always safe — a consumer still holding the old plan
+# just recomputes.
+_PERSIST_SCOPE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scoped_persist(key: tuple[str, str], df: DataFrame) -> DataFrame:
+    prev = _PERSIST_SCOPE.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _PERSIST_SCOPE[key] = df.persist()
+    return df
 MINHASH_JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.2
 EMBEDDING_COSINE_THRESHOLD = 0.30  # 99th pct of within-cell sim in the corpus
+_CC_MAX_ROUNDS = 20  # diameter bound; near-dup components are shallow
 
 
 @register(
@@ -150,10 +169,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles() re-evaluates the regexp split per emitted shingle
     # (Catalyst duplicates the sub-expression into the lambda) — the
     # two-step form is ~6x faster at sf0.1.
-    t = (
-        docs.select("doc_id", tokens("text").alias("tok"))
-        .select("doc_id", shingles(F.col("tok")).alias("sh"))
-        .persist()
+    t = _scoped_persist(
+        ("dedup_minhash_lsh", sf_dir),
+        docs.select("doc_id", tokens("text").alias("tok")).select(
+            "doc_id", shingles(F.col("tok")).alias("sh")
+        ),
     )
     sigs = t.select(
         "doc_id",
@@ -443,7 +463,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(20):  # diameter bound; near-dup components are shallow
+    for _ in range(_CC_MAX_ROUNDS):
         prop = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
@@ -462,4 +482,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Non-convergence must fail loudly, not return wrong cluster
+        # ids: the oracle's recursive CTE always runs to fixpoint, and a
+        # silent cap would diverge from it exactly when it matters (a
+        # component whose min-label propagation distance exceeds the
+        # round bound).
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{_CC_MAX_ROUNDS} rounds ({changed} labels still changing); "
+            f"component diameter exceeds the round bound"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -354,7 +354,8 @@ def date_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+           ROUND(CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*), 6)
+               AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -366,7 +367,7 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
-        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
     )
 
 
@@ -377,7 +378,7 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand,
            COUNT(*) AS n_parts,
            COUNT(DISTINCT p_type) AS n_types,
-           CAST(SUM(length(p_name)) AS DOUBLE) / COUNT(*) AS avg_name_len,
+           ROUND(CAST(SUM(length(p_name)) AS DOUBLE) / COUNT(*), 6) AS avg_name_len,
            MAX(upper(p_type)) AS max_type,
            SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widgets
     FROM part
@@ -390,7 +391,9 @@ def string_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.countDistinct("p_type").alias("n_types"),
-        (F.sum(F.length("p_name")).cast("double") / F.count(F.lit(1))).alias("avg_name_len"),
+        F.round(
+            F.sum(F.length("p_name")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_name_len"),
         F.max(F.upper("p_type")).alias("max_type"),
         F.sum(F.when(F.col("p_name").like("%widget%"), 1).otherwise(0)).alias("n_widgets"),
     )

@@ -21,6 +21,8 @@ exact (no float summation-order concerns at the Python boundary).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,9 +45,10 @@ from ..sources import load_table
     tags=("udf", "text"),
     oracle="""
     SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-             AS n_tokens,
-           len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+           len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_distinct(list_filter(string_split_regex(COALESCE(text, ''),
+                                                            '\\s+'),
                                          x -> x <> ''))) AS n_unique
     FROM documents
     """,
@@ -55,20 +58,35 @@ def udf_token_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pandas_udf`` (whitespace-run tokenization, empties dropped —
     the same rule as ``wc_map.py:6-9`` in the reference's word count).
 
+    Null rule: null text counts as the empty document (0 tokens) —
+    encoded identically in the oracle via ``COALESCE(text, '')``.
+    Tokenization is the SAME ASCII ``\\s+`` class as the native
+    ``tokens()`` helper and DuckDB's RE2 — Python's ``str.split()``
+    (Unicode whitespace) would silently diverge on NBSP and friends.
+
     Scale: the UDF is stateless per-row and Arrow-batched, so it
     pipelines inside the scan stage — zero shuffles, and column pruning
     still reaches parquet (only doc_id+text are read). The same counts
     ARE expressible with built-ins (see ``text_token_stats``); this
     entry exists to pin the pandas-UDF contract itself.
     """
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # ASCII \s — matches Java/RE2, not Unicode
 
     @F.pandas_udf(LongType())
     def n_tokens(s: pd.Series) -> pd.Series:
-        return s.str.split().map(len).astype("int64")
+        return (
+            s.fillna("")
+            .map(lambda t: sum(1 for x in ws.split(t) if x))
+            .astype("int64")
+        )
 
     @F.pandas_udf(LongType())
     def n_unique(s: pd.Series) -> pd.Series:
-        return s.str.split().map(lambda t: len(set(t))).astype("int64")
+        return (
+            s.fillna("")
+            .map(lambda t: len({x for x in ws.split(t) if x}))
+            .astype("int64")
+        )
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -135,8 +153,8 @@ def udf_grouped_rank_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "text"),
     oracle="""
     SELECT doc_id,
-           strlen(text) AS n_bytes,
-           CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS non_empty
+           strlen(COALESCE(text, '')) AS n_bytes,
+           CASE WHEN length(COALESCE(text, '')) > 0 THEN 1 ELSE 0 END AS non_empty
     FROM documents
     """,
 )
@@ -145,6 +163,9 @@ def udf_mapinpandas_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-iterator shape used for expensive per-batch setup (codec
     handles, model weights; see the multimodal module for the decode
     pipeline built on the same contract).
+
+    Null rule: null text counts as the empty document (0 bytes) — the
+    oracle encodes the same via ``COALESCE(text, '')``.
 
     Scale: streams Arrow batches through Python with O(batch) memory,
     no shuffle; prune-safe. The iterator form lets one-time setup

@@ -90,11 +90,33 @@ def test_scan_agg_uses_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def _plan_counts(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin"),
+        "exch": (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        ),
+        "plan": plan,
+    }
+
+
 def test_tpch_single_shuffle_join_trees(spark):
-    """The Q7/Q8/Q10/Q4 docstrings claim 'dims broadcast, ONE fact
+    """The Q7/Q8/Q10/Q4 docstrings claim 'dims broadcast, one fact
     shuffle' — pin it so a regression (e.g. a dropped broadcast hint or
     a threshold change) fails loudly rather than silently degrading the
-    100 TB plan."""
+    100 TB plan.
+
+    At sf0.001 every table fits under the auto-broadcast threshold, so
+    the threshold-driven pass alone can't distinguish a hinted
+    broadcast from a lucky one: the second loop disables the threshold
+    (the 100 TB regime, where only HINTED dims broadcast) and asserts
+    the hinted BroadcastHashJoin count survives, the single fact-fact
+    join is the only shuffled join, and the exchange count is the
+    at-scale shape (two SMJ inputs + one aggregation)."""
     from eecs_485___mapreduce_spark.queries.tpch import (
         q4_order_priority,
         q7_nation_volume,
@@ -102,22 +124,33 @@ def test_tpch_single_shuffle_join_trees(spark):
         q10_returned_items,
     )
 
-    for q, max_shuffles in (
-        (q4_order_priority, 1),
-        (q7_nation_volume, 1),
-        (q8_market_share, 1),
-        (q10_returned_items, 1),
-    ):
-        plan = physical_plan(q(spark, SF_SMALL))
-        shuffles = (
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange SinglePartition")
-        )
-        assert shuffles <= max_shuffles, (
-            f"{q.__name__}: {shuffles} shuffles > {max_shuffles}\n{plan}"
-        )
+    # Threshold-driven regime (small SF): everything collapses to
+    # broadcast joins around a single aggregation exchange.
+    for q in (q4_order_priority, q7_nation_volume, q8_market_share, q10_returned_items):
+        c = _plan_counts(q(spark, SF_SMALL))
+        assert c["exch"] <= 1, f"{q.__name__}: {c['exch']} shuffles\n{c['plan']}"
         assert_no_cartesian(q(spark, SF_SMALL))
+
+    # Hint-only regime (auto-broadcast off = the 100 TB shape).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q, hinted_bhj in (
+            (q4_order_priority, 0),  # semi join of two facts: no dims to hint
+            (q7_nation_volume, 4),
+            (q8_market_share, 4),
+            (q10_returned_items, 2),
+        ):
+            c = _plan_counts(q(spark, SF_SMALL))
+            assert c["bhj"] == hinted_bhj, (
+                f"{q.__name__}: {c['bhj']} broadcast joins, hinted {hinted_bhj}"
+                f"\n{c['plan']}"
+            )
+            assert c["smj"] == 1, (
+                f"{q.__name__}: expected exactly 1 shuffled fact join\n{c['plan']}"
+            )
+            assert c["exch"] <= 3, f"{q.__name__}: {c['exch']} exchanges\n{c['plan']}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_q19_predicates_push_to_both_scans(spark):
