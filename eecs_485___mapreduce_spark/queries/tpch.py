@@ -943,3 +943,366 @@ def null_semantics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.coalesce(F.col("value"), F.lit(-1.0)) < 0, "n_neg_or_null"),
         cnt(F.nullif(F.col("event_type"), F.lit("error")).isNull(), "n_error"),
     )
+
+
+# ------------------------------------------------------------ TPC-H Q2
+# (adapted: the star schema has no partsupp table, so the part-supplier
+# offer relation is derived from lineitem — the correlated-min +
+# dim-chain SHAPE of Q2 is preserved exactly.)
+
+
+@register(
+    "q2_min_offer_supplier",
+    tags=("join", "subquery", "window"),
+    oracle=f"""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN({_d('l_extendedprice')}) AS offer
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_type = 'STANDARD' AND p_size <= 5 AND r_name = 'EUROPE'
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT *, MIN(offer) OVER (PARTITION BY l_partkey) AS best_offer
+             FROM offers)
+    SELECT b.l_partkey AS p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(b.offer AS DOUBLE) AS min_offer
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.offer = b.best_offer
+    """,
+)
+def q2_min_offer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each STANDARD small
+    part, the European supplier(s) offering the lowest extended price,
+    with the correlated "= (SELECT MIN ...)" rewritten as a window min
+    (reference has no relational surface; shape per TPC-H spec Q2).
+
+    Exactness: the offer is an exact DECIMAL(18,2) min, so the
+    min-equality join cannot float-flake.
+
+    Scale: the offers aggregate shuffles once on (part, supp) — both
+    grouping keys, so the window min over part is a narrow re-use of
+    the same partitioning; every dim (part subset, supplier, nation,
+    region) broadcasts.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    p = t["part"].filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5))
+    eu_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(p.select("p_partkey", "p_name")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name", "s_name", "n_name")
+        .agg(F.min(dec("l_extendedprice")).alias("offer"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn("best_offer", F.min("offer").over(w))
+        .filter(F.col("offer") == F.col("best_offer"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("offer").cast("double").alias("min_offer"),
+        )
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q9
+# (adapted: supply cost = 0.6 * p_retailprice in place of
+# ps_supplycost; the profit-decomposition SHAPE of Q9 is preserved.)
+
+
+@register(
+    "q9_nation_profit",
+    tags=("join", "agg", "date"),
+    oracle=f"""
+    SELECT n_name AS nation,
+           EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(SUM({_REV}
+                    - CAST(0.6 AS DECIMAL(2,1))
+                      * ({_d('p_retailprice')} * {_d('l_quantity')}))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: per supplier nation and order
+    year, profit on widget parts = revenue minus a 0.6 * retail-price
+    supply cost (partsupp-free adaptation).
+
+    Exactness: DECIMAL(2,1) literal times DECIMAL products — every term
+    exact, one cast to double after the sum.
+
+    Scale: part and supplier/nation broadcast; lineitem-orders is the
+    one real shuffle; the widget filter prunes the part broadcast AND
+    semi-reduces lineitem through the broadcast join before it.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    p = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    cost = (
+        F.lit("0.6").cast("decimal(2,1)") * (dec("p_retailprice") * dec("l_quantity"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum_expr(_rev() - cost, "sum_profit"))
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q11
+# (adapted: "inventory value" = extended price of lineitems on OPEN
+# orders; the scalar-subquery-threshold SHAPE of Q11 is preserved.)
+
+
+@register(
+    "q11_important_parts",
+    tags=("agg", "subquery", "having"),
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, SUM({_d('l_extendedprice')}) AS open_value
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(open_value) AS total_value FROM pv)
+    SELECT l_partkey AS p_partkey, CAST(open_value AS DOUBLE) AS open_value
+    FROM pv, tot
+    WHERE open_value > CAST(0.001 AS DECIMAL(4,3)) * total_value
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose open-order value
+    exceeds 0.1% of the global open-order value — the
+    aggregate-vs-global-scalar HAVING shape.
+
+    Exactness: both sides of the threshold comparison are exact
+    decimals (DECIMAL(4,3) fraction times an exact sum).
+
+    Scale: one shuffle on l_partkey for the per-part sums; the global
+    total is a second pass over the SAME aggregated (tiny) relation,
+    broadcast back as a 1-row scalar — never a second fact scan.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    open_li = t["lineitem"].join(
+        t["orders"].filter(F.col("o_orderstatus") == "O").select("o_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    pv = open_li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("open_value")
+    )
+    tot = pv.agg(F.sum("open_value").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("open_value")
+            > F.lit("0.001").cast("decimal(4,3)") * F.col("total_value")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("open_value").cast("double").alias("open_value"),
+        )
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q12
+# (adapted: the schema has no l_shipmode/l_receiptdate, so the category
+# axis is the ship-delay bucket; the CASE-counting SHAPE of Q12 — high-
+# vs low-priority line counts per category — is preserved.)
+
+
+@register(
+    "q12_delay_priority",
+    tags=("agg", "date", "case"),
+    oracle="""
+    SELECT CASE WHEN l_shipdate <= o_orderdate THEN 'early'
+                WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'on-time'
+                ELSE 'late' END AS delay_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style priority split per ship-delay bucket: how many
+    high- vs low-priority lineitems shipped early / on time / late.
+
+    Scale: the join shuffles lineitem projected to two columns; the
+    3-bucket aggregation is a map-side partial over a 3-key space.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    joined = t["lineitem"].select("l_orderkey", "l_shipdate").join(
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    bucket = (
+        F.when(F.col("l_shipdate") <= F.col("o_orderdate"), "early")
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            "on-time",
+        )
+        .otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(bucket.alias("delay_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q20
+# (adapted: "excess supply" = supplier shipped more than 1/8 of a
+# part's total shipped quantity; the agg-subquery-driven semi-join
+# SHAPE of Q20 is preserved.)
+
+
+@register(
+    "q20_dominant_suppliers",
+    tags=("join", "subquery", "semi"),
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM({_d('l_quantity')}) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM ps GROUP BY 1),
+    dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN tot USING (l_partkey)
+            WHERE qty * 8 > total_qty)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style dominant suppliers: suppliers shipping more than
+    an eighth of some small-part's total shipped quantity (the 100-
+    supplier corpus spreads shares thin; TPC-H's 50% becomes 12.5%) (semi join driven
+    by a two-level aggregate subquery).
+
+    Exactness: `8*qty > total` compares exact decimals — no division.
+
+    Scale: one shuffle on (part, supp); the per-part totals reuse the
+    same aggregated relation (window-free second groupBy of a relation
+    already tiny); the supplier dim is filtered by a broadcast-able
+    left-semi join on the dominant-supplier id set.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    small = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    ps = (
+        t["lineitem"]
+        .join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dom = (
+        ps.join(tot, "l_partkey")
+        .filter(F.col("qty") * 8 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(dom, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q21
+# (adapted: "late" = shipped more than 60 days after the order date —
+# the schema has no receipt/commit dates. Q21's defining shape — the
+# EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+# supplier) pair — is computed as a single per-order aggregate instead
+# of two self-joins: strictly better at scale, identical semantics.)
+
+
+@register(
+    "q21_waiting_suppliers",
+    tags=("join", "agg", "exists"),
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS n_late,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM per_order JOIN supplier ON s_suppkey = late_supp
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY 1, 2
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept waiting: per supplier, the
+    number of multi-supplier orders where they were the ONLY late
+    supplier.
+
+    Q21's textbook form is two correlated self-joins on lineitem
+    (EXISTS a second supplier, NOT EXISTS a second late supplier); this
+    plans it as one per-order aggregate — one shuffle on the order key
+    instead of two extra fact joins, the formulation you want when
+    lineitem is 100 TB.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("late_supp"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -55,9 +55,15 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # changed this round (need a fresh driver row)
+    # changed or added this round (need a fresh driver row)
     "string_part_stats",
     "json_events",
+    "q2_min_offer_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_delay_priority",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",

@@ -121,6 +121,7 @@ def test_tpch_single_shuffle_join_trees(spark):
         q4_order_priority,
         q7_nation_volume,
         q8_market_share,
+        q9_nation_profit,
         q10_returned_items,
     )
 
@@ -138,6 +139,7 @@ def test_tpch_single_shuffle_join_trees(spark):
             (q4_order_priority, 0),  # semi join of two facts: no dims to hint
             (q7_nation_volume, 4),
             (q8_market_share, 4),
+            (q9_nation_profit, 3),
             (q10_returned_items, 2),
         ):
             c = _plan_counts(q(spark, SF_SMALL))
