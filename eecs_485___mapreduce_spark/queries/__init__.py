@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     advanced,
     dedup,
     multimodal,
+    pipeline,
     reference,
     relational,
     similarity,

@@ -1,0 +1,227 @@
+r"""Training-data pipeline operators beyond dedup: benchmark
+decontamination, deterministic sequence packing, and a PII audit.
+
+These are the ops a pre-training corpus pipeline runs between "raw
+documents" and "token shards":
+
+- decontamination: remove train documents that CONTAIN a benchmark
+  document's n-grams (containment = |A∩B| / |B|, asymmetric by design
+  — a giant train doc that swallows a small eval doc is contaminated
+  even though symmetric Jaccard is tiny). Same inverted-index
+  equi-join discipline as the dedup module: never compare all pairs.
+- sequence packing: concat-and-chunk documents into fixed-capacity
+  token bins, the standard way training examples are packed. Packing
+  is per-shard (hash of doc_id), because a GLOBAL running sum is a
+  single-partition sort at 100 TB; within a shard the assignment is a
+  window cumulative sum — deterministic, so resumable and
+  oracle-checkable.
+- PII audit/scrub: regex surface for emails/phones/SSNs/IPs via
+  built-in regexp functions (JVM codegen, no UDF). The synthetic
+  corpus contains no PII, so the audit is exercised for wiring here
+  and the masking behavior is pinned by unit fixtures
+  (tests/test_pipeline_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import shingles, tokens
+from ..registry import register
+from ..sources import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+              i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+BENCH_SOURCE = "src0"  # the held-out "benchmark" split of the corpus
+CONTAINMENT_THRESHOLD = 0.2
+
+
+@register(
+    "decontaminate_containment",
+    tags=("dedup", "pipeline", "join"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    bench AS (SELECT doc_id, sh FROM t WHERE source = '{BENCH_SOURCE}'),
+    train AS (SELECT doc_id, sh FROM t WHERE source <> '{BENCH_SOURCE}'),
+    be AS (SELECT doc_id, unnest(sh) AS s FROM bench),
+    te AS (SELECT doc_id, unnest(sh) AS s FROM train),
+    inter AS (
+      SELECT te.doc_id AS train_doc, be.doc_id AS bench_doc,
+             COUNT(*) AS n_common
+      FROM te JOIN be ON te.s = be.s
+      GROUP BY 1, 2
+    )
+    SELECT train_doc, bench_doc, n_common,
+           CAST(n_common AS DOUBLE) / len(b.sh) AS containment
+    FROM inter
+    JOIN bench b ON b.doc_id = bench_doc
+    WHERE CAST(n_common AS DOUBLE) / len(b.sh) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train documents sharing >= 20% of a
+    benchmark document's 3-word shingles (containment in the BENCHMARK
+    doc, the standard eval-leak metric — asymmetric on purpose).
+
+    Scale: the candidate join is the inverted index on the shingle
+    (equi-join, no all-pairs); the benchmark side is the small split,
+    so its exploded index broadcasts, and |bench shingles| rides along
+    instead of re-joining the corpus. Division happens once per
+    candidate PAIR, after both counts are exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens("text").alias("tok")).select(
+        "doc_id", "source", shingles(F.col("tok")).alias("sh")
+    )
+    bench = t.filter(F.col("source") == BENCH_SOURCE).select(
+        F.col("doc_id").alias("bench_doc"),
+        F.col("sh").alias("bench_sh"),
+        F.size("sh").alias("bench_size"),
+    )
+    be = bench.select(
+        "bench_doc", "bench_size", F.explode("bench_sh").alias("s")
+    )
+    te = (
+        t.filter(F.col("source") != BENCH_SOURCE)
+        .select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("s"))
+    )
+    inter = (
+        te.join(F.broadcast(be), "s")
+        .groupBy("train_doc", "bench_doc", "bench_size")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("bench_size")
+    return (
+        inter.filter(containment >= CONTAINMENT_THRESHOLD)
+        .select("train_doc", "bench_doc", "n_common", containment.alias("containment"))
+    )
+
+
+PACK_CAPACITY = 512  # tokens per packed sequence
+N_PACK_SHARDS = 32
+
+
+@register(
+    "pack_sequences_greedy",
+    tags=("pipeline", "window"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % {N_PACK_SHARDS} AS shard,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR(cum_before / {PACK_CAPACITY}) AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): assign each document a
+    (shard, pack_id, pack_offset) under a {PACK_CAPACITY}-token bin
+    capacity, packing greedily in doc_id order within each shard.
+
+    Scale: a GLOBAL running sum would be one sorted partition — the
+    shard axis (hash of doc_id) keeps every cumulative-sum window
+    parallel, the same layout the token-shard writer wants anyway
+    (partitionBy(shard) on disk). One shuffle on shard; everything
+    else is a window over the sorted shard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / PACK_CAPACITY).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % PACK_CAPACITY).cast("bigint").alias("pack_offset"),
+    )
+
+
+# ------------------------------------------------------------- PII scrub
+
+_PII_PATTERNS = {
+    # order matters: scrub emails before bare phone-ish digit runs
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(text_col) -> F.Column:
+    """Mask emails / SSNs / phone numbers / IPv4s with typed tags
+    (``[EMAIL]`` etc.) — chained built-in ``regexp_replace`` calls, so
+    the whole scrub stays inside JVM codegen on the scan stage (no UDF,
+    no shuffle). Pattern order is load-bearing: emails first so their
+    digit runs can't half-match the phone pattern."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, pat in _PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return col
+
+
+def pii_counts(text_col) -> list[F.Column]:
+    """One count column per PII class (regexp_count, JVM-side)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in _PII_PATTERNS.items()
+    ]
+
+
+@register(
+    "text_pii_audit",
+    tags=("text", "pipeline"),
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_email,
+           SUM(len(regexp_extract_all(text,
+               '\b\d{3}-\d{2}-\d{4}\b'))) AS n_ssn
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure counts (emails, SSNs). The synthetic
+    corpus is PII-free so every count is zero — the masking semantics
+    themselves are pinned on fixture rows in
+    tests/test_pipeline_ops.py; this entry keeps the scan-side wiring
+    (regexp_count over the corpus) oracle-checked.
+
+    Scale: scan -> partial agg on the tiny source key; the regexes run
+    inside codegen on the scan, nothing shuffles but the counters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count("text", F.lit(_PII_PATTERNS["email"]))).alias("n_email"),
+        F.sum(F.regexp_count("text", F.lit(_PII_PATTERNS["ssn"]))).alias("n_ssn"),
+    )

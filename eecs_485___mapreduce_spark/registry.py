@@ -64,6 +64,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q12_delay_priority",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
+    "decontaminate_containment",
+    "pack_sequences_greedy",
+    "text_pii_audit",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",
