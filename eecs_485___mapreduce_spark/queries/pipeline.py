@@ -225,3 +225,96 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.regexp_count("text", F.lit(_PII_PATTERNS["email"]))).alias("n_email"),
         F.sum(F.regexp_count("text", F.lit(_PII_PATTERNS["ssn"]))).alias("n_ssn"),
     )
+
+
+# ------------------------------------------- fixed-size sampling
+
+SAMPLE_K_PER_SOURCE = 5
+
+
+@register(
+    "sample_fixed_per_source",
+    tags=("sampling", "window", "pipeline"),
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5('fix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hkey
+      FROM documents
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY hkey, doc_id) AS rk
+          FROM h)
+    SELECT doc_id, source, n_chars, rk
+    FROM r WHERE rk <= {SAMPLE_K_PER_SOURCE}
+    """,
+)
+def sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sample: the K documents with the
+    smallest md5 rank per source — the distributed equivalent of
+    per-stratum reservoir sampling, but reproducible (the sample is a
+    pure function of the keys, so re-runs, retries, and incremental
+    loads agree; a classic reservoir's sample depends on encounter
+    order). Complements ``sample_stratified`` (fixed RATE) with fixed
+    SIZE per stratum.
+
+    Scale: one shuffle on source; rk <= K plans as WindowGroupLimit
+    (running top-K per group), so no group is ever fully sorted.
+    """
+    from ..functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        md5_long(F.concat(F.lit("fix:"), F.col("doc_id").cast("string"))).alias("hkey"),
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K_PER_SOURCE)
+        .select("doc_id", "source", "n_chars", "rk")
+    )
+
+
+# ------------------------------------------- skew-safe join surface
+
+
+@register(
+    "skew_salted_join_events",
+    tags=("join", "skew", "pipeline"),
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value per customer segment computed through the SALTED
+    join operator (operators/skew.py): the events fact side gets a
+    deterministic xxhash64 salt, the customer dim is replicated
+    n_salts times, and the join key becomes (user_id, salt) — the
+    formulation for a hot key that AQE's skew split can't fix. The
+    oracle is the PLAIN join: salting must be semantically invisible.
+
+    Scale: trades n_salts-fold dim replication for n_salts-way reducer
+    parallelism on the hot key; the aggregate after the join is partial
+    -agg'd map-side as usual.
+    """
+    from ..functions import dsum
+    from ..operators.skew import salted_join
+
+    t_events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    t_cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        t_events,
+        t_cust.withColumnRenamed("c_custkey", "user_id"),
+        on="user_id",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )

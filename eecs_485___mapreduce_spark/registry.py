@@ -67,6 +67,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "decontaminate_containment",
     "pack_sequences_greedy",
     "text_pii_audit",
+    "sample_fixed_per_source",
+    "skew_salted_join_events",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",

@@ -167,6 +167,20 @@ def test_q19_predicates_push_to_both_scans(spark):
     assert "l_quantity" in plan[plan.index("PushedFilters") :]
 
 
+def test_sample_fixed_per_source_plans_group_limit(spark):
+    """Exact-size per-stratum sampling must plan the running top-K
+    (WindowGroupLimit), never a full per-group sort."""
+    from eecs_485___mapreduce_spark.queries.pipeline import sample_fixed_per_source
+
+    plan = (
+        sample_fixed_per_source(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_dedup_latest_event_single_shuffle_with_group_limit(spark):
     from eecs_485___mapreduce_spark.queries.tpch import dedup_latest_event
 
