@@ -318,3 +318,138 @@ def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "total_value"),
     )
+
+
+# --------------------------------------------- end-to-end funnel
+
+_CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "pipeline_e2e_funnel",
+    tags=("pipeline", "agg"),
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+    ),
+    q AS MATERIALIZED (
+      SELECT * FROM tok
+      WHERE len(toks) BETWEEN 10 AND 1000
+        AND len(list_distinct(toks)) * 5 >= len(toks)
+    ),
+    ex AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5({_CANON})) AS keep_id
+           FROM q),
+    kept AS MATERIALIZED (SELECT * FROM ex WHERE doc_id = keep_id),
+    sh AS MATERIALIZED (
+      SELECT doc_id, source, {_SHINGLES} AS sgl FROM documents
+    ),
+    be AS (SELECT doc_id, len(sgl) AS bsz, unnest(sgl) AS s FROM sh
+           WHERE source = '{BENCH_SOURCE}'),
+    te AS (SELECT k.doc_id, s.s
+           FROM kept k JOIN (SELECT doc_id, unnest(sgl) AS s FROM sh) s
+             ON s.doc_id = k.doc_id
+           WHERE k.source <> '{BENCH_SOURCE}'),
+    contaminated AS MATERIALIZED (
+      SELECT DISTINCT te.doc_id
+      FROM te JOIN be ON te.s = be.s
+      GROUP BY te.doc_id, be.doc_id, be.bsz
+      HAVING CAST(COUNT(*) AS DOUBLE) / bsz >= {CONTAINMENT_THRESHOLD}
+    ),
+    clean AS (
+      SELECT * FROM kept
+      WHERE source <> '{BENCH_SOURCE}'
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    shard_tokens AS (
+      SELECT doc_id % {N_PACK_SHARDS} AS shard, SUM(len(toks)) AS tot
+      FROM clean GROUP BY 1
+    )
+    SELECT 'total' AS stage, COUNT(*) AS n FROM documents
+    UNION ALL SELECT 'quality', COUNT(*) FROM q
+    UNION ALL SELECT 'exact_dedup', COUNT(*) FROM kept
+    UNION ALL SELECT 'decontaminated', COUNT(*) FROM clean
+    UNION ALL SELECT 'packs',
+      CAST(SUM(CAST(CEIL(CAST(tot AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT))
+           AS BIGINT)
+      FROM shard_tokens
+    """,
+)
+def pipeline_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed job: quality
+    gate -> exact dedup (keep min doc_id per canonical text) -> drop
+    the benchmark split and train docs contaminated by it -> count the
+    packed sequences the survivors fill. Output is the stage funnel
+    (stage, n) — the report a pipeline run ships.
+
+    Composition evidence: every stage reuses the same library pieces
+    the standalone queries use (tokens/shingles/canonical_text,
+    containment join, shard packing), so this pins that the operators
+    COMPOSE, not just run in isolation.
+
+    Scale: quality/dedup/packing are scan + one keyed shuffle each;
+    the contamination check joins only quality-surviving train docs
+    against the small benchmark index (broadcast); stage counts are
+    scalar aggregates unioned at the end — no stage materializes to
+    the driver.
+    """
+    from ..functions import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", "text", tokens("text").alias("toks"))
+    n = F.size("toks")
+    nuniq = F.size(F.array_distinct("toks"))
+    q = tok.filter((n >= 10) & (n <= 1000) & (nuniq * 5 >= n))
+    wq = Window.partitionBy(F.md5(canonical_text("text")))
+    kept = (
+        q.withColumn("keep_id", F.min("doc_id").over(wq))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+
+    sh = docs.select(
+        "doc_id", "source", tokens("text").alias("tok2")
+    ).select("doc_id", "source", shingles(F.col("tok2")).alias("sgl"))
+    be = sh.filter(F.col("source") == BENCH_SOURCE).select(
+        F.col("doc_id").alias("bench_doc"),
+        F.size("sgl").alias("bsz"),
+        F.explode("sgl").alias("s"),
+    )
+    te = (
+        kept.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id")
+        .join(sh.select("doc_id", F.explode("sgl").alias("s")), "doc_id")
+    )
+    contaminated = (
+        te.join(F.broadcast(be), "s")
+        .groupBy("doc_id", "bench_doc", "bsz")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common").cast("double") / F.col("bsz")
+                >= CONTAINMENT_THRESHOLD)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        kept.filter(F.col("source") != BENCH_SOURCE)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    shard_tokens = clean.groupBy(
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard")
+    ).agg(F.sum(F.size("toks")).alias("tot"))
+    n_packs = shard_tokens.agg(
+        F.sum(
+            F.ceil(F.col("tot").cast("double") / PACK_CAPACITY).cast("bigint")
+        ).cast("bigint").alias("n")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("total", docs)
+        .unionByName(stage("quality", q))
+        .unionByName(stage("exact_dedup", kept))
+        .unionByName(stage("decontaminated", clean))
+        .unionByName(n_packs.select(F.lit("packs").alias("stage"), "n"))
+    )

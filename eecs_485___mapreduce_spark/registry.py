@@ -69,6 +69,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "text_pii_audit",
     "sample_fixed_per_source",
     "skew_salted_join_events",
+    "pipeline_e2e_funnel",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",
