@@ -34,6 +34,7 @@ from ..functions import (
     md5_long,
     minhash,
     minhash_params,
+    scoped_persist,
     shingles,
     tokens,
 )
@@ -51,23 +52,6 @@ _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 N_MINHASH = 8  # 4 bands x 2 rows: catches jaccard >= ~0.5 with high prob
 
-# Scoped persist bookkeeping: query functions that cache an
-# intermediate (the shingle working set) register it here keyed by
-# (query, sf_dir); a repeat call unpersists the previous generation
-# before re-persisting, so repeated invocations (bench loops, the
-# driver's 80-query batch) hold at most ONE cached copy per key and
-# never trip Spark's "Asked to cache already cached data" warning.
-# Unpersisting is always safe — a consumer still holding the old plan
-# just recomputes.
-_PERSIST_SCOPE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _scoped_persist(key: tuple[str, str], df: DataFrame) -> DataFrame:
-    prev = _PERSIST_SCOPE.pop(key, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    _PERSIST_SCOPE[key] = df.persist()
-    return df
 MINHASH_JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.2
 EMBEDDING_COSINE_THRESHOLD = 0.30  # 99th pct of within-cell sim in the corpus
@@ -169,7 +153,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles() re-evaluates the regexp split per emitted shingle
     # (Catalyst duplicates the sub-expression into the lambda) — the
     # two-step form is ~6x faster at sf0.1.
-    t = _scoped_persist(
+    t = scoped_persist(
         ("dedup_minhash_lsh", sf_dir),
         docs.select("doc_id", tokens("text").alias("tok")).select(
             "doc_id", shingles(F.col("tok")).alias("sh")

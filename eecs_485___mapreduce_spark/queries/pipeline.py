@@ -76,9 +76,18 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-joining the corpus. Division happens once per
     candidate PAIR, after both counts are exact integers.
     """
+    from ..functions import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source", tokens("text").alias("tok")).select(
-        "doc_id", "source", shingles(F.col("tok")).alias("sh")
+    # Persisting the shingled corpus is both reuse (two consumers) and
+    # the projection barrier that stops CollapseProject from fusing
+    # tokens() back into the shingles lambda (~6x re-eval otherwise;
+    # measured 17s -> ~2s at sf0.1 for this query).
+    t = scoped_persist(
+        ("decontaminate_containment", sf_dir),
+        docs.select("doc_id", "source", tokens("text").alias("tok")).select(
+            "doc_id", "source", shingles(F.col("tok")).alias("sh")
+        ),
     )
     bench = t.filter(F.col("source") == BENCH_SOURCE).select(
         F.col("doc_id").alias("bench_doc"),
@@ -392,10 +401,16 @@ def pipeline_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar aggregates unioned at the end — no stage materializes to
     the driver.
     """
-    from ..functions import canonical_text
+    from ..functions import canonical_text, scoped_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "source", "text", tokens("text").alias("toks"))
+    # tok feeds every funnel stage (quality filter, dedup window, the
+    # packing token sums, and three of the five stage counters) —
+    # persist once rather than re-tokenize per branch.
+    tok = scoped_persist(
+        ("pipeline_e2e_funnel:tok", sf_dir),
+        docs.select("doc_id", "source", "text", tokens("text").alias("toks")),
+    )
     n = F.size("toks")
     nuniq = F.size(F.array_distinct("toks"))
     q = tok.filter((n >= 10) & (n <= 1000) & (nuniq * 5 >= n))
@@ -406,9 +421,12 @@ def pipeline_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("keep_id")
     )
 
-    sh = docs.select(
-        "doc_id", "source", tokens("text").alias("tok2")
-    ).select("doc_id", "source", shingles(F.col("tok2")).alias("sgl"))
+    sh = scoped_persist(
+        ("pipeline_e2e_funnel:shingles", sf_dir),
+        docs.select("doc_id", "source", tokens("text").alias("tok2")).select(
+            "doc_id", "source", shingles(F.col("tok2")).alias("sgl")
+        ),
+    )
     be = sh.filter(F.col("source") == BENCH_SOURCE).select(
         F.col("doc_id").alias("bench_doc"),
         F.size("sgl").alias("bsz"),

@@ -86,3 +86,96 @@ def test_approx_percentiles_close_to_exact(spark):
     ).fetchone()
     for approx, true in zip((row.p50_approx, row.p95_approx, row.p99_approx), exact):
         assert abs(approx - true) / true < 0.01
+
+
+# ------------------------------------------------ pipeline ops
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=300).map(lambda n: ("w " * n).strip()),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_packing_invariant_random_docs(spark, texts):
+    """Greedy concat-and-chunk over arbitrary token counts: offsets
+    stay under capacity and the per-shard cumulative relation holds."""
+    from eecs_485___mapreduce_spark.queries.pipeline import (
+        N_PACK_SHARDS,
+        PACK_CAPACITY,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from eecs_485___mapreduce_spark.functions import tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    d = df.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = (
+        d.withColumn("cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("cum") / PACK_CAPACITY).cast("bigint").alias("pack_id"),
+            (F.col("cum") % PACK_CAPACITY).cast("bigint").alias("pack_offset"),
+        )
+        .collect()
+    )
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in sorted(shard_rows, key=lambda r: r.doc_id):
+            assert 0 <= r.pack_offset < PACK_CAPACITY
+            assert r.pack_id == cum // PACK_CAPACITY
+            cum += r.n_tokens
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "mail me at a.b-c_d@sub.example.org ok",
+                "ssn is 987-65-4320 indeed",
+                "dial (312) 555-0188 now",
+                "ping 10.0.255.7 from home",
+                "perfectly clean prose with v2.0 and 3,000 units",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_scrub_pii_output_never_matches_patterns(spark, texts):
+    """After scrubbing, no PII pattern matches anywhere in the output
+    (idempotence-style closure: scrub(scrub(x)) == scrub(x))."""
+    from pyspark.sql import functions as F
+    from eecs_485___mapreduce_spark.queries.pipeline import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], schema="text string")
+    out = df.select(scrub_pii("text").alias("text"))
+    counts = out.select(*pii_counts("text")).collect()
+    for r in counts:
+        assert r.n_email == 0 and r.n_ssn == 0 and r.n_phone == 0 and r.n_ipv4 == 0
+    once = [r.text for r in out.collect()]
+    twice = [r.text for r in out.select(scrub_pii("text").alias("text")).collect()]
+    assert once == twice

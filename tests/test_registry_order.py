@@ -1,0 +1,35 @@
+"""Registry-order guards: the round driver oracle-checks only the
+first 50 entries of queries(), so DRIVER_ORDER_FIRST must stay valid —
+a typo'd name there would silently fall out of the checked window."""
+
+from __future__ import annotations
+
+from eecs_485___mapreduce_spark.registry import DRIVER_ORDER_FIRST, all_queries
+
+
+def test_driver_order_names_exist():
+    reg = all_queries()
+    missing = [n for n in DRIVER_ORDER_FIRST if n not in reg]
+    assert not missing, f"DRIVER_ORDER_FIRST names not in registry: {missing}"
+
+
+def test_driver_order_fits_checked_window():
+    assert len(DRIVER_ORDER_FIRST) <= 50, (
+        f"{len(DRIVER_ORDER_FIRST)} priority names exceed the driver's "
+        "50-query window — trim to the entries that need a fresh row"
+    )
+    assert len(set(DRIVER_ORDER_FIRST)) == len(DRIVER_ORDER_FIRST), "duplicates"
+
+
+def test_priority_entries_lead_the_dict():
+    names = list(all_queries())
+    k = len([n for n in DRIVER_ORDER_FIRST if n in set(names)])
+    assert names[:k] == [n for n in DRIVER_ORDER_FIRST if n in set(names)]
+
+
+def test_every_query_has_fn_and_distinct_name():
+    reg = all_queries()
+    assert len(reg) >= 80
+    for name, q in reg.items():
+        assert callable(q.fn), name
+        assert q.name == name
