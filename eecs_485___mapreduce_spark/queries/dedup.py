@@ -236,8 +236,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tool. AQE skew-join splitting handles moderate skew.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("tok")).select(
-        "doc_id", shingles(F.col("tok")).alias("sh")
+    # Persist: the shingled relation feeds BOTH sides of the self-join
+    # plus the size lookups — four plan references; uncached, each one
+    # re-tokenizes the corpus with the CollapseProject lambda-fusion
+    # re-eval on top (measured 68s -> ~3s at sf0.1).
+    t = scoped_persist(
+        ("dedup_ngram_jaccard", sf_dir),
+        docs.select("doc_id", tokens("text").alias("tok")).select(
+            "doc_id", shingles(F.col("tok")).alias("sh")
+        ),
     )
     e = t.select("doc_id", F.explode("sh").alias("s"))
     sizes = t.select("doc_id", F.size("sh").alias("n"))
@@ -413,8 +420,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only driver data is that single long.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("tok")).select(
-        "doc_id", shingles(F.col("tok")).alias("sh")
+    t = scoped_persist(
+        ("dedup_clusters", sf_dir),
+        docs.select("doc_id", tokens("text").alias("tok")).select(
+            "doc_id", shingles(F.col("tok")).alias("sh")
+        ),
     )
     e = t.select("doc_id", F.explode("sh").alias("s"))
     sizes = t.select("doc_id", F.size("sh").alias("n"))
