@@ -263,3 +263,64 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(2).alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_session_window",
+    tags=("window", "datetime", "streaming-batch"),
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= {SESSION_GAP_S} * 1000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization: one row per (user,
+    session) with the session's [start, end) bounds — Spark's built-in
+    gap-merging operator, the same engine primitive the streaming
+    sessionizer uses under watermarks. Complements ``sessionize_users``
+    (per-user session COUNTS via lag/cumsum) by exposing the session
+    rows themselves.
+
+    Boundary semantics pinned by the oracle: a gap of EXACTLY the
+    30-minute duration starts a new session (windows are half-open
+    [start, prev_ts + gap)), so the oracle splits on
+    ``epoch_us diff >= gap`` — microsecond-exact, not second-floored.
+
+    Scale: one shuffle on user_id; session merging is a sorted
+    per-partition pass (no per-event state object), and the streaming
+    twin bounds state by the watermark.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{SESSION_GAP_S} seconds")
+    return (
+        events.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -124,3 +124,40 @@ def test_dedup_stream_within_watermark(spark):
     # and emit each id exactly once.
     assert row.n == row.d
     assert row.n == spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+
+
+def test_checkpoint_restart_processes_each_file_exactly_once(spark, tmp_path):
+    """Exactly-once file-source semantics across restarts: a drained
+    availableNow run records its progress in the checkpoint; a second
+    run with the SAME checkpoint must process only files added since,
+    so the parquet sink holds every input row exactly once. (The
+    reference's analog is task re-execution idempotence —
+    re-running never duplicates output partitions.)"""
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, v string")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    spark.createDataFrame([(3, "c")], "k long, v string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()  # restart from checkpoint: must pick up ONLY the new file
+
+    out = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert out == [(1, "a"), (2, "b"), (3, "c")]
