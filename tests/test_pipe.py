@@ -99,3 +99,17 @@ def test_engine_job_queue_fifo(spark, text_corpus, tmp_path):
     assert sorted(grep_lines) == sorted(
         ["Product catalog line", "product PRODUCT Product"]
     )
+
+
+def test_pipe_map_failing_executable_raises(spark, text_corpus, tmp_path):
+    """A mapper that exits nonzero must fail the job loudly
+    (checkCode=True) — the analog of the reference manager marking a
+    task failed instead of silently dropping its output."""
+    import pytest
+
+    bad = tmp_path / "bad_map.sh"
+    bad.write_text("#!/bin/bash\nexit 3\n")
+    bad.chmod(0o755)
+    text = read_text_dir(spark, text_corpus)
+    with pytest.raises(Exception, match="3|Pipe|subprocess"):
+        pipe_map(text, str(bad)).collect()

@@ -125,3 +125,34 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     got = {r.o_orderkey for r in joined.collect()}
     want = {r.o_orderkey for r in fact.filter(F.col("o_orderstatus") == "F").collect()}
     assert got == want
+
+
+def test_sql_front_door_over_registered_views(spark):
+    """The SQL entry point: registered temp views make the whole
+    warehouse queryable with plain spark.sql text — checked against
+    DuckDB on an ad-hoc query that exists nowhere in the registry."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.sources import register_views
+
+    from .conftest import SF_SMALL, normalize
+
+    register_views(spark, SF_SMALL, "orders", "customer")
+    sql = """
+        SELECT c_mktsegment AS seg,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_mktsegment
+    """
+    got = spark.sql(sql)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    oracle = con.execute(sql).fetchall()
+    assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
+        oracle, [d[0] for d in con.execute(sql).description]
+    )
