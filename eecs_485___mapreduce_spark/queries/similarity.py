@@ -355,3 +355,94 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(v), 6).alias("l2"),
         F.round(F.array_max(v), 6).alias("vmax"),
     )
+
+
+# ------------------------------------------------ k-means (iterative)
+
+KMEANS_K = 16
+KMEANS_ITERS = 3
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings, returning the
+    final assignment ``(vec_id, cell, dist2)``.
+
+    Deterministic by construction: seeds are the vectors with the k
+    smallest md5 ranks (pure function of vec_id, no RNG), ties in the
+    nearest-centroid argmin break on cell id, and each iteration's
+    centroids are exact per-dimension means — so the operator is
+    reproducible and resumable, the same discipline as every other
+    iterative op here (see dedup_clusters).
+
+    Scale per iteration: centroids broadcast (k x dim); assignment is
+    a scan -> argmin over the broadcast (no shuffle); the centroid
+    update is posexplode + two-level partial agg — one shuffle keyed
+    by (cell, dim). ``localCheckpoint`` truncates lineage so the plan
+    stays flat across iterations. The driver sees no data, only the
+    loop counter.
+    """
+    from ..functions import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).localCheckpoint()
+
+    # Seed selection must NOT be a global window (that would sort the
+    # whole corpus on one partition): orderBy().limit(k) plans
+    # TakeOrderedAndProject — per-partition top-k then a k-row merge.
+    # The row_number that assigns cell ids runs on the k-row result.
+    hkey = md5_long(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
+    seeds = (
+        vecs.select(hkey.alias("hkey"), "vec_id", "v")
+        .orderBy("hkey", "vec_id")
+        .limit(k)
+    )
+    cents = (
+        seeds.withColumn(
+            "rk", F.row_number().over(Window.orderBy("hkey", "vec_id"))
+        )
+        .select((F.col("rk") - 1).alias("cell"), F.col("v").alias("cvec"))
+        .localCheckpoint()
+    )
+
+    assign = None
+    for _ in range(iters):
+        joined = vecs.crossJoin(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wmin = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cell"))
+        assign = (
+            joined.select("vec_id", "v", "cell", d2.alias("dist2"))
+            .withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        cents = (
+            assign.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
+            .select("cell", F.transform("s", lambda x: x["cval"]).alias("cvec"))
+            .localCheckpoint()
+        )
+    return assign.select("vec_id", "cell", F.round("dist2", 6).alias("dist2"))
+
+
+@register("kmeans_assign_cells", tags=("similarity", "vector", "iterative"), oracle=None)
+def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cell assignment after KMEANS_ITERS Lloyd iterations.
+    No oracle (iterative, not ANSI-SQL-expressible); the unit tests
+    assert the Lloyd invariants instead: every vector is assigned to
+    its nearest centroid and the clustering objective is monotonically
+    non-increasing over iterations (tests/test_similarity.py)."""
+    return kmeans_fit(spark, sf_dir)

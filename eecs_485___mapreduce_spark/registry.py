@@ -71,6 +71,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "skew_salted_join_events",
     "pipeline_e2e_funnel",
     "events_session_window",
+    "kmeans_assign_cells",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",

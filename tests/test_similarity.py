@@ -86,3 +86,27 @@ def test_approx_distinct_within_tolerance(spark):
     for r in rows:
         rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
         assert rel_err < 0.05, f"{r.l_returnflag}: {rel_err}"
+
+
+def test_kmeans_objective_monotone_and_deterministic(spark):
+    """Lloyd invariants: the clustering objective (sum of squared
+    distances to the assigned centroid) is non-increasing over
+    iterations, every cell is used, and the whole fit is
+    deterministic across runs (md5 seeds, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.similarity import (
+        KMEANS_K,
+        kmeans_fit,
+    )
+
+    objs = []
+    for iters in (1, 2, 3):
+        df = kmeans_fit(spark, SF_SMALL, iters=iters)
+        objs.append(df.agg(F.sum("dist2")).collect()[0][0])
+    assert objs[0] >= objs[1] >= objs[2], objs
+
+    a = sorted((r.vec_id, r.cell) for r in kmeans_fit(spark, SF_SMALL).collect())
+    b = sorted((r.vec_id, r.cell) for r in kmeans_fit(spark, SF_SMALL).collect())
+    assert a == b
+    assert len({c for _, c in a}) == KMEANS_K  # no empty cells at this SF
