@@ -446,3 +446,63 @@ def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest centroid and the clustering objective is monotonically
     non-increasing over iterations (tests/test_similarity.py)."""
     return kmeans_fit(spark, sf_dir)
+
+
+@register(
+    "similarity_topk_ivf_kmeans",
+    tags=("similarity", "vector", "approx", "iterative"),
+    oracle=None,
+)
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the LEARNED k-means codebook instead of the stored
+    labels: kmeans_fit assigns each vector a cell, queries probe the
+    N_PROBE nearest learned centroids, and only probed cells are scored
+    exactly — the full IVF-Flat build path (train coarse quantizer ->
+    assign -> probe) composed from the k-means and IVF pieces.
+
+    No oracle (iterative + approximate); tests assert recall@10 — it
+    matches the stored-label IVF's recall while probing a SMALLER
+    corpus fraction (4 of 16 learned cells vs 4 of 10 labels), i.e.
+    the learned codebook buys selectivity, not magic.
+
+    Scale: codebook is k x dim (broadcast); assignment adds one
+    argmin pass over the corpus; probing and re-ranking are the same
+    equi-join-on-cell shape as ivf_topk.
+    """
+    assign = kmeans_fit(spark, sf_dir).select("vec_id", "cell")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    labeled = vecs.join(assign, "vec_id")
+
+    cents = (
+        labeled.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
+        .select("cell", F.transform("s", lambda x: x["cval"]).alias("cvec"))
+    )
+    q = labeled.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qe")
+    )
+    cell_sim = F.round(cosine(F.col("qe"), F.col("cvec")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("cell_sim").desc(), "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qe", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("cell_rk", F.row_number().over(wq))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("qid", "qe", "cell")
+    )
+    c = labeled.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("ce"), "cell"
+    )
+    sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    return (
+        c.join(F.broadcast(probed), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim.alias("sim"))
+        .select("qid", "nid", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -72,6 +72,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "pipeline_e2e_funnel",
     "events_session_window",
     "kmeans_assign_cells",
+    "similarity_topk_ivf_kmeans",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",

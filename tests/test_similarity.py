@@ -110,3 +110,19 @@ def test_kmeans_objective_monotone_and_deterministic(spark):
     b = sorted((r.vec_id, r.cell) for r in kmeans_fit(spark, SF_SMALL).collect())
     assert a == b
     assert len({c for _, c in a}) == KMEANS_K  # no empty cells at this SF
+
+
+def test_ivf_kmeans_recall(spark):
+    """IVF over the learned k-means codebook: probing 4 of 16 learned
+    cells (25% of the corpus) must recover a nontrivial share of true
+    neighbors — empirically it matches the stored-label IVF's recall
+    while probing a smaller corpus fraction (4/16 vs 4/10 cells)."""
+    from eecs_485___mapreduce_spark.queries.similarity import (
+        similarity_topk_ivf_kmeans,
+    )
+
+    exact = _topk_sets(similarity_topk_cosine(spark, SF_SMALL))
+    approx = _topk_sets(similarity_topk_ivf_kmeans(spark, SF_SMALL))
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, f"mean recall too low: {recalls}"
