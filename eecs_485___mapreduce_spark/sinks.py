@@ -103,3 +103,40 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_packed_shards(packed: DataFrame, docs: DataFrame, output_dir: str) -> None:
+    """Materialize sequence-packing assignments as training shards:
+    join the (doc_id, shard, pack_id, pack_offset) assignment back to
+    the document text, group each (shard, pack_id) into ONE row whose
+    ``docs`` array is ordered by pack_offset, and write parquet
+    partitioned by shard.
+
+    Scale: the join and the group both key on doc->(shard, pack) —
+    two shuffles total; ``sort_array`` orders within a pack (packs are
+    capacity-bounded, so per-group memory is bounded by construction);
+    ``partitionBy("shard")`` gives the trainer directory-pruned reads
+    and preserves the packer's shard layout end to end.
+    """
+    from pyspark.sql import functions as F
+
+    rows = packed.join(docs.select("doc_id", "text"), "doc_id").select(
+        "shard",
+        "pack_id",
+        F.struct(
+            F.col("pack_offset").alias("off"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("text").alias("text"),
+        ).alias("entry"),
+    )
+    shards = (
+        rows.groupBy("shard", "pack_id")
+        .agg(F.sort_array(F.collect_list("entry")).alias("docs"))
+        .select(
+            "shard",
+            "pack_id",
+            F.transform("docs", lambda e: e["doc_id"]).alias("doc_ids"),
+            F.transform("docs", lambda e: e["text"]).alias("texts"),
+        )
+    )
+    shards.write.mode("overwrite").partitionBy("shard").parquet(output_dir)

@@ -83,3 +83,50 @@ def test_decontamination_invariants(spark):
         assert 0 < r.containment <= 1.0
         assert r.bench_doc in bench_ids
         assert r.train_doc not in bench_ids
+
+
+def test_write_packed_shards_roundtrip(spark, tmp_path):
+    """Shard writer: every document lands in exactly one pack row, in
+    pack_offset order, under its shard's partition directory."""
+    from eecs_485___mapreduce_spark.queries.pipeline import pack_sequences_greedy
+    from eecs_485___mapreduce_spark.sinks import write_packed_shards
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    out = str(tmp_path / "shards")
+    packed = pack_sequences_greedy(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents")
+    write_packed_shards(packed, docs, out)
+
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    seen = [d for r in rows for d in r.doc_ids]
+    assert sorted(seen) == sorted(r.doc_id for r in packed.collect())
+    # offset order == ascending doc_id within a (shard, pack): the
+    # packer assigns offsets in doc_id order
+    for r in rows:
+        assert list(r.doc_ids) == sorted(r.doc_ids)
+        assert len(r.doc_ids) == len(r.texts)
+    # partition layout: one directory per shard
+    import os
+
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == len({r.shard for r in packed.collect()})
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on read: parquet parts written with different
+    (compatible) schemas merge into the superset schema with nulls for
+    the missing columns — the mergeSchema contract a long-lived 100 TB
+    dataset depends on."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 3.5
