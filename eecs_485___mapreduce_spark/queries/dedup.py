@@ -488,3 +488,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"component diameter exceeds the round bound"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+INCREMENTAL_SPLIT = 400  # doc_id >= split = the "new batch"
+
+
+@register(
+    "dedup_incremental_exact",
+    tags=("dedup", "hash", "pipeline"),
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT md5({CANONICAL_TEXT_SQL.format(c='text')}) AS k
+      FROM documents WHERE doc_id < {INCREMENTAL_SPLIT}
+    ),
+    batch AS (
+      SELECT doc_id, md5({CANONICAL_TEXT_SQL.format(c='text')}) AS k
+      FROM documents WHERE doc_id >= {INCREMENTAL_SPLIT}
+    )
+    SELECT b.doc_id,
+           CASE WHEN h.k IS NOT NULL THEN 1 ELSE 0 END AS is_dup_of_history
+    FROM batch b LEFT JOIN hist h ON b.k = h.k
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-time) exact dedup: flag each NEW document
+    whose canonical-text hash already exists in the historical corpus —
+    the production dedup mode, where the corpus is an append-only
+    stream and each batch checks against everything before it, not
+    all-pairs within itself.
+
+    Scale: history is reduced to DISTINCT 128-bit keys (the content
+    index a real pipeline keeps materialized, bucketed by key); the
+    batch then LEFT-joins that key index — one equi-join keyed on the
+    hash, no text ever re-shuffled. With the index pre-bucketed on k
+    the join is shuffle-free on the history side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(canonical_text("text"))
+    hist = (
+        docs.filter(F.col("doc_id") < INCREMENTAL_SPLIT)
+        .select(key.alias("k"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") >= INCREMENTAL_SPLIT).select(
+        "doc_id", key.alias("k")
+    )
+    return batch.join(hist, "k", "left").select(
+        "doc_id",
+        F.coalesce("hit", F.lit(0)).cast("bigint").alias("is_dup_of_history"),
+    )

@@ -73,6 +73,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "events_session_window",
     "kmeans_assign_cells",
     "similarity_topk_ivf_kmeans",
+    "dedup_incremental_exact",
     # no CORRECTNESS_r01 row (driver window cut off at 50)
     "text_bpe_token_stats",
     "sample_stratified",
