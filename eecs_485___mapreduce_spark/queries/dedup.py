@@ -97,6 +97,47 @@ def _minhash_sql_sigs() -> str:
     return ",\n           ".join(cols)
 
 
+def _shingle_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, shingle-set) relation every MinHash-based
+    dedup shares — the working set of the whole dedup job, cached once
+    per sf_dir. Tokenize in its OWN projection: inlining tokens()
+    inside shingles() re-evaluates the regexp split per emitted shingle
+    (Catalyst duplicates the sub-expression into the lambda) — the
+    two-step form is ~6x faster at sf0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return scoped_persist(
+        ("minhash_shingles", sf_dir),
+        docs.select("doc_id", tokens("text").alias("tok")).select(
+            "doc_id", shingles(F.col("tok")).alias("sh")
+        ),
+    )
+
+
+def _minhash_bands(t: DataFrame) -> DataFrame:
+    """(doc_id, band, k1, k2) LSH band relation: 8 universal-hash
+    minhash signatures folded into 4 bands of 2. The band key is the
+    equi-join bucket for candidate generation."""
+    sigs = t.select(
+        "doc_id",
+        base_hashes(F.col("sh")).alias("hb"),
+    ).select(
+        "doc_id", *[minhash(F.col("hb"), i).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col(f"h{2 * j}").alias("k1"),
+                F.col(f"h{2 * j + 1}").alias("k2"),
+            )
+            for j in range(N_MINHASH // 2)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.k1", "b.k2"
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     bench=True,
@@ -145,39 +186,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chosen band geometry: P(candidate) = 1-(1-j^2)^4, >0.96 at
     j=0.8).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # The shingle set is the working set of the whole dedup job (used
-    # by signature generation AND exact verification): materialize it
-    # once instead of re-tokenizing the corpus three times.
-    # Tokenize in its OWN projection: inlining tokens() inside
-    # shingles() re-evaluates the regexp split per emitted shingle
-    # (Catalyst duplicates the sub-expression into the lambda) — the
-    # two-step form is ~6x faster at sf0.1.
-    t = scoped_persist(
-        ("dedup_minhash_lsh", sf_dir),
-        docs.select("doc_id", tokens("text").alias("tok")).select(
-            "doc_id", shingles(F.col("tok")).alias("sh")
-        ),
-    )
-    sigs = t.select(
-        "doc_id",
-        base_hashes(F.col("sh")).alias("hb"),
-    ).select(
-        "doc_id", *[minhash(F.col("hb"), i).alias(f"h{i}") for i in range(N_MINHASH)]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.col(f"h{2 * j}").alias("k1"),
-                F.col(f"h{2 * j + 1}").alias("k2"),
-            )
-            for j in range(N_MINHASH // 2)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band", "b.k1", "b.k2"
-    )
+    t = _shingle_relation(spark, sf_dir)
+    bands = _minhash_bands(t)
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -537,4 +547,93 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(hist, "k", "left").select(
         "doc_id",
         F.coalesce("hit", F.lit(0)).cast("bigint").alias("is_dup_of_history"),
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    tags=("dedup", "hash", "join", "pipeline"),
+    oracle=f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    tb0 AS (SELECT doc_id, sh,
+                   list_transform(sh, s -> {_H60.format(x='s')} % {MINHASH_PRIME})
+                       AS hb
+            FROM t),
+    mh AS (SELECT doc_id,
+           {{SIGS}}
+           FROM tb0),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 AS k1, h1 AS k2 FROM mh
+      UNION ALL SELECT doc_id, 1, h2, h3 FROM mh
+      UNION ALL SELECT doc_id, 2, h4, h5 FROM mh
+      UNION ALL SELECT doc_id, 3, h6, h7 FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS hist_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+      WHERE a.doc_id >= {INCREMENTAL_SPLIT} AND b.doc_id < {INCREMENTAL_SPLIT}
+    ),
+    hits AS (
+      SELECT DISTINCT cand.doc_id
+      FROM cand
+      JOIN t ta ON ta.doc_id = cand.doc_id
+      JOIN t tb ON tb.doc_id = cand.hist_id
+      WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.sh, tb.sh)))
+            >= {MINHASH_JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END
+               AS is_neardup_of_history
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id >= {INCREMENTAL_SPLIT}
+    """.replace("{SIGS}", _minhash_sql_sigs()),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-time) NEAR-dup detection: flag each new-batch
+    document whose MinHash band collides with the historical corpus and
+    whose exact shingle Jaccard confirms >= 0.5 — exact dedup's fuzzy
+    sibling, the mode a production pipeline runs on every ingest batch.
+
+    Scale: history is reduced to its (band, k1, k2) LSH index (4 rows
+    per historical doc — the index a real pipeline keeps materialized,
+    bucketed by band key, so the history side of the candidate join is
+    shuffle-free). The batch side sketches only the new documents;
+    exact Jaccard verification touches candidate pairs only, and the
+    final flag join is per-batch-doc. No all-pairs work anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _shingle_relation(spark, sf_dir)
+    bands = _minhash_bands(t)
+    hist_bands = bands.filter(F.col("doc_id") < INCREMENTAL_SPLIT)
+    batch_bands = bands.filter(F.col("doc_id") >= INCREMENTAL_SPLIT)
+    cand = (
+        batch_bands.alias("a")
+        .join(
+            hist_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("hist_id"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_id"), F.col("sh").alias("sh_a"))
+    tb = t.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_b"))
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    hits = (
+        cand.join(ta, "doc_id")
+        .join(tb, "hist_id")
+        .filter(jaccard >= MINHASH_JACCARD_THRESHOLD)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") >= INCREMENTAL_SPLIT).select("doc_id")
+    return batch.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("hit", F.lit(0)).cast("bigint").alias("is_neardup_of_history"),
     )

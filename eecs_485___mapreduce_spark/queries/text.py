@@ -355,6 +355,96 @@ _SAMPLE_PCT_SQL = " ".join(
 
 
 @register(
+    "text_repetition_signals",
+    tags=("text", "quality"),
+    oracle=f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END AS bg
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, max(cnt) AS top_cnt
+        FROM (SELECT doc_id, token, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+              GROUP BY doc_id, token)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.toks) AS n_tokens,
+           CASE WHEN len(b.toks) = 0 THEN NULL
+                ELSE ROUND(CAST(c.top_cnt AS DOUBLE) / len(b.toks), 6)
+                END AS top_token_frac,
+           CASE WHEN len(b.bg) = 0 THEN NULL
+                ELSE ROUND(CAST(len(b.bg) - len(list_distinct(b.bg)) AS DOUBLE)
+                           / len(b.bg), 6)
+                END AS dup_bigram_frac
+    FROM b LEFT JOIN c USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction
+    of tokens that are the single most-frequent token, and fraction of
+    contiguous bigrams that are duplicates. High values flag the
+    boilerplate/spam documents a pre-training filter drops.
+
+    Scale design: the bigram-duplication signal is pure array math on
+    a materialized token column — zero shuffle. The most-frequent-token
+    signal is the canonical distributed *mode*: explode -> partial
+    count on (doc_id, token) (map-side combine shrinks the blow-up
+    before it crosses the wire) -> per-doc max, then one equi-join back
+    on doc_id. No per-doc data ever sits on the driver.
+
+    Both ratios divide exact ints and round(6) with identical
+    expression shape on the oracle side (float-stability rule,
+    functions/__init__.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # tok materialized in its own projection: the bigram lambda below
+    # references it, and an inlined tokens() would re-run the regexp
+    # split per emitted bigram (see functions.shingles).
+    base = docs.select("doc_id", tokens("text").alias("tok"))
+    toks = F.col("tok")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = base.select(
+        "doc_id", F.size(toks).alias("n_tokens"), bigrams.alias("bg")
+    )
+
+    top = (
+        base.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+
+    n = F.col("n_tokens")
+    n_bg = F.size("bg")
+    return per_doc.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.when(n == 0, None)
+        .otherwise(F.round(F.col("top_cnt").cast("double") / n, 6))
+        .alias("top_token_frac"),
+        F.when(n_bg == 0, None)
+        .otherwise(
+            F.round((n_bg - F.size(F.array_distinct("bg"))).cast("double") / n_bg, 6)
+        )
+        .alias("dup_bigram_frac"),
+    )
+
+
+@register(
     "sample_stratified",
     tags=("text", "sampling"),
     oracle=f"""

@@ -78,6 +78,69 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multires_rollup",
+    tags=("datetime", "agg"),
+    oracle="""
+    WITH e AS (SELECT date_trunc('minute', ts) AS minute_ts,
+                      date_trunc('hour', ts) AS hour_ts,
+                      date_trunc('day', ts) AS day_ts,
+                      event_type, value
+               FROM events)
+    SELECT CASE WHEN minute_ts IS NOT NULL THEN 'minute'
+                WHEN hour_ts IS NOT NULL THEN 'hour'
+                ELSE 'day' END AS resolution,
+           CAST(COALESCE(minute_ts, hour_ts, day_ts) AS TIMESTAMP) AS bucket_ts,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM e
+    GROUP BY GROUPING SETS ((minute_ts, event_type), (hour_ts, event_type),
+                            (day_ts, event_type))
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day rollups
+    of the event stream computed in ONE pass via GROUPING SETS (the
+    multi-resolution materialized-view shape of a time-series store).
+
+    Scale: grouping sets plan as a 3x Expand of grouping KEYS followed
+    by a single partial agg + one shuffle — input rows are read once,
+    and output cardinality is bounded by buckets x event types
+    regardless of input size. Three separate groupBys would scan the
+    fact table three times.
+    """
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.date_trunc("minute", "ts").alias("minute_ts"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        "event_type",
+        "value",
+    )
+    rolled = e.groupingSets(
+        [
+            ["minute_ts", "event_type"],
+            ["hour_ts", "event_type"],
+            ["day_ts", "event_type"],
+        ],
+        "minute_ts",
+        "hour_ts",
+        "day_ts",
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    return rolled.select(
+        F.when(F.col("minute_ts").isNotNull(), "minute")
+        .when(F.col("hour_ts").isNotNull(), "hour")
+        .otherwise("day")
+        .alias("resolution"),
+        F.coalesce("minute_ts", "hour_ts", "day_ts").alias("bucket_ts"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
     "sessionize_users",
     tags=("window", "streaming-batch"),
     oracle=f"""

@@ -56,8 +56,10 @@ def register(
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # changed or added this round (need a fresh driver row)
+    "text_repetition_signals",
+    "events_multires_rollup",
+    "dedup_incremental_minhash",
     "string_part_stats",
-    "json_events",
     "q2_min_offer_supplier",
     "q9_nation_profit",
     "q11_important_parts",
@@ -105,6 +107,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "udf_token_stats_arrow",
     "udf_grouped_rank_arrow",
     "udf_mapinpandas_bytes",
+    # json_events also changed this round (defensive avg_k rounding),
+    # but its r01 row was already green and the window holds only 50 —
+    # it rides in registration order; the judge mimic re-validates it.
 )
 
 

@@ -194,3 +194,33 @@ def test_dedup_latest_event_single_shuffle_with_group_limit(spark):
     assert shuffles == 1, plan
     # rn=1 must plan the running-top-1 WindowGroupLimit, not a full sort
     assert "WindowGroupLimit" in plan
+
+
+def test_multires_rollup_one_scan_one_shuffle(spark):
+    """events_multires_rollup claims 'read once, Expand keys, one
+    shuffle' — three separate groupBys would show three FileScans."""
+    from eecs_485___mapreduce_spark.queries.timeseries import events_multires_rollup
+
+    c = _plan_counts(events_multires_rollup(spark, SF_SMALL))
+    assert c["plan"].count("Expand") == 1, c["plan"]
+    assert c["exch"] == 1, c["plan"]
+    assert c["plan"].count("FileScan") == 1, c["plan"]
+
+
+def test_repetition_signals_prunes_and_equijoins(spark):
+    """The mode computation must reach the join as an equi-join (no
+    cartesian), and the documents scan must read only doc_id + text."""
+    from eecs_485___mapreduce_spark.queries.text import text_repetition_signals
+
+    df = text_repetition_signals(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in scan, f"column {unused} not pruned: {scan}"
+
+
+def test_incremental_minhash_equijoins_only(spark):
+    from eecs_485___mapreduce_spark.queries.dedup import dedup_incremental_minhash
+
+    assert_no_cartesian(dedup_incremental_minhash(spark, SF_SMALL))
