@@ -210,10 +210,11 @@ def pii_counts(text_col) -> list[F.Column]:
     oracle=r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_email,
-           SUM(len(regexp_extract_all(text,
-               '\b\d{3}-\d{2}-\d{4}\b'))) AS n_ssn
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                AS BIGINT) AS n_email,
+           CAST(SUM(len(regexp_extract_all(text,
+               '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS n_ssn
     FROM documents
     GROUP BY source
     """,

@@ -380,7 +380,8 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT p_type) AS n_types,
            ROUND(CAST(SUM(length(p_name)) AS DOUBLE) / COUNT(*), 6) AS avg_name_len,
            MAX(upper(p_type)) AS max_type,
-           SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widgets
+           CAST(SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_widgets
     FROM part
     GROUP BY p_brand
     """,

@@ -912,13 +912,14 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-           SUM(CASE WHEN value IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END)
-             AS n_zero_nullsafe,
-           SUM(CASE WHEN COALESCE(value, -1.0) < 0 THEN 1 ELSE 0 END)
-             AS n_neg_or_null,
-           SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END)
-             AS n_error
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_value,
+           CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_nullsafe,
+           CAST(SUM(CASE WHEN COALESCE(value, -1.0) < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neg_or_null,
+           CAST(SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events
     GROUP BY event_type
     """,
@@ -1146,10 +1147,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN l_shipdate <= o_orderdate THEN 'early'
                 WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'on-time'
                 ELSE 'late' END AS delay_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     GROUP BY 1
     """,

@@ -55,61 +55,18 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # changed or added this round (need a fresh driver row)
-    "text_repetition_signals",
-    "events_multires_rollup",
-    "dedup_incremental_minhash",
+    # round-3 oracle fixes (CAST(SUM(..) AS BIGINT) — DuckDB types
+    # SUM(integer) as HUGEINT, which the driver's hasher canonicalizes
+    # differently than BIGINT; Spark values were already verified
+    # equal). These four were the only red rows in r1 ∪ r2 and MUST be
+    # re-checked this round.
     "string_part_stats",
-    "q2_min_offer_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
     "q12_delay_priority",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "decontaminate_containment",
-    "pack_sequences_greedy",
     "text_pii_audit",
-    "sample_fixed_per_source",
-    "skew_salted_join_events",
-    "pipeline_e2e_funnel",
-    "events_session_window",
-    "kmeans_assign_cells",
-    "similarity_topk_ivf_kmeans",
-    "dedup_incremental_exact",
-    # no CORRECTNESS_r01 row (driver window cut off at 50)
-    "text_bpe_token_stats",
-    "sample_stratified",
-    "events_sliding_windows",
-    "events_hourly",
-    "sessionize_users",
-    "rolling_1h_user_value",
-    "events_gapfill_ffill",
-    "approx_percentiles_price",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "set_ops_multiset",
-    "grouping_sets_revenue",
-    "stats_quantity_price",
-    "histogram_totalprice",
-    "second_richest_per_nation",
-    "funnel_view_click_purchase",
-    "dedup_latest_event",
-    "q15_top_supplier",
-    "window_rank_suite",
     "null_semantics_events",
-    "udf_token_stats_arrow",
-    "udf_grouped_rank_arrow",
-    "udf_mapinpandas_bytes",
-    # json_events also changed this round (defensive avg_k rounding),
-    # but its r01 row was already green and the window holds only 50 —
-    # it rides in registration order; the judge mimic re-validates it.
+    # added or changed this round (need a fresh driver row) — extended
+    # as queries land; test_registry_order.py pins every name to a real
+    # registry entry.
 )
 
 
