@@ -37,21 +37,29 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # median of 3 runs per query: the first run pays one-off
+    # codegen/JIT compile, so the median lands on a steady-state
+    # sample; the per-query spread (max-min across the 3 runs) is
+    # reported so a round-over-round delta smaller than the spread
+    # reads as noise, not regression.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name, q in all_queries().items():
         if not q.bench:
             continue
-        # min of 2 runs: the first run pays one-off codegen/JIT compile
-        # for the query's operators; the min is the steady-state number
-        # and is far more stable across rounds than a single sample.
-        best = None
-        for _ in range(2):
+        samples = []
+        for _ in range(n_runs):
             t0 = time.time()
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
+    from eecs_485___mapreduce_spark.functions import release_scope
+
+    release_scope()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -61,6 +69,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "spread": spreads,
+                "max_spread": round(max(spreads.values(), default=0.0), 3),
             }
         )
     )

@@ -207,3 +207,26 @@ def scoped_persist(key, df):
         return prev
     _PERSIST_SCOPE[key] = df.persist()
     return df
+
+
+def release_scope(sf_dir: str | None = None) -> int:
+    """Unpersist and drop every scoped-persist entry; with ``sf_dir``
+    given, only the entries whose key mentions that directory. Returns
+    the number released.
+
+    The registry is bounded at one entry per (query, sf_dir) key, which
+    is right for a per-round driver process but accumulates without
+    bound in a long-lived session that walks several sf_dirs — call
+    this at harness exit (bench.py, tools/driver_mimic.py do) or on an
+    sf_dir switch before embedding the engine in a service. Releasing
+    is always safe: a consumer still holding the old plan recomputes.
+    """
+    n = 0
+    for key in list(_PERSIST_SCOPE):
+        if sf_dir is not None:
+            parts = key if isinstance(key, tuple) else (key,)
+            if sf_dir not in parts:
+                continue
+        _PERSIST_SCOPE.pop(key).unpersist()
+        n += 1
+    return n

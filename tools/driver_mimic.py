@@ -79,8 +79,11 @@ def main() -> int:
             fails += 1
         else:
             print(f"ok   {name}: MATCH {len(s_rows)} rows ({dt:.1f}s)")
+    from eecs_485___mapreduce_spark.functions import release_scope
+
+    released = release_scope()
     print(f"RESULT: {len(qs)} queries, {fails} failures, "
-          f"{len(qs) - len(oracles)} rows-only")
+          f"{len(qs) - len(oracles)} rows-only; released {released} cached scopes")
     return 1 if fails else 0
 
 
