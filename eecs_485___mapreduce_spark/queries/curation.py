@@ -1,0 +1,346 @@
+r"""Corpus-curation operators: deterministic dataset splitting, TF-IDF
+term extraction, embedding quantization, temporal state tracking
+(SCD2), and cohort retention.
+
+These round out the training-pipeline surface (SURVEY.md section 2.B,
+training-pipeline row) with the curation steps that sit AROUND dedup /
+decontamination / packing in a production corpus build:
+
+- **split assignment** decides which shard of the corpus trains,
+  validates, and tests — it must be a pure function of a stable key
+  (never RNG, never row order) so re-runs, backfills, and incremental
+  ingests all land every document in the same split;
+- **TF-IDF top terms** is the classic content descriptor used for
+  topic-level corpus audits and lightweight relevance filtering;
+- **int8 quantization** is what an embedding store actually persists
+  at 100 TB — 4x smaller than float32, and the quantization error is
+  an auditable quantity;
+- **SCD2 state tracking** turns an append-only event log into the
+  versioned dimension table (valid_from / valid_to) analytic joins
+  want;
+- **cohort retention** is the canonical "first-seen vs active"
+  engagement matrix.
+
+Scale notes are per-query; the shared discipline is the same as the
+rest of the package: pure functions of stable keys, equi-join /
+partial-agg shapes only, no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, md5_long_sql, tokens
+from ..registry import register
+from ..sources import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+# ------------------------------------------------------ dataset split
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+_SPLIT_EXPR_SQL = f"""CASE
+    WHEN {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+         < {SPLIT_TRAIN_PCT} THEN 'train'
+    WHEN {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+         < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+    ELSE 'test' END"""
+
+
+def split_assignment(doc_id_col) -> F.Column:
+    """Deterministic 90/5/5 split from the md5 of the document id —
+    a pure function of the key, so every re-run, backfill, and
+    incremental batch assigns identically (the property random()
+    splits lack). Salted with a ``split:`` prefix so this hash is
+    independent of every other md5-derived key in the engine."""
+    col = F.col(doc_id_col) if isinstance(doc_id_col, str) else doc_id_col
+    h = F.pmod(md5_long(F.concat(F.lit("split:"), col.cast("string"))), F.lit(100))
+    return (
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "split_train_val_test",
+    tags=("sampling", "pipeline", "hash"),
+    oracle=f"""
+    SELECT {_SPLIT_EXPR_SQL} AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, source) census of the deterministic 90/5/5 hash
+    split — the audit a pipeline runs after assignment to confirm the
+    split is balanced within every source.
+
+    Scale: the split column is a scan-side projection (md5 + mod in
+    codegen, no shuffle); the census is one partial+final agg on a key
+    space of |splits| x |sources| — constant-size output regardless of
+    corpus size. Assigning the split NEVER shuffles the corpus itself;
+    a writer would fan out via partitionBy(split) on the same
+    expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        split_assignment("doc_id").alias("split"), "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+# ------------------------------------------------------------- TF-IDF
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    tags=("text", "string", "window"),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (SELECT doc_id, term, tf, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))) — the classic content descriptor for corpus
+    topic audits.
+
+    Ranking happens on the ROUNDED score (then term) so tie-breaks are
+    well-defined identically in both engines — ranking on the raw
+    double would let a last-ulp ln() difference flip near-equal
+    neighbors.
+
+    Scale: one shuffle to (doc_id, term) for tf, one agg to term for
+    df (both partial-agg first — term space is much smaller than token
+    count), a broadcast of the scalar N, then a per-doc window. The df
+    relation is corpus-vocabulary sized; at 100 TB the (term) agg is
+    the big shuffle and it carries (term, count) pairs only — never
+    positions or text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rk")
+    )
+
+
+# ------------------------------------------- embedding int8 quantization
+
+
+@register(
+    "embedding_quantize_int8",
+    tags=("vector", "pipeline"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT)) AS qv
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(len(list_filter(qv, x -> abs(x) > 127)) AS BIGINT) AS n_clipped
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of each embedding (scale =
+    max|v|/127, q = round(v/scale)) summarized per vector: the scale, a
+    checksum (sum of quantized values), the L1 mass, and the clipped
+    count (0 by construction — the audit column a quantizing writer
+    monitors).
+
+    Hash-stability: the per-vector reductions are INTEGER sums over the
+    quantized values — exact and association-order-independent — so
+    both engines agree bit-for-bit; only the scale itself is a rounded
+    double. Array traversal order is the stored element order in both
+    engines, but no float accumulates across elements.
+
+    Scale: pure scan->project, zero shuffle; this is the shape of the
+    actual quantizing writer (which would emit qv as array<tinyint> via
+    partitionBy-free write). 100 TB of float32 becomes 25 TB of int8.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    qv = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("scale"), 0).cast("bigint")
+    )
+    isum = lambda arr: F.aggregate(  # noqa: E731  (integer fold — exact)
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return (
+        emb.select("vec_id", scale.alias("scale"), v.alias("v"))
+        .filter(F.col("scale") > 0)
+        .select("vec_id", "scale", qv.alias("qv"))
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            isum(F.col("qv")).alias("q_sum"),
+            isum(F.transform("qv", F.abs)).alias("q_l1"),
+            F.size(F.filter("qv", lambda x: F.abs(x) > 127))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
+
+
+# ------------------------------------------------- SCD2 state tracking
+
+
+@register(
+    "scd2_user_state",
+    tags=("window", "datetime", "events"),
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_id, event_type FROM c
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM ch
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) view of each user's
+    event_type stream: collapse consecutive repeats into state
+    intervals with valid_from / valid_to (NULL = still current) — the
+    standard versioned-dimension build from an append-only log.
+
+    Scale: ONE shuffle on user_id serves both windows (lag to detect
+    changes, lead to close intervals — same partitioning, same order,
+    so Catalyst plans a single exchange + sort and runs both window
+    functions in the same stage pair). State per user is O(1); ties on
+    ts break on event_id so the intervals are deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_ts = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------- cohort retention
+
+
+@register(
+    "cohort_retention",
+    tags=("agg", "datetime", "events"),
+    oracle="""
+    WITH co AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_date,
+           CAST(CAST(e.ts AS DATE) - cohort_date AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN co USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped by first-seen date (cohort) and
+    the day offset of each later activity — the canonical engagement
+    triangle.
+
+    Scale: cohort assignment is a per-user min (one shuffle on
+    user_id); rather than joining a separate cohort relation back to
+    the log (a second fact-sized shuffle), the min is a WINDOW over the
+    same user_id partitioning, so assignment rides the single exchange.
+    The final (cohort, offset) agg has calendar-bounded cardinality.
+    COUNT(DISTINCT user_id) is Spark's two-phase distinct aggregate —
+    partial distinct per partition before the final exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id")
+    return (
+        events.select(
+            "user_id",
+            F.min(d).over(w).alias("cohort_date"),
+            d.alias("active_date"),
+        )
+        .groupBy(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date")
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

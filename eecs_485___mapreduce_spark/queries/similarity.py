@@ -448,6 +448,32 @@ def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(spark, sf_dir)
 
 
+@register("kmeans_cell_profile", tags=("similarity", "vector", "iterative"), oracle=None)
+def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell summary of the k-means assignment: member count and the
+    rounded within-cell objective after the fixed KMEANS_ITERS
+    deterministic Lloyd iterations.
+
+    The full assignment (kmeans_assign_cells) is rows-only by necessity
+    — iterative, not ANSI-SQL-expressible — so its driver row only
+    proves "500 rows came back". This derived profile tightens that:
+    the row count IS the number of non-empty cells (k = KMEANS_K at
+    every tested sf; seeding is deterministic, so the count is stable
+    round over round), giving the driver a small, meaningful invariant
+    to re-verify. The Lloyd invariants themselves (nearest-centroid
+    assignment, monotone objective) stay pinned in
+    tests/test_similarity.py.
+
+    Scale: one extra k-row aggregation over the assignment — free next
+    to the fit itself.
+    """
+    assign = kmeans_fit(spark, sf_dir)
+    return assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("dist2"), 4).alias("cell_objective"),
+    )
+
+
 @register(
     "similarity_topk_ivf_kmeans",
     tags=("similarity", "vector", "approx", "iterative"),

@@ -208,14 +208,16 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id, then a per-partition two-pointer
     sliding frame — O(n) per user, state bounded by the hour span.
-    Both engines floor ts to epoch seconds (Spark ``cast(ts as long)``,
-    DuckDB ``epoch_us // 1e6``) so frame membership is identical; the
-    framed sum is decimal-exact.
+    Both engines floor ts to epoch seconds (Spark ``unix_timestamp`` —
+    which, unlike ``cast(ts as long)``, also resolves when parquet
+    infers TIMESTAMP_NTZ; session TZ is pinned UTC so NTZ and LTZ
+    agree — DuckDB ``epoch_us // 1e6``) so frame membership is
+    identical; the framed sum is decimal-exact.
     """
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3599, Window.currentRow)
     )
     return events.select(

@@ -67,6 +67,14 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # added or changed this round (need a fresh driver row) — extended
     # as queries land; test_registry_order.py pins every name to a real
     # registry entry.
+    "kmeans_cell_profile",
+    "rolling_1h_user_value",  # ts epoch now via unix_timestamp (NTZ-safe)
+    # round-3 curation module (queries/curation.py)
+    "split_train_val_test",
+    "text_tfidf_top_terms",
+    "embedding_quantize_int8",
+    "scd2_user_state",
+    "cohort_retention",
 )
 
 

@@ -49,6 +49,54 @@ def test_pii_counts_columns(spark):
     assert r.n_email == 2 and r.n_ssn == 0 and r.n_phone == 0 and r.n_ipv4 == 0
 
 
+def test_pii_counts_match_duckdb_on_nonzero_fixture(spark):
+    """Engine-vs-engine count agreement on text that actually CONTAINS
+    PII. The registered ``text_pii_audit`` oracle row can't catch a
+    Java-regex vs RE2 divergence because the synthetic corpus is
+    PII-free (every count is 0); this fixture pins nonzero counts per
+    class — multiple matches per row, duplicates, and near-miss
+    lookalikes — through BOTH engines with the exact pattern strings
+    the audit query uses."""
+    import duckdb
+    import pandas as pd
+
+    from eecs_485___mapreduce_spark.queries.pipeline import _PII_PATTERNS
+
+    texts = [
+        "mail a.long+tag@sub.example.co.uk and b@c.io; ssn 123-45-6789",
+        "call (555) 123-4567 or +1 555-987-6543 from 10.0.0.1 today",
+        "dup 999-88-7777 999-88-7777 then 172.16.254.3 and 172.16.254.3",
+        "near misses: v1.2.3 release, a@b.c (1-char tld), 12-34-5678",
+        "no pii in this row at all",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], schema="text string")
+    got = (
+        df.select(
+            *[
+                F.sum(F.regexp_count("text", F.lit(p))).alias(n)
+                for n, p in _PII_PATTERNS.items()
+            ]
+        )
+        .collect()[0]
+        .asDict()
+    )
+
+    con = duckdb.connect()
+    fixture = pd.DataFrame({"text": texts})
+    con.register("pii_fixture", fixture)
+    for name, pat in _PII_PATTERNS.items():
+        want = con.execute(
+            "SELECT CAST(SUM(len(regexp_extract_all(text, ?))) AS BIGINT) "
+            "FROM pii_fixture",
+            [pat],
+        ).fetchone()[0]
+        assert got[name] == want, f"{name}: spark={got[name]} duckdb={want}"
+        if name != "ipv4":  # ipv4 asserted below with its own count
+            assert want > 0, f"fixture must exercise {name} with nonzero count"
+    assert got["email"] == 2 and got["ssn"] == 3
+    assert got["phone"] == 2 and got["ipv4"] == 3
+
+
 def test_pack_sequences_matches_independent_reimplementation(spark):
     """The packing assignment must be byte-deterministic: recompute the
     greedy concat-and-chunk per shard in plain Python from the same

@@ -112,6 +112,28 @@ def test_kmeans_objective_monotone_and_deterministic(spark):
     assert len({c for _, c in a}) == KMEANS_K  # no empty cells at this SF
 
 
+def test_kmeans_cell_profile_consistent_with_assignment(spark):
+    """The driver-facing profile row set must be exactly the non-empty
+    cells of the assignment: k rows (deterministic seeding fills every
+    cell at this SF), member counts summing to the corpus size, and a
+    per-cell objective that re-adds to the fit's total."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.similarity import (
+        KMEANS_K,
+        kmeans_cell_profile,
+        kmeans_fit,
+    )
+
+    prof = kmeans_cell_profile(spark, SF_SMALL).collect()
+    assign = kmeans_fit(spark, SF_SMALL)
+    n_vecs = assign.count()
+    assert len(prof) == KMEANS_K
+    assert sum(r.n_members for r in prof) == n_vecs
+    total = assign.agg(F.sum("dist2")).collect()[0][0]
+    assert abs(sum(r.cell_objective for r in prof) - total) < 1e-2
+
+
 def test_ivf_kmeans_recall(spark):
     """IVF over the learned k-means codebook: probing 4 of 16 learned
     cells (25% of the corpus) must recover a nontrivial share of true
