@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_long, md5_long_sql, tokens
+from ..functions import md5_long, md5_long_sql, scoped_persist, tokens
 from ..registry import register
 from ..sources import load_table
 
@@ -105,6 +105,7 @@ TFIDF_TOP_K = 3
 
 @register(
     "text_tfidf_top_terms",
+    bench=True,
     tags=("text", "string", "window"),
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
@@ -135,17 +136,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle to (doc_id, term) for tf, one agg to term for
     df (both partial-agg first — term space is much smaller than token
-    count), a broadcast of the scalar N, then a per-doc window. The df
-    relation is corpus-vocabulary sized; at 100 TB the (term) agg is
-    the big shuffle and it carries (term, count) pairs only — never
-    positions or text.
+    count), a broadcast of the scalar N, then a per-doc window (planned
+    as WindowGroupLimit, so only each doc's running top-k survives the
+    final exchange). The tf relation feeds BOTH the score and the df
+    branch, so it is scoped-persisted — without the barrier Catalyst
+    re-runs scan+tokenize+partial-agg once per branch, doubling the
+    dominant cost at 100 TB. df is vocabulary-sized and broadcast
+    (AQE falls back to a (term)-keyed sort-merge join if the
+    vocabulary outgrows the threshold).
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = scoped_persist(
+        ("tfidf_tf", sf_dir),
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")
@@ -169,11 +177,63 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- weighted reservoir sample
+
+WEIGHTED_SAMPLE_K = 50
+_U_DENOM = 1 << 53  # 53-bit uniform from the 60-bit md5 hash
+
+
+@register(
+    "sample_weighted_topk",
+    tags=("sampling", "pipeline", "hash"),
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             (CAST({md5_long_sql("'wsample:' || CAST(doc_id AS VARCHAR)")}
+                   % {_U_DENOM} AS DOUBLE) + 0.5) / {_U_DENOM}.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM u ORDER BY -ln(u) / n_chars, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    keep the K documents with the smallest exponential key
+    -ln(u)/weight, where u is a DETERMINISTIC 53-bit uniform derived
+    from md5(doc_id) and the weight is the document length — each doc's
+    inclusion probability is proportional to its weight, yet the whole
+    sample is a pure function of the keys (reproducible across runs,
+    engines, and retries, unlike rand()-based weighted reservoirs).
+    The +0.5 offset keeps u strictly in (0,1) so ln(u) is finite.
+
+    Scale: scan-side key computation, then a global top-K — Spark
+    plans TakeOrderedAndProject (per-partition top-K, K-row merge on
+    the driver-side coordinator), NOT a full sort; nothing shuffles
+    but K-row heaps. This is the one-pass distributed form of weighted
+    reservoir sampling.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.pmod(
+        md5_long(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+        F.lit(_U_DENOM),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_U_DENOM))
+    es_key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 # ------------------------------------------- embedding int8 quantization
 
 
 @register(
     "embedding_quantize_int8",
+    bench=True,
     tags=("vector", "pipeline"),
     oracle="""
     WITH v AS (

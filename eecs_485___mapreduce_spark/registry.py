@@ -75,6 +75,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "embedding_quantize_int8",
     "scd2_user_state",
     "cohort_retention",
+    "sample_weighted_topk",
 )
 
 

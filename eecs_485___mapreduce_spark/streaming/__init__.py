@@ -1,6 +1,11 @@
 """Structured Streaming surface (the reference has no streams — its
 "streaming" is OS pipes; this module is north-star surface)."""
 
+from .documents import (  # noqa: F401
+    build_history_index,
+    incremental_dedup_stream,
+    read_documents_stream,
+)
 from .events import (  # noqa: F401
     dedup_events_stream,
     hourly_rollup_stream,

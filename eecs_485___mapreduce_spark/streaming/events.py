@@ -19,19 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts arrives as a nanos long (TIMESTAMP(NANOS) parquet +
-# spark.sql.legacy.parquet.nanosAsLong) and is converted to a
-# microsecond timestamp below — same convention as sources.catalog.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(
@@ -40,17 +38,34 @@ def read_events_stream(
     """Stream the events table. FileStreamSource needs a *directory*
     base path, so the sf_dir is the path and a glob filter selects the
     events file — at scale this is a directory of arriving part files,
-    which is exactly the production shape."""
+    which is exactly the production shape.
+
+    ``ts`` has shipped as both parquet TIMESTAMP(NANOS) (readable only
+    as a nanos long via spark.sql.legacy.parquet.nanosAsLong) and
+    plain timestamp[us]; mirror sources.catalog.load_table by probing
+    the batch reader's inferred type and converting ns->us only when
+    needed, so the stream is schema-robust across data generations.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    nanos = isinstance(ts_type, T.LongType)
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC
+        # so the cast is value-preserving
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -224,3 +224,46 @@ def test_incremental_minhash_equijoins_only(spark):
     from eecs_485___mapreduce_spark.queries.dedup import dedup_incremental_minhash
 
     assert_no_cartesian(dedup_incremental_minhash(spark, SF_SMALL))
+
+
+def test_scd2_both_windows_share_one_exchange(spark):
+    """scd2_user_state claims lag (change detection) and lead (interval
+    close) ride a SINGLE user_id shuffle: same partitioning, same
+    order, so Catalyst plans one exchange feeding both Window nodes."""
+    from eecs_485___mapreduce_spark.queries.curation import scd2_user_state
+
+    c = _plan_counts(scd2_user_state(spark, SF_SMALL))
+    assert c["exch"] == 1, c["plan"]
+    assert c["plan"].count("Window") >= 2, c["plan"]
+
+
+def test_split_census_is_scan_side_single_agg(spark):
+    """The split column must be a scan-side projection (no shuffle of
+    the corpus to assign splits) — one partial+final agg total."""
+    from eecs_485___mapreduce_spark.queries.curation import split_train_val_test
+
+    c = _plan_counts(split_train_val_test(spark, SF_SMALL))
+    assert c["exch"] == 1, c["plan"]
+    assert c["plan"].count("FileScan") == 1, c["plan"]
+
+
+def test_tfidf_tokenizes_once_and_group_limits(spark):
+    """The tf relation feeds both the score and the df branch through a
+    persist barrier — exactly ONE Generate (tokenize+explode) may
+    appear, not one per branch — and the per-doc top-k must plan as
+    WindowGroupLimit so only running top-k rows reach the final
+    exchange."""
+    from eecs_485___mapreduce_spark.functions import release_scope
+    from eecs_485___mapreduce_spark.queries.curation import text_tfidf_top_terms
+
+    release_scope(SF_SMALL)  # force a fresh persist so the plan is cold
+    try:
+        c = _plan_counts(text_tfidf_top_terms(spark, SF_SMALL))
+        # both the score branch and the df branch must read tf from the
+        # cache (the plan PRINTER expands the cached subtree per use
+        # site, so counting Generate strings would double-count; the
+        # two InMemoryTableScans are what executes)
+        assert c["plan"].count("InMemoryTableScan") == 2, c["plan"]
+        assert "WindowGroupLimit" in c["plan"], c["plan"]
+    finally:
+        release_scope(SF_SMALL)
