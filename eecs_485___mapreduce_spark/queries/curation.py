@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_long, md5_long_sql, scoped_persist, tokens
+from ..functions import dec, md5_long, md5_long_sql, scoped_persist, tokens
 from ..registry import register
 from ..sources import load_table
 
@@ -403,4 +403,199 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# ------------------------------------------- robust outlier detection
+
+MAD_SIGMA = 1.4826  # consistency constant: MAD * 1.4826 ~ stddev for normal
+MAD_K = 3.0
+
+
+@register(
+    "outlier_orders_robust_z",
+    tags=("agg", "math", "pipeline"),
+    oracle=f"""
+    WITH med AS (
+      SELECT o_orderpriority, ROUND(median(o_totalprice), 4) AS med
+      FROM orders GROUP BY 1
+    ),
+    mad AS (
+      SELECT o.o_orderpriority,
+             ROUND(median(abs(o_totalprice - m.med)), 4) AS mad
+      FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(m.med) AS med,
+           MIN(d.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(o_totalprice - m.med)
+                              > {MAD_K} * {MAD_SIGMA} * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN med m USING (o_orderpriority)
+    JOIN mad d USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def outlier_orders_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per order priority: flag orders more than
+    3 scaled-MADs from their group median (median/MAD resist the very
+    outliers mean/stddev would absorb) — the data-quality gate a
+    pipeline runs on numeric columns before training on them.
+
+    Both engines rank and flag against the ROUNDED median/MAD so the
+    outlier threshold is bit-identical (exact interpolated medians can
+    differ in the last ulp across engines).
+
+    Scale: exact medians here (that is what the oracle can check);
+    the group key has 5 values, so all rows funnel to 5 reducers —
+    fine at sf0.1, a skew problem at 100 TB, where the production
+    swap-in is approx_percentile (t-digest sketch, mergeable partial
+    aggs, bounded error) over the same plan shape. The med/mad
+    relations are 5 rows — broadcast back, no second fact shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("med")
+    )
+    with_med = orders.join(F.broadcast(med), "o_orderpriority")
+    mad = with_med.groupBy("o_orderpriority").agg(
+        F.round(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)),
+            4,
+        ).alias("mad")
+    )
+    thresh = F.lit(MAD_K) * F.lit(MAD_SIGMA) * F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med")) > thresh, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------- blocked fuzzy matching
+
+FUZZY_MAX_EDITS = 5
+
+
+@register(
+    "fuzzy_match_customer_supplier",
+    tags=("join", "string", "pipeline"),
+    oracle=f"""
+    SELECT c.c_custkey, s.s_suppkey,
+           c.c_name AS c_name, s.s_name AS s_name,
+           CAST(levenshtein(c.c_name, s.s_name) AS BIGINT) AS edit_dist
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND right(c.c_name, 4) = right(s.s_name, 4)
+    WHERE levenshtein(c.c_name, s.s_name) <= {FUZZY_MAX_EDITS}
+    """,
+)
+def fuzzy_match_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: candidate pairs
+    come from an EQUI-join on a blocking key (same nation + same name
+    suffix), then edit-distance verification keeps pairs within
+    {FUZZY_MAX_EDITS} edits — the linkage pattern for joining dirty
+    catalogs where exact keys don't exist.
+
+    Scale: the same candidate-generation-then-verify discipline as the
+    dedup family — levenshtein (quadratic per pair) runs ONLY on
+    bucket-mates of the blocking key, never all |C| x |S| pairs; the
+    join is a plain shuffle/broadcast equi-join on (nation, suffix).
+    Looser recall => wider blocking key (shorter suffix, phonetic
+    code), same shape.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", -4, 4).alias("blk"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.substring("s_name", -4, 4).alias("blk"),
+    )
+    dist = F.levenshtein("c_name", "s_name")
+    return (
+        cust.join(supp, ["c_nationkey", "blk"])
+        .filter(dist <= FUZZY_MAX_EDITS)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            "c_name",
+            "s_name",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+# ------------------------------------- incremental rollup maintenance
+
+INCR_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "events_incremental_hourly_merge",
+    tags=("datetime", "agg", "pipeline"),
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup
+    computed as STATE (events before a cutoff — the stored aggregate a
+    production pipeline keeps) algebraically MERGED with the DELTA
+    (events since the cutoff), which must equal the direct rollup over
+    everything — the oracle computes the direct form, so the driver row
+    certifies the merge identity itself.
+
+    Merge-ability is why the partials carry count + DECIMAL sum
+    (algebraic aggregates: merge = component-wise sum, exact); the
+    double cast happens only after the final merge. avg/stddev ride
+    the same pattern as (sum, count, sum-of-squares) triples;
+    median/distinct need sketches (t-digest / HLL) instead.
+
+    Scale: this is THE append-only pattern — each ingest batch
+    aggregates only its own rows (delta shuffle is batch-sized, not
+    history-sized) and merges into stored state keyed identically;
+    state never rescans history.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(INCR_CUTOFF).cast(events.schema["ts"].dataType)
+
+    def partial(part):
+        return part.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+
+    state = partial(events.filter(F.col("ts") < cutoff))
+    delta = partial(events.filter(F.col("ts") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").cast("double").alias("total_value"),
+        )
     )

@@ -76,6 +76,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "scd2_user_state",
     "cohort_retention",
     "sample_weighted_topk",
+    "outlier_orders_robust_z",
+    "fuzzy_match_customer_supplier",
+    "events_incremental_hourly_merge",
 )
 
 
