@@ -599,3 +599,52 @@ def events_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("total_dec").cast("double").alias("total_value"),
         )
     )
+
+
+# -------------------------------------------------- user growth / DAU
+
+
+@register(
+    "daily_active_users_cumulative",
+    tags=("agg", "datetime", "window", "events"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    new_by_day AS (SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY 1)
+    SELECT d.day, d.dau,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily d LEFT JOIN new_by_day n USING (day)
+    """,
+)
+def daily_active_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus the cumulative registered-user curve
+    (running sum of first-seen counts) — the growth dashboard primitive.
+
+    Scale: DAU is a two-phase distinct agg (partial distinct before the
+    day shuffle); first-seen is a per-user min (user_id shuffle). The
+    only unpartitioned window runs over the JOINED relation, which is
+    calendar-sized (one row per day) — a global window over day rows is
+    O(years), not O(events), so the single-partition sort is safe at
+    any corpus size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    daily = events.groupBy(d.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    firsts = events.groupBy("user_id").agg(F.min(d).alias("day"))
+    new_by_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_by_day, "day", "left")
+        .select("day", "dau", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+    )

@@ -79,6 +79,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "outlier_orders_robust_z",
     "fuzzy_match_customer_supplier",
     "events_incremental_hourly_merge",
+    "daily_active_users_cumulative",
 )
 
 

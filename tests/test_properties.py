@@ -179,3 +179,94 @@ def test_scrub_pii_output_never_matches_patterns(spark, texts):
     once = [r.text for r in out.collect()]
     twice = [r.text for r in out.select(scrub_pii("text").alias("text")).collect()]
     assert once == twice
+
+
+# ------------------------------------- cross-engine foundations
+
+# Scope note: printable ASCII. The synthetic corpus is ASCII and the
+# oracle contract inherits Java-vs-RE2/ICU divergence above it (case
+# mapping of dotted-I, \s vs \v, etc.) — the engines genuinely differ
+# there, so the guarantee is stated for the data domain we ship.
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@given(st.lists(_ASCII, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_canonical_text_matches_duckdb(spark, texts):
+    """canonical_text (Spark) == CANONICAL_TEXT_SQL (DuckDB) — the key
+    function under exact dedup, incremental dedup, and the stream-
+    static ingest join. A divergence here silently splits identical
+    documents across engines."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.functions import (
+        CANONICAL_TEXT_SQL,
+        canonical_text,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], schema="text string")
+    got = [r.c for r in df.select(canonical_text("text").alias("c")).collect()]
+    con = duckdb.connect()
+    sql = "SELECT " + CANONICAL_TEXT_SQL.format(c="?")
+    want = [con.execute(sql, [t]).fetchone()[0] for t in texts]
+    assert got == want
+
+
+@given(st.lists(_ASCII, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_tokens_match_duckdb(spark, texts):
+    """tokens() (Spark) == the _TOKS SQL fragment (DuckDB) — the
+    tokenizer under every text/TF-IDF/shingle oracle."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.functions import tokens
+
+    df = spark.createDataFrame([(t,) for t in texts], schema="text string")
+    got = [r.t for r in df.select(tokens("text").alias("t")).collect()]
+    con = duckdb.connect()
+    sql = (
+        "SELECT list_filter(regexp_split_to_array(lower(?), '\\s+'),"
+        " t -> t <> '')"
+    )
+    want = [con.execute(sql, [t]).fetchone()[0] for t in texts]
+    assert got == want
+
+
+@given(st.lists(_ASCII, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_md5_long_matches_duckdb(spark, texts):
+    """md5_long (Spark conv-from-hex) == md5_long_sql (DuckDB
+    0x-prefix cast) — the 60-bit hash under sampling gates, split
+    assignment, MinHash, and the weighted-sample uniforms."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.functions import md5_long, md5_long_sql
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], schema="text string")
+    got = [r.h for r in df.select(md5_long(F.col("text")).alias("h")).collect()]
+    con = duckdb.connect()
+    sql = "SELECT " + md5_long_sql("?")
+    want = [con.execute(sql, [t]).fetchone()[0] for t in texts]
+    assert got == want
+
+
+def test_scoped_persist_reuse_and_release(spark):
+    """scoped_persist returns the SAME cached frame on a repeat key and
+    release_scope unpersists exactly the requested sf_dir's entries."""
+    from eecs_485___mapreduce_spark.functions import (
+        _PERSIST_SCOPE,
+        release_scope,
+        scoped_persist,
+    )
+
+    a = scoped_persist(("t1", "/scope-a"), spark.range(5))
+    b = scoped_persist(("t2", "/scope-b"), spark.range(6))
+    assert scoped_persist(("t1", "/scope-a"), spark.range(5)) is a
+    assert release_scope("/scope-a") == 1
+    assert ("t1", "/scope-a") not in _PERSIST_SCOPE
+    assert ("t2", "/scope-b") in _PERSIST_SCOPE
+    assert release_scope() == 1  # sweeps the rest
+    assert b.storageLevel.useMemory is False  # actually unpersisted
