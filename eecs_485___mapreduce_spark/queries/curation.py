@@ -648,3 +648,94 @@ def daily_active_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("day", "dau", F.coalesce("n_new", F.lit(0)).alias("n_new"))
         .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
     )
+
+
+# --------------------------------------------- source overlap matrix
+
+
+@register(
+    "source_overlap_matrix",
+    tags=("dedup", "join", "agg", "pipeline"),
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+        CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) >= 3
+             THEN list_distinct(list_transform(
+                  range(1, len(list_filter(regexp_split_to_array(lower(text),
+                        '\\s+'), t -> t <> '')) - 1),
+                  i -> concat(
+                    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')[i], ' ',
+                    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')[i+1], ' ',
+                    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')[i+2])))
+             ELSE [array_to_string(list_filter(regexp_split_to_array(
+                      lower(text), '\\s+'), t -> t <> ''), ' ')] END AS sh
+        FROM documents),
+    ss AS (SELECT DISTINCT source, unnest(sh) AS s FROM t),
+    per AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (pa.n_sh + pb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN per pa ON pa.source = source_a
+    JOIN per pb ON pb.source = source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health matrix: pairwise shingle Jaccard between SOURCES —
+    which feeds of a multi-source corpus are near-copies of each other
+    (mirrored crawls, re-scraped dumps) and should be merged or
+    down-weighted before dedup even runs at the document level.
+
+    Scale: the inverted-index discipline again — the pair relation
+    comes from an equi-join on the shingle (candidates proportional to
+    bucket occupancy: only sources that actually SHARE a shingle meet),
+    never an all-pairs source scan; the output is bounded |sources|^2
+    and the per-source distinct-shingle relation reuses the persisted
+    shingle working set shared with the whole dedup family.
+    """
+    from .dedup import _shingle_relation
+
+    t = _shingle_relation(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = (
+        t.join(docs, "doc_id")
+        .select("source", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    per = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -80,6 +80,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "fuzzy_match_customer_supplier",
     "events_incremental_hourly_merge",
     "daily_active_users_cumulative",
+    "source_overlap_matrix",
 )
 
 

@@ -140,3 +140,32 @@ def write_packed_shards(packed: DataFrame, docs: DataFrame, output_dir: str) -> 
         )
     )
     shards.write.mode("overwrite").partitionBy("shard").parquet(output_dir)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    output_dir: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Sort-clustered parquet: range-partition on ``cluster_by`` and
+    sort within each partition before writing, so every row group's
+    min/max statistics on those columns are TIGHT and disjoint.
+
+    This is the data-layout half of predicate pushdown: the scan-side
+    filter (PushedFilters) can only skip a row group whose stats
+    exclude the predicate, and stats on randomly-laid-out data span
+    the whole domain (nothing skips). Clustering at write time buys
+    every future selective scan a near-index: at 100 TB, a point/range
+    read on the cluster key touches the few row groups whose ranges
+    intersect instead of the whole table. The write costs one range
+    exchange + local sort — the classic write-once/read-many trade.
+    (tests/test_sources_sinks.py verifies disjoint per-file ranges via
+    parquet footer metadata.)
+    """
+    out = df.repartitionByRange(*cluster_by) if num_files is None else (
+        df.repartitionByRange(num_files, *cluster_by)
+    )
+    out.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(
+        output_dir
+    )

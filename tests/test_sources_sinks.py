@@ -156,3 +156,44 @@ def test_sql_front_door_over_registered_views(spark):
     assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
         oracle, [d[0] for d in con.execute(sql).description]
     )
+
+
+def test_sorted_parquet_files_have_disjoint_cluster_ranges(spark, tmp_path):
+    """write_sorted_parquet's layout claim, verified from the parquet
+    footers: after range-partition + sort-within-partition on user_id,
+    every row group's [min, max] on user_id must be non-overlapping in
+    file+row-group order — the tight disjoint statistics that let a
+    selective scan skip everything outside the predicate's range.
+    An unsorted write of the same data has near-total overlap."""
+    import pyarrow.parquet as pq
+
+    from eecs_485___mapreduce_spark.sinks import write_sorted_parquet
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "clustered")
+    write_sorted_parquet(events, out, ["user_id"], num_files=4)
+
+    ranges = []
+    files = sorted(p for p in __import__("os").listdir(out) if p.endswith(".parquet"))
+    assert len(files) == 4
+    for fname in files:
+        md = pq.ParquetFile(f"{out}/{fname}").metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "user_id"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    # files sorted by name match range-partition order; within each
+    # file row groups follow the local sort => global disjoint chain
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 and lo2 <= hi2
+        assert hi1 <= lo2, f"overlapping row-group ranges: {ranges}"
+
+    # round-trip integrity: clustering reorders, never drops
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    sel = back.filter(back.user_id == 7).count()
+    assert sel == events.filter(events.user_id == 7).count()
