@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     advanced,
     curation,
     dedup,
+    mlprep,
     multimodal,
     pipeline,
     reference,

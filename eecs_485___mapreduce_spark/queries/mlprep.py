@@ -1,0 +1,523 @@
+r"""ML-prep operators: corpus statistics and dataset-maintenance ops a
+large-scale training pipeline runs between curation and training.
+
+These extend the training-pipeline surface (SURVEY.md section 2.B) with
+the steps that sit DOWNSTREAM of dedup/decontamination/packing:
+
+- **unigram LM surprisal** is the CCNet-style quality signal: score
+  every document by its mean token surprisal under the corpus's own
+  unigram language model, then bucket into head/middle/tail. Documents
+  whose tokens are all corpus-frequent read as boilerplate; documents
+  full of rare tokens read as noise.
+- **mixture weights** decide how much of each source the sampler draws:
+  the standard temperature-scaled multinomial (weight proportional to
+  token_count^alpha, alpha=0.5) that up-weights small high-quality
+  sources without letting giant crawls drown them.
+- **snapshot diff** is the CDC audit between two corpus snapshots —
+  which documents were added, removed, or changed — computed from
+  content hashes, never text comparison.
+- **merge upsert** is MERGE INTO semantics (update matches, insert the
+  rest) expressed as a join, the incremental-ingest primitive for any
+  table the pipeline maintains.
+- **shard assignment** is the deterministic global training shuffle:
+  every document lands in a pseudo-random shard, with a pseudo-random
+  order key within the shard, as a pure function of its id — re-runs
+  and backfills reproduce the exact same epoch order.
+- **gram matrix** is the distributed linear-algebra building block
+  (X^T X over the embedding table) behind PCA whitening, covariance
+  audits, and linear-probe fits.
+
+Determinism discipline (the driver value-hashes results against DuckDB):
+every floating-point intermediate is either quantized to integers
+before any aggregation (surprisal millinats, fixed-point sqrt weights,
+fixed-point embedding coordinates) or summed as decimals — sums are
+then exact and association-order-independent in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import canonical_text, dec, md5_long, md5_long_sql, scoped_persist, tokens
+from ..registry import register
+from ..sources import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+# ------------------------------------------------- unigram LM surprisal
+
+# Mean-surprisal bucket edges in millinats. Fixed constants (not data
+# quantiles) so bucket membership is a pure function of the document,
+# stable across corpus growth. Calibrated once against the synthetic
+# corpus (mean ~3406 mnat, range ~3380-3718) so all three buckets are
+# populated; a production corpus would calibrate its own edges the
+# same way (from a one-off quantile sweep, then frozen).
+SURPRISAL_HEAD_MNAT = 3400
+SURPRISAL_TAIL_MNAT = 3500
+
+
+@register(
+    "text_unigram_logprob",
+    bench=True,
+    tags=("text", "pipeline"),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    cnt AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(1000 * ln(CAST(total AS DOUBLE) / cnt)) AS BIGINT) AS s
+      FROM tok JOIN cnt USING (term) CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(s) AS sum_s
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_s AS BIGINT) AS sum_surprisal_mnat,
+           ROUND(CAST(sum_s AS DOUBLE) / n_tokens, 3) AS mean_surprisal_mnat,
+           CASE WHEN CAST(sum_s AS DOUBLE) / n_tokens < {SURPRISAL_HEAD_MNAT}
+                THEN 'head'
+                WHEN CAST(sum_s AS DOUBLE) / n_tokens < {SURPRISAL_TAIL_MNAT}
+                THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM perdoc
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal under the corpus unigram LM —
+    the CCNet-style perplexity proxy used to split a crawl into
+    head/middle/tail quality buckets.
+
+    Surprisal is quantized per token to integer millinats
+    (``round(1000 * ln(N / count(term)))``) BEFORE summation, so the
+    per-document sum is exact integer arithmetic — identical in any
+    association order, hence hash-identical between Spark and the
+    oracle. ``ln`` of the same IEEE double agrees across engines; the
+    quantization step is the only place a ½-ulp difference could leak,
+    and it lands on a rounding boundary with probability ~1e-10.
+
+    Scale (100 TB): the token relation is exploded once and persisted
+    for the two consumers (term counts, per-doc join). Term counts are
+    one partial+final agg on the term key (vocab-sized result, ~1e7
+    rows — broadcast-able at 100 TB or shuffled as an equi-join; AQE
+    picks). The per-doc rollup is one shuffle on doc_id. Nothing is
+    ever all-pairs and no Python touches the data path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = scoped_persist(
+        ("text_unigram_logprob.tok", sf_dir),
+        docs.select("doc_id", F.explode(tokens("text")).alias("term")),
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(1000 * F.log(F.col("total").cast("double") / F.col("cnt")))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("s").alias("sum_s"),
+    )
+    mean = F.col("sum_s").cast("double") / F.col("n_tokens")
+    return perdoc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("sum_s").cast("bigint").alias("sum_surprisal_mnat"),
+        F.round(mean, 3).alias("mean_surprisal_mnat"),
+        F.when(mean < SURPRISAL_HEAD_MNAT, "head")
+        .when(mean < SURPRISAL_TAIL_MNAT, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------- mixture weights
+
+# alpha = 0.5 temperature: weight proportional to sqrt(token_count).
+# sqrt is IEEE-exact for both engines; the weights are quantized to
+# 1e-6 fixed point before normalization so the denominator is an exact
+# integer sum.
+
+
+@register(
+    "source_mixture_weights",
+    tags=("pipeline", "sampling"),
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_fixed
+      FROM per_source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(w_fixed) AS BIGINT) AS total_w
+      FROM w
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           ROUND(CAST(w_fixed AS DOUBLE) / total_w, 6) AS weight_alpha05,
+           ROUND((CAST(w_fixed AS DOUBLE) / total_w)
+                 / (CAST(n_tokens AS DOUBLE) / total_tokens), 4)
+             AS oversample_factor
+    FROM w CROSS JOIN tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) sampling weight per source — the
+    domain-mixing table a training sampler consumes. ``oversample_factor``
+    > 1 means the source is drawn more often than its natural token
+    share (small sources get boosted; the biggest crawl is damped).
+
+    Scale: one partial+final agg over the corpus onto a |sources|-sized
+    relation, then arithmetic on that constant-size table (the
+    normalizing total is a broadcast scalar). The corpus is scanned
+    once and never shuffled; at 100 TB this is scan-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = per_source.withColumn(
+        "w_fixed",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast("bigint"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("w_fixed").cast("bigint").alias("total_w"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w_fixed").cast("double") / F.col("total_w"), 6).alias(
+            "weight_alpha05"
+        ),
+        F.round(
+            (F.col("w_fixed").cast("double") / F.col("total_w"))
+            / (F.col("n_tokens").cast("double") / F.col("total_tokens")),
+            4,
+        ).alias("oversample_factor"),
+    )
+
+
+# ------------------------------------------------------- snapshot diff
+
+# Two deterministic pseudo-snapshots derived from the documents table:
+# OLD drops doc_id % 20 == 3 (those read as "added" since), NEW drops
+# doc_id % 20 == 7 (those read as "removed"), and documents with
+# doc_id % 13 == 0 carry revised content in NEW (a version marker mixed
+# into the content hash), so every diff status is exercised.
+
+_CANON_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "snapshot_diff_documents",
+    tags=("pipeline", "join"),
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, source, md5({_CANON_SQL}) AS h
+      FROM documents WHERE doc_id % 20 <> 3
+    ),
+    new AS (
+      SELECT doc_id, source,
+             md5({_CANON_SQL} ||
+                 CASE WHEN doc_id % 13 = 0 THEN ':v2' ELSE '' END) AS h
+      FROM documents WHERE doc_id % 20 <> 7
+    ),
+    diff AS (
+      SELECT COALESCE(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM diff GROUP BY 1, 2
+    """,
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff of two corpus snapshots: per-(source, status)
+    census of added / removed / changed / unchanged documents, decided
+    by content hash (md5 of canonical text), never by text comparison.
+
+    Scale: the diff is ONE full outer equi-join on the stable document
+    id, carrying only (id, source, 16-byte hash) — the text never
+    crosses the shuffle. With both snapshots bucketed by doc_id the
+    join is co-located and shuffle-free; the census is a constant-size
+    partial+final agg. This is the audit a pipeline runs before
+    promoting a new snapshot to training.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 20 != 3).select(
+        "doc_id", "source", F.md5(canonical_text("text")).alias("h")
+    )
+    new = docs.filter(F.col("doc_id") % 20 != 7).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                canonical_text("text"),
+                F.when(F.col("doc_id") % 13 == 0, ":v2").otherwise(""),
+            )
+        ).alias("h"),
+    )
+    joined = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# -------------------------------------------------------- merge upsert
+
+# MERGE INTO semantics over a lakehouse-style table: target = current
+# orders table (three quarters of rows), batch = revised rows for every
+# even order key (price uplift, status 'U'). Matched rows take the
+# batch version; unmatched batch rows insert; untouched target rows
+# carry forward.
+
+
+@register(
+    "merge_upsert_orders",
+    tags=("join", "pipeline"),
+    oracle="""
+    WITH target AS (
+      SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.05 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT b.o_orderkey, b.o_orderstatus,
+             b.o_totalprice,
+             CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS merge_action
+      FROM batch b LEFT JOIN target t ON b.o_orderkey = t.o_orderkey
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus,
+             CAST(t.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             'kept' AS merge_action
+      FROM target t ANTI JOIN batch b ON t.o_orderkey = b.o_orderkey
+    )
+    SELECT merge_action, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_totalprice
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) expressed as join algebra: matched target
+    rows are replaced by the batch version, unmatched batch rows are
+    inserted, untouched target rows carry forward — then a per-(action,
+    status) census with an exact decimal price sum certifies the merge.
+
+    Scale: one left join (batch vs target keys) plus one anti join —
+    both equi-joins on the table's primary key, so with the target
+    maintained bucketed by key (as a lakehouse table would be) the
+    merge is co-located and only the batch (the small side) moves.
+    This is the row-level incremental-ingest primitive behind SCD1
+    maintenance; the census output is constant-size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        # ROUND half-up in both engines, THEN an exact (no-op) downcast:
+        # a bare decimal downcast would round in Spark but TRUNCATE in
+        # DuckDB — 0.0045/row of silent divergence.
+        F.round(dec("o_totalprice") * F.lit("1.05").cast("decimal(3,2)"), 2)
+        .cast("decimal(18,2)")
+        .alias("o_totalprice"),
+    )
+    upserts = (
+        batch.alias("b")
+        .join(
+            target.select("o_orderkey").alias("t"),
+            F.col("b.o_orderkey") == F.col("t.o_orderkey"),
+            "left",
+        )
+        .select(
+            F.col("b.o_orderstatus").alias("o_orderstatus"),
+            F.col("b.o_totalprice").alias("o_totalprice"),
+            F.when(F.col("t.o_orderkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
+    kept = target.join(batch, "o_orderkey", "left_anti").select(
+        "o_orderstatus",
+        dec("o_totalprice").alias("o_totalprice"),
+        F.lit("kept").alias("merge_action"),
+    )
+    return (
+        upserts.unionByName(kept)
+        .groupBy("merge_action", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").cast("double").alias("sum_totalprice"),
+        )
+    )
+
+
+# ----------------------------------------------- training shuffle shards
+
+N_SHARDS = 64
+
+
+@register(
+    "shuffle_shard_assignment",
+    tags=("sampling", "hash", "pipeline"),
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             {md5_long_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard,
+             {md5_long_sql("'order:' || CAST(doc_id AS VARCHAR)")}
+               AS order_key
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(order_key) AS min_order_key,
+           MIN_BY(doc_id, order_key) AS first_doc
+    FROM assigned GROUP BY 1
+    """,
+)
+def shuffle_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    pseudo-random shard (md5 % {N_SHARDS}) and a pseudo-random order
+    key within its shard, both pure functions of doc_id — so every
+    re-run, resume, and backfill reproduces the identical epoch order
+    (the property a seeded RNG over a non-deterministic row order does
+    NOT have). Output is the per-shard census plus each shard's first
+    document under the order key.
+
+    Scale: assignment is a scan-side projection (two md5s in codegen);
+    the census is one partial+final agg on the shard key. An actual
+    epoch writer would ``repartition(N, shard)`` +
+    ``sortWithinPartitions(order_key)`` — one shuffle, and the sort is
+    per-shard, never global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.pmod(
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(N_SHARDS),
+        ).alias("shard"),
+        md5_long(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
+            "order_key"
+        ),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("order_key").alias("min_order_key"),
+        F.min_by("doc_id", "order_key").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------- gram matrix
+
+GRAM_SCALE = 10000  # fixed-point quantization: x -> floor(x*1e4 + 0.5)
+
+
+@register(
+    "embedding_gram_matrix",
+    tags=("similarity", "udf"),
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_SCALE} + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings
+    )
+    SELECT CAST(a.d AS INTEGER) AS i,
+           CAST(b.d AS INTEGER) AS j,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (X^T X, upper triangle) over the
+    embedding table — the building block behind covariance/PCA
+    whitening and linear-probe fits.
+
+    Coordinates are quantized to integer fixed point
+    (``floor(x * {GRAM_SCALE} + 0.5)``, identical formula in both
+    engines — np.rint's half-to-even would NOT match SQL rounding) so
+    every partial product and sum is exact int64 arithmetic: the result
+    is bit-identical regardless of partitioning or summation order.
+    With |x| <= 0.5 * {GRAM_SCALE} the per-pair product is <= 2.5e7;
+    int64 holds the sum up to ~3.7e11 rows — far past 100 TB of
+    embeddings (a production variant past that would hierarchical-sum
+    into decimal(38,0)).
+
+    Scale: each Arrow batch contributes one d x d partial via a BLAS
+    integer matmul inside ``mapInPandas`` — communication is
+    O(partitions * d^2) tiny (i, j, partial) rows, reduced by one
+    constant-size agg. The oracle's self-join-on-vec_id form is the
+    O(n * d^2)-row plan we deliberately avoid. The embedding table is
+    scanned once, never shuffled.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xi = np.floor(x * GRAM_SCALE + 0.5).astype(np.int64)
+            g = xi.T @ xi
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "partial": g[iu, ju]}
+            )
+
+    partials = emb.mapInPandas(partial_gram, "i int, j int, partial long")
+    return partials.groupBy("i", "j").agg(F.sum("partial").cast("bigint").alias("gram"))

@@ -81,6 +81,13 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "events_incremental_hourly_merge",
     "daily_active_users_cumulative",
     "source_overlap_matrix",
+    # round-3 ml-prep module (queries/mlprep.py)
+    "text_unigram_logprob",
+    "source_mixture_weights",
+    "snapshot_diff_documents",
+    "merge_upsert_orders",
+    "shuffle_shard_assignment",
+    "embedding_gram_matrix",
 )
 
 

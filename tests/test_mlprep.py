@@ -1,0 +1,115 @@
+"""Unit + invariant tests for the ML-prep operators
+(eecs_485___mapreduce_spark/queries/mlprep.py) — independent of the
+DuckDB oracle comparison in test_queries_oracle.py, these pin the
+semantics directly (numpy ground truth for the gram matrix, key
+arithmetic for merge/diff, determinism for the shuffle shards)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from eecs_485___mapreduce_spark.queries.mlprep import (
+    GRAM_SCALE,
+    N_SHARDS,
+    embedding_gram_matrix,
+    merge_upsert_orders,
+    shuffle_shard_assignment,
+    snapshot_diff_documents,
+    text_unigram_logprob,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """The distributed partial-gram reduction must equal the single
+    matrix product over the whole table (associativity of the exact
+    integer arithmetic is the whole point of the quantization)."""
+    table = pq.read_table(f"{SF_SMALL}/embeddings.parquet", columns=["embedding"])
+    x = np.stack(table["embedding"].to_pylist()).astype(np.float64)
+    xi = np.floor(x * GRAM_SCALE + 0.5).astype(np.int64)
+    want = xi.T @ xi
+
+    got = {(r.i, r.j): r.gram for r in embedding_gram_matrix(spark, SF_SMALL).collect()}
+    d = xi.shape[1]
+    assert len(got) == d * (d + 1) // 2  # upper triangle, diagonal included
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == want[i, j], (i, j)
+
+
+def test_merge_upsert_action_arithmetic(spark):
+    """inserted + updated = |batch|; kept = |target| - updated; the
+    three actions partition the merged table."""
+    orders = pq.read_table(f"{SF_SMALL}/orders.parquet", columns=["o_orderkey"])
+    keys = np.asarray(orders["o_orderkey"])
+    n_target = int((keys % 4 != 0).sum())
+    n_batch = int((keys % 2 == 0).sum())
+    n_updated = int(((keys % 2 == 0) & (keys % 4 != 0)).sum())
+
+    rows = merge_upsert_orders(spark, SF_SMALL).collect()
+    by_action: dict[str, int] = {}
+    for r in rows:
+        by_action[r.merge_action] = by_action.get(r.merge_action, 0) + r.n_rows
+    assert by_action["updated"] == n_updated
+    assert by_action["inserted"] == n_batch - n_updated
+    assert by_action["kept"] == n_target - n_updated
+
+
+def test_snapshot_diff_status_arithmetic(spark):
+    """added = docs dropped from OLD only; removed = dropped from NEW
+    only; changed = version-marked docs present in both."""
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["doc_id"])
+    ids = np.asarray(docs["doc_id"])
+    n_added = int((ids % 20 == 3).sum())  # %20==3 is never dropped by NEW (7)
+    n_removed = int((ids % 20 == 7).sum())
+    n_changed = int(((ids % 13 == 0) & (ids % 20 != 3) & (ids % 20 != 7)).sum())
+
+    rows = snapshot_diff_documents(spark, SF_SMALL).collect()
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+    assert by_status["added"] == n_added
+    assert by_status["removed"] == n_removed
+    assert by_status["changed"] == n_changed
+    assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_shuffle_shards_cover_and_deterministic(spark):
+    """Every shard populated on the test corpus, censuses sum to the
+    corpus, and a re-run reproduces the identical assignment (the
+    pure-function-of-id property that makes epoch order reproducible)."""
+    a = {r.shard: r for r in shuffle_shard_assignment(spark, SF_SMALL).collect()}
+    assert len(a) == N_SHARDS
+    assert sum(r.n_docs for r in a.values()) == 500
+    b = {r.shard: r for r in shuffle_shard_assignment(spark, SF_SMALL).collect()}
+    assert {k: (v.n_docs, v.first_doc, v.min_order_key) for k, v in a.items()} == {
+        k: (v.n_docs, v.first_doc, v.min_order_key) for k, v in b.items()
+    }
+
+
+def test_surprisal_buckets_populated(spark):
+    """The head/middle/tail gate must actually split the corpus (a
+    degenerate all-one-bucket threshold would make the quality signal
+    useless) and mean surprisal must be positive and finite."""
+    rows = text_unigram_logprob(spark, SF_SMALL).collect()
+    buckets = {r.ppl_bucket for r in rows}
+    assert buckets == {"head", "middle", "tail"}
+    for r in rows:
+        assert 0 < r.mean_surprisal_mnat < 20000
+        assert r.sum_surprisal_mnat >= r.n_tokens  # >= 1 mnat per token
+
+
+def test_gram_matrix_plan_no_join_single_shuffle(spark):
+    """Scale shape: the gram matrix must plan as scan -> mapInPandas ->
+    one d^2-key aggregation. Any join (the oracle's self-join form) or
+    a second exchange would explode at 100 TB."""
+    from eecs_485___mapreduce_spark.plans import physical_plan
+
+    plan = physical_plan(embedding_gram_matrix(spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    # formatted plans name each node twice (tree + detail) — count tree
+    # nodes, which render as "Exchange (<id>)".
+    assert plan.count("Exchange (") <= 1, plan
+    assert "MapInPandas" in plan

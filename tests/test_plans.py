@@ -247,6 +247,42 @@ def test_split_census_is_scan_side_single_agg(spark):
     assert c["plan"].count("FileScan") == 1, c["plan"]
 
 
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
+    """100 TB evidence: Q4's orders-semi-lineitem is the engine's
+    canonical fact-fact join, and at cluster scale Spark's
+    InjectRuntimeFilter should build a bloom filter from the filtered
+    orders keys and prune lineitem AT THE SCAN, before the shuffle.
+    The stock thresholds (10 GB application-side scan) correctly
+    suppress the filter at test scale, so this test lowers them to
+    cluster-like ratios and pins that the join SHAPE is eligible — a
+    refactor that broke eligibility (e.g. wrapping the join key in a
+    non-deterministic expression) would silently forfeit the pruning
+    exactly where it matters most."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    from eecs_485___mapreduce_spark.queries.tpch import q4_order_priority
+
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = (
+            q4_order_priority(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_tfidf_tokenizes_once_and_group_limits(spark):
     """The tf relation feeds both the score and the df branch through a
     persist barrier — exactly ONE Generate (tokenize+explode) may
