@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     advanced,
     curation,
     dedup,
+    graph,
     mlprep,
     multimodal,
     pipeline,

@@ -1,0 +1,163 @@
+"""Graph and mergeable-sketch operators: integer-exact PageRank over
+the customer-supplier interaction graph, and re-aggregatable
+HyperLogLog sketch state.
+
+PageRank joins k-means (queries/similarity.py) and connected components
+(queries/dedup.py) as the engine's third iterative algorithm — but
+unlike those two, its fixed-iteration form is fully SQL-expressible
+(unrolled CTEs), so it gets a real DuckDB oracle, not a rows-only
+check.
+
+Determinism: classic PageRank sums double contributions, which is
+association-order dependent and would flake the driver's value hash.
+Here ALL rank mass is integer micro-units: contributions are exact
+integer divisions (``rank div degree``), damping is integer
+(``(15*BASE + 85*sum) div 100``), and bigint sums are exact in any
+order. The fixed point of the integer recurrence differs from float
+PageRank by < 1 micro-unit per hop — irrelevant for ranking, decisive
+for reproducibility (the same argument as the surprisal millinats in
+queries/mlprep.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scoped_persist
+from ..registry import register
+from ..sources import load_table
+
+PAGERANK_BASE = 1_000_000  # rank micro-units per node
+PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    base = PAGERANK_BASE
+    sql = f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    bi AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM bi GROUP BY 1),
+    r0 AS (SELECT node, CAST({base} AS BIGINT) AS r FROM deg)
+    """
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        sql += f""",
+    s{i} AS (
+      SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      FROM bi b
+      JOIN {prev} r ON b.src = r.node
+      JOIN deg d ON b.src = d.node
+      GROUP BY 1
+    ),
+    r{i} AS (SELECT node, (15 * {base} + 85 * s) // 100 AS r FROM s{i})
+        """
+        prev = f"r{i}"
+    sql += f"""
+    SELECT r.node AS node_id, r.r AS rank_fixed, d.deg AS degree
+    FROM {prev} r JOIN deg d USING (node)
+    """
+    return sql
+
+
+@register(
+    "pagerank_customer_supplier",
+    tags=("graph", "join", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} fixed iterations) over the
+    bipartite customer-supplier graph induced by orders x lineitem —
+    "which suppliers sit at the center of the purchase network". The
+    graph is symmetrized (both edge directions) so rank circulates.
+
+    Scale (100 TB): the edge list is built by ONE fact-fact equi-join,
+    deduplicated, persisted, and reused across iterations; each
+    iteration is an equi-join of the current rank vector against the
+    edge list plus one partial+final agg on the destination key — the
+    same join-agg loop as connected components (dedup.py), with edges
+    partitioned once and rank vectors (|nodes| rows, tiny next to
+    |edges|) flowing to the edges. No driver-side state, no cartesian
+    anything; iterations are a static 3-deep plan unroll (a longer run
+    would localCheckpoint every few hops like dedup_clusters does).
+    Integer rank mass makes the result bit-reproducible under any
+    partitioning (see module docstring).
+    """.format(iters=PAGERANK_ITERS)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = scoped_persist(
+        ("pagerank.edges", sf_dir),
+        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+    )
+    deg = bi.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    edges = bi.join(deg, bi.src == deg.node).select("src", "dst", "deg")
+
+    ranks = deg.select("node", F.lit(PAGERANK_BASE).cast("bigint").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            "node",
+            F.expr(f"(15 * {PAGERANK_BASE} + 85 * s) div 100").alias("r"),
+        )
+    return ranks.join(deg.withColumnRenamed("node", "n2"), ranks.node == F.col("n2")).select(
+        F.col("node").alias("node_id"),
+        F.col("r").alias("rank_fixed"),
+        F.col("deg").alias("degree"),
+    )
+
+
+@register("approx_users_hll_mergeable", tags=("agg", "approx", "sketch"), oracle=None)
+def approx_users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-user sketches: one Apache DataSketches
+    HLL per event_type, plus the ALL row computed by MERGING the
+    per-type sketches (``hll_union_agg``) — never by re-scanning the
+    raw events.
+
+    This is the 100 TB cardinality pattern `approx_count_distinct`
+    alone can't give you: persist a sketch per (partition, group) at
+    ingest, then answer any coarser rollup by unioning sketches —
+    distinct counts become algebraically mergeable state, the same
+    state-vs-delta discipline as events_incremental_hourly_merge
+    (queries/curation.py). No oracle: sketch estimates are
+    engine-specific (the driver records rows-only); the unit test pins
+    <5% relative error vs exact counts AND that the merged ALL row
+    equals a sketch built directly over all users.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type = scoped_persist(("hll.per_type", sf_dir), per_type)
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "n_events",
+    )
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return typed.unionByName(merged)
