@@ -6,6 +6,10 @@ from .documents import (  # noqa: F401
     incremental_dedup_stream,
     read_documents_stream,
 )
+from .sinks import (  # noqa: F401
+    upsert_batch,
+    upsert_events_stream,
+)
 from .events import (  # noqa: F401
     dedup_events_stream,
     hourly_rollup_stream,

@@ -200,3 +200,44 @@ def test_checkpoint_restart_processes_each_file_exactly_once(spark, tmp_path):
 
     out = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
     assert out == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_foreach_batch_upsert_equals_latest_dedup_and_is_idempotent(spark, tmp_path):
+    """The foreachBatch bucketed-upsert sink must materialize exactly
+    what dedup_latest_event computes on demand — regardless of how the
+    input is split into micro-batches — and re-merging an
+    already-applied batch must be a no-op (the idempotence that turns
+    foreachBatch's at-least-once replay into exactly-once)."""
+    from eecs_485___mapreduce_spark.queries.tpch import dedup_latest_event
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming import upsert_batch, upsert_events_stream
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, SF_SMALL, "events")
+    events.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = upsert_events_stream(stream, table, ckpt)
+    q.awaitTermination()
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    got = spark.read.parquet(table).select(*cols)
+    want = dedup_latest_event(spark, SF_SMALL)
+    assert normalize([tuple(r) for r in got.collect()], cols) == normalize(
+        [tuple(r) for r in want.collect()], cols
+    )
+
+    # idempotence: re-merge the ENTIRE input (a superset replay of any
+    # micro-batch) — the materialized table must not change.
+    upsert_batch(spark, events, table)
+    again = spark.read.parquet(table).select(*cols)
+    assert normalize([tuple(r) for r in again.collect()], cols) == normalize(
+        [tuple(r) for r in want.collect()], cols
+    )
