@@ -372,6 +372,48 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_stats",
+    tags=("json", "variant", "agg"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
+             AS n_distinct_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` extraction (returns NULL on missing/mistyped
+    paths instead of failing the job — the posture ingest needs).
+
+    Why VARIANT and not ``get_json_object`` (which json_events uses):
+    variant decodes the JSON text ONCE into a binary form that every
+    downstream extraction reuses, where repeated get_json_object calls
+    re-parse the string per path — on a 100 TB event log with several
+    extracted fields that is a multiple of the scan cost. This is the
+    parse-once/shred-many pattern; at rest the same column would be
+    stored as parquet VARIANT and field extraction pushes into the
+    reader.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing_k"),
+    )
+
+
+@register(
     "string_part_stats",
     tags=("string", "agg"),
     oracle="""

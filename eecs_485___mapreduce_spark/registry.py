@@ -91,6 +91,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # round-3 graph/sketch module (queries/graph.py)
     "pagerank_customer_supplier",
     "approx_users_hll_mergeable",
+    "variant_props_stats",
 )
 
 
