@@ -37,14 +37,17 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # median of 3 runs per query: the first run pays one-off
+    # median of 5 runs per query: the first run pays one-off
     # codegen/JIT compile, so the median lands on a steady-state
-    # sample; the per-query spread (max-min across the 3 runs) is
+    # sample; the per-query spread (max-min across the runs) is
     # reported so a round-over-round delta smaller than the spread
-    # reads as noise, not regression.
+    # reads as noise, not regression. 5 (up from 3) because this host
+    # shows multi-second ambient load bursts from outside the process
+    # — with 3 samples one burst drags the median, with 5 it must hit
+    # three of five.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     for name, q in all_queries().items():
         if not q.bench:
             continue

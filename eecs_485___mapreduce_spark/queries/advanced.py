@@ -176,6 +176,48 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_lineitem_measures",
+    tags=("agg", "pivot"),
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM m GROUP BY 1, 2
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): widen-to-long of the lineitem measures, then a
+    per-(flag, measure) rollup — the inverse of pivot_status_by_priority
+    and the shape feeding any generic "metric name/value" store.
+
+    Scale: Spark plans unpivot as a single-scan Expand (one output row
+    per measure per input row, same operator as cube/rollup) — NOT the
+    oracle's 3-scan UNION ALL; one shuffle on the tiny (flag, measure)
+    key space with partial aggs doing the heavy lifting map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum("val", "total")
+    )
+
+
 # ------------------------------------------------------- as-of join
 
 

@@ -464,6 +464,7 @@ GRAM_SCALE = 10000  # fixed-point quantization: x -> floor(x*1e4 + 0.5)
 
 @register(
     "embedding_gram_matrix",
+    bench=True,
     tags=("similarity", "udf"),
     oracle=f"""
     WITH q AS (

@@ -92,6 +92,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "pagerank_customer_supplier",
     "approx_users_hll_mergeable",
     "variant_props_stats",
+    "unpivot_lineitem_measures",
 )
 
 

@@ -178,3 +178,32 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 3.5
+
+
+def test_observation_metrics_ride_the_gate_pass(spark):
+    """Pipeline observability: production gates report rows-in /
+    rows-kept WITHOUT a second scan by attaching Observation metrics to
+    the same action (the streaming-safe replacement for accumulator
+    hacks or re-counting). Pins that observed metrics equal a direct
+    recount."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    obs_in = Observation("gate_in")
+    obs_out = Observation("gate_out")
+    gated = (
+        docs.observe(obs_in, F.count(F.lit(1)).alias("rows"), F.sum("n_chars").alias("chars"))
+        .filter(F.col("n_chars") >= 200)
+        .observe(obs_out, F.count(F.lit(1)).alias("rows"))
+    )
+    kept = gated.count()  # one action populates every attached metric
+
+    assert obs_in.get["rows"] == docs.count()
+    assert obs_in.get["chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert obs_out.get["rows"] == kept
+    assert 0 < kept < obs_in.get["rows"]

@@ -247,6 +247,17 @@ def test_split_census_is_scan_side_single_agg(spark):
     assert c["plan"].count("FileScan") == 1, c["plan"]
 
 
+def test_unpivot_single_scan_expand(spark):
+    """unpivot must plan as one scan + Expand + one shuffle — never the
+    per-measure UNION ALL (3 scans) the oracle uses."""
+    from eecs_485___mapreduce_spark.queries.advanced import unpivot_lineitem_measures
+
+    c = _plan_counts(unpivot_lineitem_measures(spark, SF_SMALL))
+    assert c["plan"].count("Expand") == 1, c["plan"]
+    assert c["plan"].count("FileScan") == 1, c["plan"]
+    assert c["exch"] == 1, c["plan"]
+
+
 def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
     """100 TB evidence: Q4's orders-semi-lineitem is the engine's
     canonical fact-fact join, and at cluster scale Spark's

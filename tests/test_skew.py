@@ -59,3 +59,49 @@ def test_two_phase_distinct_equals_count_distinct(spark):
         for r in two_phase_distinct(li, "l_returnflag", "l_orderkey").collect()
     }
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew evidence: AQE's OptimizeSkewedJoin must split a hot
+    join partition into sub-partitions (SortMergeJoin(skew=true) +
+    'AQEShuffleRead skewed' in the final adaptive plan). This is the
+    no-code-change half of the engine's skew story — the salted-join
+    operator (operators/skew.py) is the explicit half for aggregations
+    and key-preserving joins where AQE can't help. Thresholds are
+    lowered to make a local[32]-sized hot key cross the skew bar; on a
+    real cluster the stock thresholds fire on genuinely large
+    partitions."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # key 0 holds half of 200k padded rows -> one hot partition
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        [row] = j.collect()  # AQE decides skew handling at runtime
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        # correctness unaffected by the split
+        assert row.s == sum(i for i in range(200000))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
