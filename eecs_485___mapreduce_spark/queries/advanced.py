@@ -489,3 +489,49 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_balance",
         )
     )
+
+
+@register(
+    "ntile_price_bands",
+    tags=("window", "agg"),
+    oracle="""
+    WITH banded AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS band
+      FROM orders
+    )
+    SELECT band,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM banded GROUP BY band
+    """,
+)
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram via NTILE(10): decile bands of order value
+    with per-band envelopes — complements histogram_totalprice
+    (equi-WIDTH, queries/tpch.py). The (price, orderkey) order key is a
+    total order, so band membership is deterministic under ties.
+
+    Scale: NTILE over an unpartitioned window is a global sort — fine
+    at dimension scale, NOT on a 100 TB fact (range-partitioned sort =
+    one full shuffle). There, swap to approx_percentile band EDGES
+    (approx_percentiles_price is the registered sketch path) and
+    assign bands scan-side against the broadcast edges; this exact
+    form is the oracle that certifies the sketch's bands.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            dec("o_totalprice").alias("p"), F.ntile(10).over(w).alias("band")
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+            F.sum("p").cast("double").alias("total"),
+        )
+    )

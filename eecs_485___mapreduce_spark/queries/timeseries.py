@@ -389,3 +389,55 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ------------------------------------------------ time-decayed features
+
+DECAY_ANCHOR = "2024-02-01"  # scoring date: just past the event horizon
+DECAY_HALF_LIFE_DAYS = 30.0
+
+
+@register(
+    "user_decay_score",
+    tags=("timeseries", "agg", "feature"),
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(
+                 1000000 * value
+                 * exp(-date_diff('day', CAST(ts AS DATE), DATE '{DECAY_ANCHOR}')
+                       / {DECAY_HALF_LIFE_DAYS})) AS BIGINT)) AS BIGINT)
+             AS decay_score_fixed,
+           MAX(CAST(ts AS DATE)) AS last_active
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user: each event contributes
+    ``value * exp(-age_days / 30)`` relative to a fixed scoring date —
+    the standard recency-weighted feature a ranking/curation model
+    consumes (recent activity dominates, month-old activity fades to
+    1/e).
+
+    Determinism: the exponential is computed per event from INTEGER
+    day ages (identical IEEE doubles in both engines), then quantized
+    to integer micro-units BEFORE the sum — so aggregation order can't
+    perturb the result (same discipline as the surprisal millinats in
+    queries/mlprep.py).
+
+    Scale: scan-side arithmetic in codegen plus one partial+final agg
+    on user_id. At 100 TB the decay anchor would be the run date,
+    making this a daily feature-refresh job: one pass, one shuffle of
+    |users| partial rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    age_days = F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.to_date("ts"))
+    term = F.round(
+        1000000 * F.col("value") * F.exp(-age_days / F.lit(DECAY_HALF_LIFE_DAYS))
+    ).cast("bigint")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(term).cast("bigint").alias("decay_score_fixed"),
+        F.max(F.to_date("ts")).alias("last_active"),
+    )

@@ -93,6 +93,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "approx_users_hll_mergeable",
     "variant_props_stats",
     "unpivot_lineitem_measures",
+    "user_decay_score",
+    "ntile_price_bands",
 )
 
 
