@@ -482,3 +482,72 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     return docs.filter(gate < rate).select("doc_id", "lang", "n_chars")
+
+
+# ----------------------------------------------------- chunk windows
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    tags=("text", "pipeline"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, GREATEST(len(toks), 1),
+                                    {CHUNK_STRIDE})) AS s
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             toks[s : LEAST(s + {CHUNK_TOKENS} - 1, len(toks))] AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           chunk[1] AS first_tok,
+           chunk[len(chunk)] AS last_tok,
+           CAST(('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))
+                AS BIGINT) AS chunk_key
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({chunk} tokens, stride
+    {stride}, so consecutive chunks overlap by {overlap}) — the
+    RAG/embedding-pipeline shape: every chunk gets a deterministic
+    64-bit content key (``chunk_key``) usable directly as a chunk-level
+    dedup/citation handle, plus its boundary tokens for audit.
+
+    Scale: pure per-document array arithmetic — tokenize once,
+    ``sequence`` the window starts, ``posexplode``+``slice`` the
+    windows; zero shuffle, zero Python, output rows proportional to
+    corpus tokens / stride. The chunk keys feed the same equi-join
+    dedup/similarity machinery as document keys (queries/dedup.py);
+    an embedding step would ``mapInPandas`` over exactly this relation.
+    """.format(
+        chunk=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+        overlap=CHUNK_TOKENS - CHUNK_STRIDE,
+    )
+    from ..functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens("text").alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = tok.select("doc_id", "toks", F.posexplode(starts).alias("pos", "s"))
+    chunk = F.slice("toks", F.col("s"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.element_at(chunk, 1).alias("first_tok"),
+        F.element_at(chunk, -1).alias("last_tok"),
+        md5_long(F.array_join(chunk, " ")).alias("chunk_key"),
+    )

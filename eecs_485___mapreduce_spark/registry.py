@@ -95,6 +95,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "unpivot_lineitem_measures",
     "user_decay_score",
     "ntile_price_bands",
+    "text_chunk_windows",
 )
 
 
