@@ -579,13 +579,13 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT n,
-           sx / n AS mean_qty,
-           sy / n AS mean_price,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           (syy - sy * sy / n) / (n - 1) AS var_price,
-           (sxy - sx * sy / n) / (n - 1) AS covar,
-           (sxy - sx * sy / n)
-             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qp
+           ROUND(sx / n, 6) AS mean_qty,
+           ROUND(sy / n, 6) AS mean_price,
+           ROUND((sxx - sx * sx / n) / (n - 1), 2) AS var_qty,
+           ROUND((syy - sy * sy / n) / (n - 1), 2) AS var_price,
+           ROUND((sxy - sx * sy / n) / (n - 1), 2) AS covar,
+           ROUND((sxy - sx * sy / n)
+             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 8) AS corr_qp
     FROM m
     """,
 )
@@ -599,8 +599,16 @@ def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one pass, one scalar output row, partial sums map-side. The
     two-pass textbook formula is unnecessary because the sums are exact
-    decimals (no catastrophic cancellation until the final double ops,
-    which are deterministic).
+    decimals (no catastrophic cancellation until the final double ops).
+
+    Outputs are rounded at fixed precision because the one remaining
+    cross-engine hazard is the decimal->double CAST itself: once a
+    squared sum crosses 2^53 (observed at sf0.1: syy ~ 2.2e15), DuckDB
+    converts scaled-int128 / 10^scale with TWO roundings and lands
+    1 ulp off Spark's correctly-rounded BigDecimal.doubleValue. The
+    ulp-level input error perturbs var/covar by ~1e-7 absolute, so
+    fixed rounding well above that level (2dp on variances, 8dp on the
+    correlation) restores bit-equality through sf1.0 and beyond.
     """
     li = load_table(spark, sf_dir, "lineitem")
     m = li.agg(
@@ -617,14 +625,15 @@ def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return m.select(
         n.alias("n"),
-        (sx / n).alias("mean_qty"),
-        (sy / n).alias("mean_price"),
-        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
-        ((syy - sy * sy / n) / (n - 1)).alias("var_price"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar"),
-        (
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(sy / n, 6).alias("mean_price"),
+        F.round((sxx - sx * sx / n) / (n - 1), 2).alias("var_qty"),
+        F.round((syy - sy * sy / n) / (n - 1), 2).alias("var_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("covar"),
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            8,
         ).alias("corr_qp"),
     )
 

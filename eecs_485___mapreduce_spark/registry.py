@@ -96,6 +96,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "user_decay_score",
     "ntile_price_bands",
     "text_chunk_windows",
+    # rounded at fixed precision this round (DuckDB's decimal->double
+    # cast is 1 ulp off past 2^53 — found by the sf0.1 sweep)
+    "stats_quantity_price",
 )
 
 
