@@ -551,3 +551,68 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(chunk, -1).alias("last_tok"),
         md5_long(F.array_join(chunk, " ")).alias("chunk_key"),
     )
+
+
+# ------------------------------------------------ Zipf coverage audit
+
+ZIPF_TOP_K = 10
+
+
+@register(
+    "zipf_coverage_by_source",
+    tags=("text", "agg", "window"),
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    tc AS (SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY 1),
+    r AS (SELECT source, term, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, term) AS rk
+          FROM tc)
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(cnt) AS BIGINT) AS topk_tokens,
+           n_tokens,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) / n_tokens, 6) AS coverage,
+           MIN_BY(term, rk) AS top_term
+    FROM r JOIN tot USING (source)
+    WHERE rk <= {ZIPF_TOP_K}
+    GROUP BY r.source, n_tokens
+    """,
+)
+def zipf_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-coverage audit: what fraction of each source's token
+    mass its top-{k} terms carry (plus the #1 term). Natural text sits
+    around 0.2-0.4; a source near 1.0 is boilerplate/templated and a
+    source near 0.0 is noise — a cheap corpus-health dashboard row per
+    source.
+
+    Scale: token counts are one partial+final agg on (source, term);
+    the top-k is a WindowGroupLimit (running top-k per source, no full
+    sort of the vocabulary); totals and coverage are arithmetic on the
+    |sources|-sized result. The corpus is scanned once.
+    """.format(k=ZIPF_TOP_K)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term"))
+    top = tc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= ZIPF_TOP_K
+    )
+    return (
+        top.join(tot, "source")
+        .groupBy("source", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("cnt").cast("bigint").alias("topk_tokens"),
+            F.round(
+                F.sum("cnt").cast("double") / F.first("n_tokens"), 6
+            ).alias("coverage"),
+            F.min_by("term", "rk").alias("top_term"),
+        )
+        .select("source", "k", "topk_tokens", "n_tokens", "coverage", "top_term")
+    )

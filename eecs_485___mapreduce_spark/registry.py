@@ -99,6 +99,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # rounded at fixed precision this round (DuckDB's decimal->double
     # cast is 1 ulp off past 2^53 — found by the sf0.1 sweep)
     "stats_quantity_price",
+    "zipf_coverage_by_source",
 )
 
 
