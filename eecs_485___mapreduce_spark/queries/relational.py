@@ -561,3 +561,91 @@ def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "profile_orders_columns",
+    tags=("agg", "profiling"),
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-catalog/discovery op): per column of
+    the orders table — row count, null count, exact distinct count, and
+    min/max rendered canonically (money through decimal(18,2) so both
+    engines print identical strings).
+
+    Scale: ONE scan computes every per-column aggregate in a single
+    agg row (Spark fuses the 5 x 4 aggregates into one partial+final
+    pass — the oracle's UNION ALL form scans 5 times); the profile is
+    then unpivoted with ``stack``. At 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct per column and this stays a one-pass job;
+    exact distinct forces one extra expand-style aggregation but the
+    output is still 5 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(c, min_expr, max_expr):  # noqa: ANN001
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            min_expr.alias(f"{c}__min_s"),
+            max_expr.alias(f"{c}__max_s"),
+        ]
+
+    aggs = []
+    for c in ("o_orderkey", "o_custkey"):
+        aggs += prof(c, F.min(c).cast("string"), F.max(c).cast("string"))
+    aggs += prof(
+        "o_totalprice",
+        F.min(dec("o_totalprice")).cast("string"),
+        F.max(dec("o_totalprice")).cast("string"),
+    )
+    for c in ("o_orderstatus", "o_orderpriority"):
+        aggs += prof(c, F.min(c), F.max(c))
+    one = orders.agg(*aggs)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min_s, {c}__max_s"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_s, max_s)"
+        )
+    )

@@ -100,6 +100,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # cast is 1 ulp off past 2^53 — found by the sf0.1 sweep)
     "stats_quantity_price",
     "zipf_coverage_by_source",
+    "profile_orders_columns",
 )
 
 
