@@ -197,3 +197,45 @@ def test_sorted_parquet_files_have_disjoint_cluster_ranges(spark, tmp_path):
     assert back.count() == events.count()
     sel = back.filter(back.user_id == 7).count()
     assert sel == events.filter(events.user_id == 7).count()
+
+
+def test_rrtext_datasource_reproduces_reference_task_layout(spark, text_corpus):
+    """SURVEY 2.A row 2 (exact input split layout): the rrtext Python
+    DataSource's partition p must hold exactly the files the
+    reference's planner assigns to map task p (sorted listing, file i
+    -> task i % M — reference mapreduce/manager/__main__.py:93-107,
+    layout asserted by its tests/test_manager_02.py:172-196), and the
+    content read through it must equal the plain text reader's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sources import RoundRobinTextDataSource
+
+    spark.dataSource.register(RoundRobinTextDataSource)
+    m = 2
+    df = (
+        spark.read.format("rrtext")
+        .option("path", text_corpus)
+        .option("num_mappers", str(m))
+        .load()
+    )
+    # partition id == task id, and the file sets are the round-robin
+    got = {
+        (r.task, r.pid, r.file)
+        for r in df.select(
+            "task", F.spark_partition_id().alias("pid"), "file"
+        ).distinct().collect()
+    }
+    files = sorted(
+        os.path.join(text_corpus, f) for f in os.listdir(text_corpus)
+    )
+    want = {(i % m, i % m, f) for i, f in enumerate(files)}
+    assert got == want
+
+    # content parity with the stock text reader (order-insensitive)
+    plain = sorted(
+        r.value for r in spark.read.text([f for f in files]).collect()
+    )
+    via_ds = sorted(r.value for r in df.select("value").collect())
+    assert via_ds == plain
