@@ -522,3 +522,100 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = emb.mapInPandas(partial_gram, "i int, j int, partial long")
     return partials.groupBy("i", "j").agg(F.sum("partial").cast("bigint").alias("gram"))
+
+
+# ---------------------------------------------------- training manifest
+
+from .curation import _SPLIT_EXPR_SQL as _SPLIT_EXPR_ORACLE  # noqa: E402
+
+MANIFEST_BUCKETS = 8  # shard space coarsened for the manifest census
+
+
+@register(
+    "training_manifest",
+    tags=("pipeline", "sampling", "hash"),
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             {_SPLIT_EXPR_ORACLE} AS split,
+             {md5_long_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {MANIFEST_BUCKETS} AS bucket,
+             len({_TOKS}) AS n_toks
+      FROM documents
+    ),
+    g AS (
+      SELECT split, source, bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY 1, 2, 3
+    ),
+    src AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM g GROUP BY 1
+    ),
+    w AS (
+      SELECT source, src_tokens,
+             CAST(ROUND(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_fixed
+      FROM src
+    ),
+    tot AS (SELECT CAST(SUM(w_fixed) AS BIGINT) AS total_w FROM w)
+    SELECT g.split, g.source, g.bucket, g.n_docs, g.n_tokens,
+           ROUND(CAST(w_fixed AS DOUBLE) / total_w, 6) AS source_weight
+    FROM g JOIN w USING (source) CROSS JOIN tot
+    """,
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training manifest: per (split, source, shard
+    bucket) — document/token counts plus the source's temperature-
+    scaled sampling weight. This is the artifact a trainer's data
+    loader actually consumes, and it COMPOSES the engine's
+    deterministic assignment primitives (hash split, hash shard,
+    alpha=0.5 mixture) into one relation: every row is reproducible
+    from document ids alone.
+
+    Scale: one corpus scan computes all three assignments scan-side;
+    one partial+final agg onto the |splits| x |sources| x |buckets|
+    key space (constant-size); the weight normalization is arithmetic
+    on the |sources|-sized rollup of that SAME aggregate — the corpus
+    is never re-scanned or shuffled a second time.
+    """
+    from .curation import split_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "source",
+        split_assignment("doc_id").alias("split"),
+        F.pmod(
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(MANIFEST_BUCKETS),
+        ).alias("bucket"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    g = scoped_persist(
+        ("training_manifest.g", sf_dir),
+        assigned.groupBy("split", "source", "bucket").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        ),
+    )
+    src = g.groupBy("source").agg(F.sum("n_tokens").cast("bigint").alias("src_tokens"))
+    w = src.withColumn(
+        "w_fixed",
+        F.round(F.sqrt(F.col("src_tokens").cast("double")) * 1000000).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_fixed").cast("bigint").alias("total_w"))
+    return (
+        g.join(w.select("source", "w_fixed"), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "source",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("w_fixed").cast("double") / F.col("total_w"), 6).alias(
+                "source_weight"
+            ),
+        )
+    )

@@ -101,6 +101,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "stats_quantity_price",
     "zipf_coverage_by_source",
     "profile_orders_columns",
+    "training_manifest",
 )
 
 
