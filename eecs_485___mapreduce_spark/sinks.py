@@ -169,3 +169,77 @@ def write_sorted_parquet(
     out.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(
         output_dir
     )
+
+
+def write_shuffle_layout(
+    mapped: DataFrame, num_reducers: int, output_dir: str
+) -> None:
+    """Materialize map output in the reference's EXACT shuffle-file
+    layout: one byte-sorted file ``maptask{task:05d}-part{r:05d}`` per
+    (map task, reduce partition), where ``r = md5(key) % R`` on the
+    text before the first tab.
+
+    Contract being reproduced (reference mapreduce/worker/__main__.py):
+    routing :141-148 (md5 of the first-tab key), per-file whole-line
+    byte sort :150-152, canonical names moved into the shared job dir
+    :154-155 (naming pinned by its tests/test_worker_08.py:175-257).
+
+    ``mapped`` must carry ``value`` (the ``key\\tvalue`` line) and
+    ``task`` (the map-task id — e.g. from the ``rrtext`` source, whose
+    partitions ARE reference map tasks).
+
+    Scale: one shuffle on (task, r) with a per-partition sort —
+    Spark's sort-based shuffle machinery doing exactly what the
+    reference's external-sort + rename pipeline did, then a
+    metadata-only driver rename pass (file count = M x R, never data
+    through the driver). This is a layout-compat sink; value semantics
+    never depend on it (SURVEY section 4.3).
+    """
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    # Exact reference routing: int(md5_hex, 16) % R over the FULL
+    # 128-bit digest. Done in two md5-hex halves to stay in exact
+    # integer arithmetic: (hi * 2^64 + lo) % R == ((hi % R) * (2^64 % R)
+    # + lo % R) % R.
+    key = F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+    hi = F.conv(F.substring(F.md5(key), 1, 16), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(F.md5(key), 17, 16), 16, 10).cast("decimal(38,0)")
+    two64_mod = (1 << 64) % num_reducers
+    r_col = F.pmod(
+        F.pmod(hi, F.lit(num_reducers)) * F.lit(two64_mod) + F.pmod(lo, F.lit(num_reducers)),
+        F.lit(num_reducers),
+    ).cast("int")
+
+    staged = output_dir + ".staging"
+    (
+        mapped.select("task", r_col.alias("r"), "value")
+        .repartition("task", "r")
+        # (task, r) lead the sort so the partitioned writer's required
+        # ordering is already satisfied (it would otherwise insert its
+        # own partition-column sort and scramble line order); within
+        # each (task, r) run this is the whole-line byte sort.
+        .sortWithinPartitions("task", "r", "value")
+        .write.mode("overwrite")
+        .partitionBy("task", "r")
+        .text(staged)
+    )
+    if os.path.exists(output_dir):
+        shutil.rmtree(output_dir)
+    os.makedirs(output_dir)
+    for task_dir in sorted(glob.glob(os.path.join(staged, "task=*"))):
+        task = int(task_dir.rsplit("=", 1)[1])
+        for r_dir in sorted(glob.glob(os.path.join(task_dir, "r=*"))):
+            r = int(r_dir.rsplit("=", 1)[1])
+            parts = sorted(glob.glob(os.path.join(r_dir, "part-*")))
+            dest = os.path.join(
+                output_dir, f"maptask{task:05d}-part{r:05d}"
+            )
+            with open(dest, "wb") as out:
+                for p in parts:
+                    with open(p, "rb") as fh:
+                        shutil.copyfileobj(fh, out)
+    shutil.rmtree(staged)

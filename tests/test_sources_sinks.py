@@ -239,3 +239,49 @@ def test_rrtext_datasource_reproduces_reference_task_layout(spark, text_corpus):
     )
     via_ds = sorted(r.value for r in df.select("value").collect())
     assert via_ds == plain
+
+
+def test_write_shuffle_layout_reproduces_reference_naming_and_routing(
+    spark, tmp_path
+):
+    """SURVEY 2.A rows 4-6 byte-level layout: maptaskM-partR file per
+    (task, md5(key) % R) with whole-line byte sort inside each file —
+    the reference worker's shuffle materialization (reference
+    mapreduce/worker/__main__.py:141-155, naming pinned by its
+    tests/test_worker_08.py:175-257), including the full-128-bit md5
+    modulus and empty-string keys."""
+    import hashlib
+    import os
+
+    from eecs_485___mapreduce_spark.operators.pipe import md5_partition
+    from eecs_485___mapreduce_spark.sinks import write_shuffle_layout
+
+    lines = [
+        ("hello\t1", 0), ("world\t1", 0), ("\t9", 0),  # empty key flows
+        ("hello\t1", 1), ("spark\t1", 1), ("zebra\t1", 1),
+        ("apple\t1", 0), ("notab-line", 1),
+    ]
+    mapped = spark.createDataFrame(lines, "value string, task int")
+    out = str(tmp_path / "shuffle")
+    r = 3
+    write_shuffle_layout(mapped, r, out)
+
+    names = sorted(os.listdir(out))
+    # every emitted file follows the canonical naming
+    assert all(
+        n.startswith("maptask") and "-part" in n and len(n) == len("maptask00000-part00000")
+        for n in names
+    ), names
+
+    # routing + sort parity with the reference formula
+    want: dict[str, list[str]] = {}
+    for value, task in lines:
+        key = value.partition("\t")[0]
+        part = md5_partition(key, r)  # int(md5_hex, 16) % R
+        want.setdefault(f"maptask{task:05d}-part{part:05d}", []).append(value)
+    for name, vals in want.items():
+        assert name in names, (name, names)
+        got = open(os.path.join(out, name)).read().splitlines()
+        assert got == sorted(vals), name
+    # no stray files beyond the populated (task, r) cells
+    assert set(names) == set(want)
