@@ -609,8 +609,10 @@ def zipf_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("k"),
             F.sum("cnt").cast("bigint").alias("topk_tokens"),
+            # n_tokens is a grouping column, so reference it directly
+            # rather than through a first-value aggregate.
             F.round(
-                F.sum("cnt").cast("double") / F.first("n_tokens"), 6
+                F.sum("cnt").cast("double") / F.col("n_tokens"), 6
             ).alias("coverage"),
             F.min_by("term", "rk").alias("top_term"),
         )
