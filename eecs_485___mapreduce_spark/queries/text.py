@@ -595,9 +595,16 @@ def zipf_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(k=ZIPF_TOP_K)
     from pyspark.sql import Window
 
+    from ..functions import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens("text")).alias("term"))
-    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    # tc feeds both the totals and the top-k branch — persist so the
+    # corpus really is scanned once (the single-scan claim above).
+    tc = scoped_persist(
+        ("zipf.tc", sf_dir),
+        tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt")),
+    )
     tot = tc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
     w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term"))
     top = tc.withColumn("rk", F.row_number().over(w)).filter(

@@ -247,6 +247,43 @@ def test_split_census_is_scan_side_single_agg(spark):
     assert c["plan"].count("FileScan") == 1, c["plan"]
 
 
+def test_mlprep_persist_shared_single_scan(spark):
+    """The unigram-LM and manifest pipelines persist their working
+    relation (token explode / grouped census) and every downstream
+    branch must read it from cache — the printed plan shows one
+    InMemoryTableScan per consumer branch (3 each), and cold builds
+    scan the corpus once. No cartesian anywhere."""
+    from eecs_485___mapreduce_spark.functions import release_scope
+    from eecs_485___mapreduce_spark.queries.mlprep import (
+        text_unigram_logprob,
+        training_manifest,
+    )
+    from eecs_485___mapreduce_spark.queries.text import zipf_coverage_by_source
+
+    release_scope(SF_SMALL)
+    try:
+        for q, n_cache_reads in (
+            (text_unigram_logprob, 3),  # tok -> cnt, total, scored
+            (training_manifest, 3),  # g -> output join, w branch, tot
+            (zipf_coverage_by_source, 2),  # tc -> totals, top-k
+        ):
+            c = _plan_counts(q(spark, SF_SMALL))
+            assert c["plan"].count("InMemoryTableScan") == n_cache_reads, (
+                f"{q.__name__}\n{c['plan']}"
+            )
+            assert_no_cartesian(q(spark, SF_SMALL))
+        # the zipf top-k must be a running group-limit, not a full sort
+        plan = (
+            zipf_coverage_by_source(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+    finally:
+        release_scope(SF_SMALL)
+
+
 def test_unpivot_single_scan_expand(spark):
     """unpivot must plan as one scan + Expand + one shuffle — never the
     per-measure UNION ALL (3 scans) the oracle uses."""
