@@ -547,8 +547,11 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("pos").cast("bigint").alias("chunk_id"),
         F.size(chunk).cast("bigint").alias("n_tokens"),
-        F.element_at(chunk, 1).alias("first_tok"),
-        F.element_at(chunk, -1).alias("last_tok"),
+        # try_: an all-whitespace document yields ONE empty chunk whose
+        # boundary tokens are NULL (matches the oracle's chunk[1] on an
+        # empty list); plain element_at throws under ANSI semantics.
+        F.try_element_at(chunk, F.lit(1)).alias("first_tok"),
+        F.try_element_at(chunk, F.lit(-1)).alias("last_tok"),
         md5_long(F.array_join(chunk, " ")).alias("chunk_key"),
     )
 

@@ -89,3 +89,50 @@ def test_canonical_text_equals_token_join_on_nasty_inputs(spark):
     ).collect()
     for r in rows:
         assert r.fast == r.slow, (r.fast, r.slow)
+
+
+def test_chunk_windows_boundary_semantics(spark):
+    """Chunking invariants on synthetic docs at every boundary shape:
+    coverage (chunks tile the token stream at stride 24), overlap
+    (consecutive chunks share 8 tokens), final-chunk truncation, and
+    the empty/whitespace-doc degenerate case (one empty chunk, null
+    boundary tokens)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_windows,
+    )
+
+    lengths = [0, 1, 23, 24, 25, 32, 33, 56, 57, 100]
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)), "en", "src", n)
+        for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in text_chunk_windows(spark, d).collect()
+    }
+    for doc_id, n in enumerate(lengths):
+        if n == 0:
+            r = out[(doc_id, 0)]
+            assert r.n_tokens == 0 and r.first_tok is None and r.last_tok is None
+            assert (doc_id, 1) not in out
+            continue
+        n_chunks = len(range(1, n + 1, CHUNK_STRIDE))
+        assert {cid for (did, cid) in out if did == doc_id} == set(range(n_chunks))
+        for cid in range(n_chunks):
+            r = out[(doc_id, cid)]
+            start = cid * CHUNK_STRIDE  # 0-based token offset
+            want_len = min(CHUNK_TOKENS, n - start)
+            assert r.n_tokens == want_len, (doc_id, cid)
+            assert r.first_tok == f"t{doc_id}x{start}"
+            assert r.last_tok == f"t{doc_id}x{start + want_len - 1}"
