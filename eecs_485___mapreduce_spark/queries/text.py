@@ -552,7 +552,12 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty list); plain element_at throws under ANSI semantics.
         F.try_element_at(chunk, F.lit(1)).alias("first_tok"),
         F.try_element_at(chunk, F.lit(-1)).alias("last_tok"),
-        md5_long(F.array_join(chunk, " ")).alias("chunk_key"),
+        # no content -> no key (NULL), matching the oracle where the
+        # empty doc's slice is NULL; md5('') would mint a real-looking
+        # dedup key shared by every empty document.
+        F.when(F.size(chunk) > 0, md5_long(F.array_join(chunk, " "))).alias(
+            "chunk_key"
+        ),
     )
 
 

@@ -1,0 +1,92 @@
+"""Adversarial-input harness: every document-shaped query vs its own
+DuckDB oracle over an EDGE corpus — empty text, whitespace-only,
+single token, unicode, a 500-char single token, heavy repetition, and
+case collisions. The standard oracle gate (test_queries_oracle.py)
+runs on well-behaved synthetic data; this harness is what caught the
+chunker's ANSI element_at throw and the empty-chunk key asymmetry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from eecs_485___mapreduce_spark.functions import release_scope
+from eecs_485___mapreduce_spark.registry import all_queries
+
+from .conftest import normalize
+
+EDGE_ROWS = [
+    (0, "", "en", "srcA", 0),
+    (1, "   \t \n ", "en", "srcA", 7),
+    (2, "solo", "en", "srcA", 4),
+    (3, "héllo wörld ünïcode tokens répeat répeat", "de", "srcB", 40),
+    (4, "a " * 200, "en", "srcB", 400),
+    (5, "x" * 500, "en", "srcC", 500),
+    (6, "the quick brown fox jumps over the lazy dog", "en", "srcC", 43),
+    (7, "ONE TWO THREE one two three", "en", "srcC", 27),
+]
+
+# Document-shaped queries whose oracles read only the documents table.
+EDGE_QUERIES = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_stats",
+    "text_fingerprint",
+    "text_top_bigrams",
+    "text_lang_id",
+    "text_bpe_token_stats",
+    "text_repetition_signals",
+    "text_unigram_logprob",
+    "text_tfidf_top_terms",
+    "text_chunk_windows",
+    "zipf_coverage_by_source",
+    "source_mixture_weights",
+    "split_train_val_test",
+    "dedup_exact",
+    "snapshot_diff_documents",
+    "shuffle_shard_assignment",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("edge-corpus"))
+    (
+        spark.createDataFrame(
+            EDGE_ROWS,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    yield d
+    release_scope(d)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_query_matches_oracle_on_edge_corpus(name, spark, edge_dir, edge_duck):
+    q = all_queries()[name]
+    sdf = q.fn(spark, edge_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = edge_duck.execute(q.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(o_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(o_rows), f"{name}: row counts differ"
+    assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
+        f"{name}: values differ on the edge corpus"
+    )
