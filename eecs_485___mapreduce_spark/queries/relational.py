@@ -351,17 +351,27 @@ def date_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_events",
     tags=("json", "agg"),
     oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           ROUND(CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*), 6)
-               AS avg_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k
+    FROM e
     GROUP BY event_type
     """,
 )
 def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the events.props payload column."""
+    """JSON extraction from the events.props payload column.
+
+    Malformed/NULL payloads extract as NULL on both sides: Spark's
+    get_json_object is forgiving by design; the oracle needs an
+    explicit json_valid guard because DuckDB's json_extract THROWS on
+    malformed input (edge-corpus harness finding)."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return events.groupBy("event_type").agg(
@@ -375,15 +385,20 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_stats",
     tags=("json", "variant", "agg"),
     oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
-           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
-             AS n_distinct_k,
-           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
-    FROM events
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS n_distinct_k,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_k
+    FROM e
     GROUP BY event_type
     """,
 )
@@ -403,7 +418,10 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader.
     """
     events = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: malformed payloads become NULL variants instead
+    # of failing the job (plain parse_json is FAILFAST) — guaranteed to
+    # matter on a 100 TB event log.
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(k).alias("min_k"),

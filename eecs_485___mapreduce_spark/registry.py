@@ -102,6 +102,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "zipf_coverage_by_source",
     "profile_orders_columns",
     "training_manifest",
+    # malformed-JSON robustness fixes this round (edge-events harness)
+    "json_events",
 )
 
 

@@ -90,3 +90,100 @@ def test_query_matches_oracle_on_edge_corpus(name, spark, edge_dir, edge_duck):
     assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
         f"{name}: values differ on the edge corpus"
     )
+
+
+# ------------------------------------------------------- edge events
+
+import datetime
+
+_T0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+
+def _t(s: int) -> datetime.datetime:
+    return _T0 + datetime.timedelta(seconds=s)
+
+
+# NULL user/type/value/props, malformed and json-null payloads,
+# same-timestamp ties (both same-user and cross-user), a session-gap
+# boundary, negatives, and a zero value.
+EDGE_EVENTS = [
+    (1, _t(0), 1, "view", 1.0, '{"k": 1}'),
+    (2, _t(0), 2, "view", 2.0, '{"k": 2}'),
+    (3, _t(0), 2, "click", 2.5, '{"k": 3}'),
+    (4, _t(1), 2, "view", None, None),
+    (5, _t(1), 2, "view", 3.0, "{bad json"),
+    (6, _t(1800), 2, "view", 1.5, "{}"),
+    (7, _t(3600), 3, None, 4.0, '{"k": null}'),
+    (8, _t(3601), None, "purchase", 5.0, '{"k": 9}'),
+    (9, _t(3601), 3, "purchase", 5.0, '{"k": 9}'),
+    (10, _t(0), 3, "view", -1.0, '{"k": -5}'),
+    (11, _t(7203), 3, "click", 0.0, '{"k": 0}'),
+]
+
+EDGE_EVENT_QUERIES = [
+    "events_hourly",
+    "events_sliding_windows",
+    "events_session_window",
+    "sessionize_users",
+    "rolling_1h_user_value",
+    "events_gapfill_ffill",
+    "dedup_latest_event",
+    "window_events",
+    "json_events",
+    "variant_props_stats",
+    "null_semantics_events",
+    "user_decay_score",
+    "events_multires_rollup",
+    "daily_active_users_cumulative",
+    "events_incremental_hourly_merge",
+    "topk_per_group",
+    "scd2_user_state",
+    "cohort_retention",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("edge-events"))
+    (
+        spark.createDataFrame(
+            EDGE_EVENTS,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "events.parquet"))
+    )
+    yield d
+    release_scope(d)
+
+
+@pytest.fixture(scope="module")
+def edge_events_duck(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_event_query_matches_oracle_on_edge_events(
+    name, spark, edge_events_dir, edge_events_duck
+):
+    """This variant of the harness caught DuckDB's json_extract
+    throwing on malformed JSON (vs Spark's NULL) and Spark's FAILFAST
+    parse_json — both sides now treat unparseable payloads as NULL."""
+    q = all_queries()[name]
+    sdf = q.fn(spark, edge_events_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = edge_events_duck.execute(q.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(o_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(o_rows), f"{name}: row counts differ"
+    assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
+        f"{name}: values differ on the edge events"
+    )
