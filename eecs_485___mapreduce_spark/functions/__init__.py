@@ -172,6 +172,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def valid_vector(c: Column | str) -> Column:
+    """NULL-safe zero-norm guard for cosine-family operators: cosine is
+    undefined for missing/empty/all-zero vectors, and under ANSI
+    semantics the division THROWS on them (edge-embeddings harness
+    finding). Queries filter candidates through this predicate, and
+    their oracles carry :data:`VALID_VEC_SQL` so both engines score the
+    same vector set."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.isNotNull() & (
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x) > 0
+    )
+
+
+VALID_VEC_SQL = (
+    "embedding IS NOT NULL AND "
+    "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0"
+)
+
+
 # ------------------------------------------------------- scoped persist
 
 # Query functions that cache an intermediate (e.g. the shingle working

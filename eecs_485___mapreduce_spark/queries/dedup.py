@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     CANONICAL_TEXT_SQL,
     MINHASH_PRIME,
+    VALID_VEC_SQL,
     as_double_array,
     base_hashes,
     canonical_text,
@@ -37,6 +38,7 @@ from ..functions import (
     scoped_persist,
     shingles,
     tokens,
+    valid_vector,
 )
 from ..registry import register
 from ..sources import load_table
@@ -340,7 +342,7 @@ _COS_SQL = (
     tags=("dedup", "vector", "join"),
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings)
+               FROM embeddings WHERE {VALID_VEC_SQL})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_COS_SQL}, 6) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -360,7 +362,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines before the threshold so accumulation
     micro-differences cannot flip boundary pairs.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
     e = emb.select("vec_id", "label", as_double_array("embedding").alias("v"))
     a = e.alias("a")
     b = e.alias("b")

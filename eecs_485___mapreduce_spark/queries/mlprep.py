@@ -506,7 +506,13 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # NULL embeddings would crash np.stack; the oracle's unnest drops
+    # them implicitly, so filter explicitly for shared semantics.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("embedding")
+    )
 
     def partial_gram(batches):
         for pdf in batches:

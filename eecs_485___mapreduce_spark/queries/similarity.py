@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..functions import as_double_array, cosine, l2_norm
+from ..functions import VALID_VEC_SQL, as_double_array, cosine, l2_norm, valid_vector
 from ..registry import register
 from ..sources import load_table
 
@@ -47,8 +47,9 @@ _COS_SQL = (
     tags=("similarity", "vector"),
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
-    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+               FROM embeddings WHERE vec_id < {N_QUERIES} AND {VALID_VEC_SQL}),
+    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE {VALID_VEC_SQL}),
     s AS (SELECT qid, nid, round({_COS_SQL}, 6) AS sim
           FROM q CROSS JOIN c WHERE qid <> nid),
     r AS (SELECT qid, nid, sim,
@@ -65,7 +66,9 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single scan — no shuffle of the corpus; per-query top-k via
     window on the tiny scored set.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qe")
     )
@@ -289,7 +292,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     tags=("similarity", "vector", "agg"),
     oracle="""
-    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
     u AS (SELECT label, d, val
           FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS d,
                                   unnest(v) AS val))
@@ -308,7 +312,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: posexplode + partial agg — shuffle carries only
     (label, dim) keys, i.e. O(labels * dim) groups.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Explicit NOT NULL on both sides: Spark's posexplode silently
+    # drops NULL arrays while the oracle's zipped unnest pads them —
+    # the filter makes the (sensible) drop semantics shared.
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     exploded = emb.select(
         "label", F.posexplode(as_double_array("embedding")).alias("pos", "val")
     )

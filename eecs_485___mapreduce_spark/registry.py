@@ -104,6 +104,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "training_manifest",
     # malformed-JSON robustness fixes this round (edge-events harness)
     "json_events",
+    # valid-vector guard added this round (edge-embeddings harness)
+    "similarity_topk_cosine",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
 )
 
 

@@ -187,3 +187,86 @@ def test_event_query_matches_oracle_on_edge_events(
     assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
         f"{name}: values differ on the edge events"
     )
+
+
+# ---------------------------------------------------- edge embeddings
+
+import random
+
+_D = 64
+
+
+def _vec(seed: int, scale: float = 0.3) -> list:
+    rnd = random.Random(seed)
+    return [rnd.uniform(-scale, scale) for _ in range(_D)]
+
+
+# zero vector (zero norm), NULL embedding, exact duplicate pair,
+# constant vector, near-zero norm, exact antipode.
+EDGE_EMBEDDINGS = [
+    (0, [0.0] * _D, 0),
+    (1, None, 0),
+    (2, _vec(2), 1),
+    (3, _vec(3), 1),
+    (4, _vec(2), 2),
+    (5, [0.5] * _D, 2),
+    (6, _vec(6, 1e-6), 0),
+    (7, _vec(7), 1),
+    (8, _vec(8), 2),
+    (9, [-x for x in _vec(2)], 0),
+]
+
+EDGE_EMBEDDING_QUERIES = [
+    "similarity_topk_cosine",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
+    "embedding_array_stats",
+    "embedding_quantize_int8",
+    "embedding_gram_matrix",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("edge-embeddings"))
+    (
+        spark.createDataFrame(
+            EDGE_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    yield d
+    release_scope(d)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_duck(edge_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{edge_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EMBEDDING_QUERIES)
+def test_embedding_query_matches_oracle_on_edge_vectors(
+    name, spark, edge_emb_dir, edge_emb_duck
+):
+    """This variant caught ANSI divide-by-zero on zero-norm cosine,
+    the NULL-array posexplode-vs-zipped-unnest asymmetry in centroids,
+    and np.stack crashing on NULL in the gram matrix — cosine-family
+    queries now share an explicit valid-vector predicate."""
+    q = all_queries()[name]
+    sdf = q.fn(spark, edge_emb_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = edge_emb_duck.execute(q.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(o_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(o_rows), f"{name}: row counts differ"
+    assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
+        f"{name}: values differ on the edge embeddings"
+    )
