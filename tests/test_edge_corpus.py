@@ -270,3 +270,135 @@ def test_embedding_query_matches_oracle_on_edge_vectors(
     assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
         f"{name}: values differ on the edge embeddings"
     )
+
+
+# -------------------------------------------------- edge star schema
+
+# Referential and value extremes over the TPC-H-ish tables: a region
+# with no nations, a nation with a dangling region, a NULL market
+# segment, dangling customer/order/part/supplier keys, an order with
+# no lineitems, zero prices/quantities, a 100% discount, negative
+# account balances, and a leap-day order date.
+
+_EDGE_STAR = {
+    "region": (
+        [(0, "ASIA"), (1, "EMPTYREGION")],
+        "r_regionkey int, r_name string",
+    ),
+    "nation": (
+        [(0, "JAPAN", 0), (1, "CHINA", 0), (2, "NOWHERE", 3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ),
+    "customer": (
+        [
+            (1, "Customer#1", 0, 1000.0, "FURNITURE"),
+            (2, "Customer#2", 1, -50.0, "AUTO"),
+            (3, "Customer#3", 0, 0.0, "FURNITURE"),
+            (4, "Customer#4", 2, 500.0, None),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ),
+    "supplier": (
+        [(1, "Supplier#1", 0, 100.0), (2, "Supplier#2", 1, -10.0), (3, "Supplier#3", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ),
+    "part": (
+        [
+            (1, "widget alpha", "Brand#1", "SMALL PLATED widget", 5, 100.0),
+            (2, "gadget beta", "Brand#2", "PROMO BRUSHED gadget", 50, 0.0),
+            (3, "orphan gamma", "Brand#1", "LARGE POLISHED thing", 1, 10.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ),
+    "orders": (
+        [
+            (100, 1, "O", 0.0, datetime.datetime(1998, 1, 1), "1-URGENT"),
+            (101, 1, "F", 200.0, datetime.datetime(1995, 6, 15), "5-LOW"),
+            (102, 2, "O", 300.0, datetime.datetime(1998, 3, 3), "2-HIGH"),
+            (103, 999, "F", 50.0, datetime.datetime(1997, 1, 1), "3-MEDIUM"),
+            (104, 3, "P", 150.0, datetime.datetime(1996, 2, 29), "1-URGENT"),
+            (105, 2, "O", 75.0, datetime.datetime(1998, 5, 5), "4-NOT SPECIFIED"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ),
+    "lineitem": (
+        [
+            (100, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", datetime.datetime(1998, 1, 5)),
+            (101, 1, 1, 1, 10.0, 100.0, 1.0, 0.08, "R", "F", datetime.datetime(1995, 7, 1)),
+            (101, 2, 2, 2, 5.0, 50.0, 0.05, 0.0, "A", "F", datetime.datetime(1995, 7, 2)),
+            (102, 2, 2, 1, 3.0, 30.0, 0.10, 0.04, "N", "O", datetime.datetime(1998, 3, 10)),
+            (103, 1, 3, 1, 7.0, 70.0, 0.02, 0.01, "R", "F", datetime.datetime(1997, 2, 1)),
+            (999, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime.datetime(1998, 1, 1)),
+            (102, 999, 999, 2, 2.0, 20.0, 0.0, 0.0, "N", "O", datetime.datetime(1998, 3, 11)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ),
+}
+
+EDGE_STAR_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "topk_customers", "semi_anti_join", "set_ops_custkeys",
+    "date_agg_orders", "math_lineitem", "agg_distinct_stats",
+    "rollup_orders", "percentiles_lineitem", "string_part_stats",
+    "q2_min_offer_supplier", "q4_order_priority", "q7_nation_volume",
+    "q8_market_share", "q9_nation_profit", "q10_returned_items",
+    "q11_important_parts", "q12_delay_priority", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers", "correlated_subquery_q17",
+    "exists_high_value_parts", "cube_orders", "pivot_status_by_priority",
+    "unpivot_lineitem_measures", "sql_q6_discount_revenue",
+    "full_outer_nation_activity", "set_ops_multiset", "grouping_sets_revenue",
+    "stats_quantity_price", "histogram_totalprice", "second_richest_per_nation",
+    "window_rank_suite", "merge_upsert_orders", "ntile_price_bands",
+    "profile_orders_columns", "outlier_orders_robust_z",
+    "fuzzy_match_customer_supplier", "pagerank_customer_supplier",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_star_dir(spark, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("edge-star"))
+    for name, (rows, schema) in _EDGE_STAR.items():
+        (
+            spark.createDataFrame(rows, schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, f"{name}.parquet"))
+        )
+    yield d
+    release_scope(d)
+
+
+@pytest.fixture(scope="module")
+def edge_star_duck(edge_star_dir):
+    con = duckdb.connect()
+    for t in _EDGE_STAR:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_star_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_STAR_QUERIES)
+def test_relational_query_matches_oracle_on_edge_star(
+    name, spark, edge_star_dir, edge_star_duck
+):
+    q = all_queries()[name]
+    sdf = q.fn(spark, edge_star_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = edge_star_duck.execute(q.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(o_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(o_rows), f"{name}: row counts differ"
+    assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
+        f"{name}: values differ on the edge star schema"
+    )
