@@ -633,3 +633,60 @@ def zipf_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "k", "topk_tokens", "n_tokens", "coverage", "top_term")
     )
+
+
+@register(
+    "dedup_chunk_windows",
+    tags=("text", "dedup", "pipeline"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, GREATEST(len(toks), 1),
+                                    {CHUNK_STRIDE})) AS s
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id,
+             toks[s : LEAST(s + {CHUNK_TOKENS} - 1, len(toks))] AS chunk
+      FROM starts
+    ),
+    keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))
+                  AS BIGINT) AS chunk_key
+      FROM chunks WHERE len(chunk) > 0
+    )
+    SELECT chunk_key,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM keyed
+    GROUP BY chunk_key
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup census: which {k}-token sliding windows
+    recur, and across how many documents — the sub-document signal
+    document-level dedup misses (boilerplate headers/footers shared by
+    otherwise-distinct pages), and the consumer of the chunker's
+    ``chunk_key``.
+
+    Scale: reuses text_chunk_windows' zero-shuffle chunking, then ONE
+    partial+final agg on the 64-bit chunk key; map-side combine
+    collapses within-partition repeats before the exchange, and the
+    HAVING keeps only recurring keys (output is proportional to the
+    duplicated tail, not the corpus). Removal joins this censusback on
+    chunk_key = the standard equi-join shape.
+    """.format(k=CHUNK_TOKENS)
+    chunks = text_chunk_windows(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    return (
+        chunks.groupBy("chunk_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -108,6 +108,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "similarity_topk_cosine",
     "dedup_embedding_cosine",
     "embedding_label_centroids",
+    "dedup_chunk_windows",
 )
 
 
