@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     graph,
+    ir,
     mlprep,
     multimodal,
     pipeline,

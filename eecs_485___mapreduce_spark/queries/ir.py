@@ -1,0 +1,336 @@
+r"""Information-retrieval operators: inverted-index construction, BM25
+ranking, and PMI collocation mining.
+
+These are the search-side primitives a corpus platform needs next to
+its curation pipeline (SURVEY.md section 2.B, training-pipeline row):
+the inverted index is the physical structure behind keyword search and
+the n-gram decontamination index (queries/pipeline.py builds a
+transient one; this query materializes it as a first-class artifact),
+BM25 is the standard lexical relevance ranking, and PMI collocations
+are the statistical phrase detector used for tokenizer-vocabulary and
+boilerplate analysis.
+
+Cross-engine determinism follows the package discipline (SCALE.md):
+every log-derived score is quantized to integer micro-/milli-units
+BEFORE any aggregation or ranking, so bigint sums are exact under any
+partitioning and both engines rank identically. Inputs to ``ln`` are
+exact (integer counts and sub-2^53 integer ratios), so Java ``log``
+and DuckDB ``ln`` agree to the last ulp for the same double input; the
+1-ulp worst case is ~10 orders of magnitude below the quantization
+step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scoped_persist, tokens
+from ..registry import register
+from ..sources import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+# ------------------------------------------------- inverted index
+
+POSTINGS_CAP = 20  # doc ids materialized per term in the audit output
+INDEX_TOP_TERMS = 50
+
+
+@register(
+    "ir_inverted_index",
+    tags=("text", "agg", "topk", "search"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ),
+    per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM tf GROUP BY term, doc_id
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           array_to_string(
+             (list_sort(list(doc_id)))[1:{POSTINGS_CAP}], ',') AS postings_head
+    FROM per_doc
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT {INDEX_TOP_TERMS}
+    """,
+)
+def ir_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index: for the {n} highest-df terms, the
+    document frequency, total term frequency, and the head of the
+    sorted posting list (first {cap} doc ids, comma-joined — arrays are
+    reduced to a canonical string so the result is value-hashable).
+
+    Scale (100 TB): the canonical build-an-index shuffle — tokenize
+    array-side (no join), partial-agg (term, doc) counts map-side,
+    ONE shuffle on the term key. Posting lists are capped per term
+    ({cap} ids) so no reducer materializes an unbounded hot-term list
+    in this audit form; a full index build would instead write the
+    (term, doc, tf) relation bucketed by term (sinks.py bucketed
+    writer) and never collect postings into a single row. Top-k terms
+    plan TakeOrdered, never a global sort.
+    """.format(n=INDEX_TOP_TERMS, cap=POSTINGS_CAP)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(INDEX_TOP_TERMS)
+    )
+
+
+# ------------------------------------------------------------- BM25
+
+BM25_QUERY_TERMS = ("spark", "scan", "window")
+BM25_K1_X10 = 12  # k1 = 1.2
+BM25_B_X100 = 75  # b = 0.75
+BM25_TOPK = 20
+_SCALE = 1_000_000  # score micro-units
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH q(term) AS (VALUES {terms}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ),
+    dtf AS (
+      SELECT tf.doc_id, tf.term, COUNT(*) AS tf
+      FROM tf JOIN q USING (term)
+      GROUP BY tf.doc_id, tf.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM dtf GROUP BY term),
+    scored AS (
+      SELECT dtf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (dtf.tf * (1.0 + {BM25_K1_X10} / 10.0))
+               / (dtf.tf + ({BM25_K1_X10} / 10.0)
+                  * (1.0 - {BM25_B_X100} / 100.0
+                     + ({BM25_B_X100} / 100.0) * dl.doclen / stats.avgdl))
+               * {_SCALE}, 0) AS BIGINT) AS term_score
+      FROM dtf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_hit,
+           CAST(SUM(term_score) AS BIGINT) AS score_fixed
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_fixed DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "ir_bm25_topk",
+    tags=("text", "join", "topk", "search"),
+    oracle=_bm25_oracle(),
+)
+def ir_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-{k} documents for a fixed keyword
+    query — standard lexical relevance over the corpus.
+
+    Determinism: each (doc, term) partial score is quantized to
+    integer micro-units BEFORE the per-doc sum, so the bigint total is
+    partition-order independent and both engines rank identically
+    (module docstring covers the ln ulp argument).
+
+    Scale (100 TB): the query-term relation is tiny and broadcast; the
+    corpus tokenizes once (persisted token relation shared with the
+    doc-length side), the semi-join to query terms prunes the exploded
+    stream BEFORE the (doc, term) shuffle, and corpus stats (N, avgdl)
+    are a constant-size agg broadcast back. Top-k plans TakeOrdered.
+    At index-backed scale this would instead probe the bucketed
+    inverted index (ir_inverted_index) — same join shape, no re-scan
+    of raw text.
+    """.format(k=BM25_TOPK)
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    base = scoped_persist(
+        ("ir.bm25.toks", sf_dir),
+        docs.select("doc_id", tokens("text").alias("toks")),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dtf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = BM25_K1_X10 / 10.0
+    b = BM25_B_X100 / 100.0
+    scored = (
+        dtf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (1.0 + k1))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.col("avgdl")))
+                * _SCALE,
+                0,
+            )
+            .cast("bigint")
+            .alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("term_score").alias("score_fixed"),
+        )
+        .orderBy(F.col("score_fixed").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ----------------------------------------------- PMI collocations
+
+PMI_MIN_COUNT = 20
+PMI_TOPK = 30
+
+
+def _pmi_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT unnest(toks) AS term FROM t
+    ),
+    ucnt AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+    utot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM ucnt),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT bigram, COUNT(*) AS c_xy FROM bg GROUP BY bigram
+             HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_total FROM bg)
+    SELECT b.bigram,
+           b.c_xy,
+           CAST(ROUND(ln(
+             (CAST(b.c_xy AS DOUBLE) * utot.t_total * utot.t_total)
+             / (CAST(btot.b_total AS DOUBLE) * x.c * y.c)
+           ) * 1000, 0) AS BIGINT) AS pmi_millinats
+    FROM bcnt b
+    JOIN ucnt x ON x.term = split_part(b.bigram, ' ', 1)
+    JOIN ucnt y ON y.term = split_part(b.bigram, ' ', 2)
+    CROSS JOIN utot CROSS JOIN btot
+    ORDER BY pmi_millinats DESC, bigram
+    LIMIT {PMI_TOPK}
+    """
+
+
+def pmi_relation(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """(bigram, c_xy, pmi_millinats) over a documents relation — the
+    shared body of ir_pmi_collocations, factored out so tests can run
+    it over hand-computable in-memory corpora."""
+    base = docs.select(tokens("text").alias("toks"))
+    toks = F.col("toks")
+    uni = base.select(F.explode(toks).alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("t_total"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(F.explode(bigrams).alias("bigram"))
+    bcnt = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    btot = bg.agg(F.count(F.lit(1)).alias("b_total"))
+    x = ucnt.select(F.col("term").alias("term_x"), F.col("c").alias("c_x"))
+    y = ucnt.select(F.col("term").alias("term_y"), F.col("c").alias("c_y"))
+    return (
+        bcnt.withColumn("term_x", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("term_y", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(x, "term_x")
+        .join(y, "term_y")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("t_total") * F.col("t_total"))
+                    / (F.col("b_total").cast("double") * F.col("c_x") * F.col("c_y"))
+                )
+                * 1000,
+                0,
+            )
+            .cast("bigint")
+            .alias("pmi_millinats"),
+        )
+    )
+
+
+@register(
+    "ir_pmi_collocations",
+    tags=("text", "agg", "topk", "search"),
+    oracle=_pmi_oracle(),
+)
+def ir_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} bigram collocations by pointwise mutual information
+    (min count {m}) — the statistical phrase detector: PMI(x,y) =
+    ln(p(xy) / (p(x) p(y))), here computed as an exact integer ratio
+    ln(c_xy * T^2 / (B * c_x * c_y)) quantized to millinats.
+
+    Scale (100 TB): unigram and bigram counts are two partial-agg
+    shuffles over array-generated streams (no joins in generation);
+    the surviving >={m}-count bigram relation is small and its two
+    unigram lookups join against the unigram count relation (AQE
+    broadcasts it when small; shuffle-join otherwise). The scalar
+    totals broadcast. Everything downstream of the count filter is
+    tiny.
+    """.format(k=PMI_TOPK, m=PMI_MIN_COUNT)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pmi_relation(docs, min_count=PMI_MIN_COUNT)
+        .orderBy(F.col("pmi_millinats").desc(), "bigram")
+        .limit(PMI_TOPK)
+    )

@@ -88,6 +88,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "merge_upsert_orders",
     "shuffle_shard_assignment",
     "embedding_gram_matrix",
+    # round-3 IR module (queries/ir.py)
+    "ir_inverted_index",
+    "ir_bm25_topk",
+    "ir_pmi_collocations",
     # round-3 graph/sketch module (queries/graph.py)
     "pagerank_customer_supplier",
     "approx_users_hll_mergeable",
