@@ -7,6 +7,7 @@ oracle where ANSI-SQL-expressible.
 
 from . import (  # noqa: F401
     advanced,
+    audit,
     curation,
     dedup,
     graph,

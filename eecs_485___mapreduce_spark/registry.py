@@ -92,6 +92,11 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "ir_inverted_index",
     "ir_bm25_topk",
     "ir_pmi_collocations",
+    # round-3 audit module (queries/audit.py)
+    "fk_integrity_audit",
+    "seq_pattern_conversion",
+    "skyline_orders_price_date",
+    "session_overlap_topk",
     # round-3 graph/sketch module (queries/graph.py)
     "pagerank_customer_supplier",
     "approx_users_hll_mergeable",

@@ -1,0 +1,85 @@
+"""Audit-operator tests (queries/audit.py): plan shape for the
+bucketed interval join and the skyline scan, and behavioral invariants
+beyond the oracle hash (skyline anti-chain property, FK audit
+accounting identity, sequence-detection monotonicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eecs_485___mapreduce_spark.plans import assert_no_cartesian, physical_plan
+from eecs_485___mapreduce_spark.queries.audit import (
+    FK_EDGES,
+    fk_integrity_audit,
+    seq_pattern_conversion,
+    session_overlap_topk,
+    skyline_orders_price_date,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_fk_audit_covers_all_edges_with_consistent_accounting(spark):
+    rows = {r.relationship: r for r in fk_integrity_audit(spark, SF_SMALL).collect()}
+    assert len(rows) == len(FK_EDGES)
+    for r in rows.values():
+        # every child row is matched, orphaned, or NULL-keyed
+        assert r.n_matched + r.n_orphans + r.n_null_fk == r.n_child, r
+    # the synthetic star schema is referentially intact
+    assert all(r.n_orphans == 0 for r in rows.values())
+
+
+def test_skyline_is_an_antichain(spark):
+    """No skyline point may dominate another (higher price AND earlier
+    date) — the defining property, checked pairwise per segment."""
+    rows = skyline_orders_price_date(spark, SF_SMALL).collect()
+    assert rows
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append((r.price_dollar, r.min_date))
+    for seg, pts in by_seg.items():
+        pts.sort(reverse=True)  # price descending
+        for (p1, d1), (p2, d2) in zip(pts, pts[1:]):
+            assert p1 > p2, (seg, p1, p2)  # dollar grouping collapses ties
+            assert d2 < d1, (seg, pts)  # lower price must win on date
+
+
+def test_skyline_plans_single_window_no_cartesian(spark):
+    df = skyline_orders_price_date(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # the dominance check is a window scan, not a self-join
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert "Window" in plan, plan
+
+
+def test_seq_pattern_counts_are_nested(spark):
+    rows = seq_pattern_conversion(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        assert 0 <= r.n_converted <= r.n_click_10m <= r.n_views, r
+
+
+def test_session_overlap_is_bucketed_equijoin(spark):
+    """Candidate generation must be an equi-join on the hour bucket —
+    never a cartesian/NL interval join."""
+    df = session_overlap_topk(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.overlap_s > 0
+        assert r.n_overlaps >= 1
+    vals = [r.overlap_s for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_session_overlap_symmetric_under_user_swap(spark):
+    """Pair canonicalization: re-deriving overlaps from the b<a side
+    must give the same totals — guards the user_a < user_b filter."""
+    rows = session_overlap_topk(spark, SF_SMALL).collect()
+    seen = {(r.user_a, r.user_b) for r in rows}
+    assert all(a < b for a, b in seen)
+    assert len(seen) == len(rows)  # no duplicate pairs
