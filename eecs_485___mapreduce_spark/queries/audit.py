@@ -421,3 +421,92 @@ def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("overlap_s").desc(), "user_a", "user_b")
         .limit(OVERLAP_TOPK)
     )
+
+
+# --------------------------------------------- co-occurrence lift
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOPK = 25
+
+
+@register(
+    "basket_part_lift",
+    tags=("join", "agg", "topk", "mining"),
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM items),
+    item_cnt AS (SELECT pkey, COUNT(*) AS c FROM items GROUP BY pkey),
+    pair_cnt AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           CAST(ROUND(CAST(p.n_both AS DOUBLE) * n_orders.n * 1000
+                      / (ca.c * cb.c), 0) AS BIGINT) AS lift_milli
+    FROM pair_cnt p
+    JOIN item_cnt ca ON ca.pkey = p.part_a
+    JOIN item_cnt cb ON cb.pkey = p.part_b
+    CROSS JOIN n_orders
+    ORDER BY lift_milli DESC, part_a, part_b
+    LIMIT {BASKET_TOPK}
+    """,
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-{k} part pairs by lift
+    (observed co-occurrence over the independence expectation,
+    lift = P(a,b) / (P(a) P(b))), minimum support {s} shared orders.
+
+    Determinism: lift is quantized to integer milli-units (the inputs
+    are exact integer counts, so the double expression is bit-identical
+    on both engines) and ties break on the part-key pair.
+
+    Scale (100 TB): candidate pairs are generated by an EQUI-join on
+    the order key — pair work is sum(basket_size^2) over orders, never
+    catalog^2, the same bounded-bucket argument as LSH banding
+    (queries/dedup.py). The per-part count relation joins back onto
+    the surviving (support-filtered) pairs — AQE broadcasts it when
+    small; the scalar order count broadcasts. Top-k plans TakeOrdered.
+    A skewed mega-basket is the one hot spot: at production scale
+    baskets are capped (or salted via operators/skew.py) before the
+    self-join, exactly as an a-priori implementation prunes.
+    """.format(k=BASKET_TOPK, s=BASKET_MIN_SUPPORT)
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    item_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("okey"), F.col("pkey").alias("part_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("pkey").alias("part_b"))
+    pair_cnt = (
+        a.join(b, (a.okey == b.okey_b) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("pkey").alias("part_a"), F.col("c").alias("c_a"))
+    cb = item_cnt.select(F.col("pkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pair_cnt.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n") * 1000
+                / (F.col("c_a") * F.col("c_b")),
+                0,
+            )
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.col("lift_milli").desc(), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )

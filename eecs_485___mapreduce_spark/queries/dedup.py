@@ -21,7 +21,7 @@ docs fall back to their whole token string).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -384,11 +384,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- connected components
 
 
-@register(
-    "dedup_clusters",
-    tags=("dedup", "graph", "iterative"),
-    oracle=f"""
-    WITH RECURSIVE
+# Recursive-CTE connected components over the n-gram Jaccard pair
+# graph — shared by the dedup_clusters oracle and the survivorship
+# oracle built on top of it.
+_CC_CTES = f"""
     t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     e AS (SELECT doc_id, unnest(sh) AS s FROM t),
     sizes AS (SELECT doc_id, len(sh) AS n FROM t),
@@ -412,8 +411,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT src, src FROM edges
       UNION
       SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.doc_id
-    )
-    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_clusters",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, cluster_id FROM clusters
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,4 +648,82 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce("hit", F.lit(0)).cast("bigint").alias("is_neardup_of_history"),
+    )
+
+
+# ------------------------------------------------- survivorship
+
+
+@register(
+    "dedup_survivorship",
+    tags=("dedup", "graph", "window", "pipeline"),
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES},
+    assigned AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM assigned
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_dropped
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (canonical-record pick) over the near-duplicate
+    clusters: every document joins its connected component
+    (``dedup_clusters``; unclustered docs are their own singleton),
+    each cluster keeps exactly one survivor — longest text, ties to
+    the lowest doc_id — and the census reports per-source keep/drop
+    counts and the bytes removed. This is the step that turns a
+    near-dup CLUSTERING into an actual deduplicated corpus.
+
+    Scale (100 TB): cluster assignment comes from the iterative CC
+    operator (its cost analysis applies unchanged; the shingle
+    relation is shared via scoped_persist); the survivor pick is ONE
+    window group-limit per cluster (running rank, no per-cluster
+    sort materialization) and the census a constant-size partial agg
+    on source. Nothing new concentrates: cluster sizes bound the
+    window state, and the output is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    assigned = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = assigned.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_survivors"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_dropped"
+        ),
     )

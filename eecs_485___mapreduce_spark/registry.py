@@ -97,6 +97,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "seq_pattern_conversion",
     "skyline_orders_price_date",
     "session_overlap_topk",
+    "basket_part_lift",
+    # round-3 survivorship (queries/dedup.py)
+    "dedup_survivorship",
     # round-3 graph/sketch module (queries/graph.py)
     "pagerank_customer_supplier",
     "approx_users_hll_mergeable",

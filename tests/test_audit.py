@@ -83,3 +83,33 @@ def test_session_overlap_symmetric_under_user_swap(spark):
     seen = {(r.user_a, r.user_b) for r in rows}
     assert all(a < b for a, b in seen)
     assert len(seen) == len(rows)  # no duplicate pairs
+
+
+def test_basket_lift_is_equijoin_with_support_floor(spark):
+    from eecs_485___mapreduce_spark.queries.audit import (
+        BASKET_MIN_SUPPORT,
+        basket_part_lift,
+    )
+
+    df = basket_part_lift(spark, SF_SMALL)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "TakeOrdered" in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(r.n_both >= BASKET_MIN_SUPPORT for r in rows)
+    assert all(r.part_a < r.part_b for r in rows)
+    vals = [r.lift_milli for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_survivorship_conserves_documents(spark):
+    from eecs_485___mapreduce_spark.queries.dedup import dedup_survivorship
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    rows = dedup_survivorship(spark, SF_SMALL).collect()
+    total = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_survivors + r.n_dropped == r.n_docs, r
+        assert r.n_survivors >= 1
