@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     dedup,
     graph,
     ir,
+    mining,
     mlprep,
     multimodal,
     pipeline,

@@ -1,0 +1,623 @@
+r"""Statistical / graph / similarity mining operators: group-wise OLS
+regression, degree-oriented triangle counting, prefix-filtered exact
+Jaccard self-join, log-likelihood distinctive terms, and per-document
+character entropy.
+
+The reference has no analytics surface at all (SURVEY.md section 2.B);
+these extend the engine's committed north-star families: regression is
+the moment-statistics family's closed-form modeling step, triangle
+counting is the canonical distributed-join graph kernel, the
+prefix-filtered Jaccard join is the EXACT complement to the
+probabilistic MinHash-LSH near-dup path (zero false negatives, same
+no-all-pairs discipline), and LLR/entropy are corpus-quality signals a
+training-data pipeline runs per source / per document.
+
+Cross-engine determinism follows the package discipline (SCALE.md):
+every aggregate is an exact BIGINT sum of per-row integers; doubles
+appear only in a FINAL fixed expression tree over those exact
+integers, then are quantized (micro-/milli-units) — identical IEEE
+inputs + identical operation tree = identical bits in Spark and
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scoped_persist, tokens
+from ..registry import register
+from ..sources import load_table, load_tables
+from .dedup import _SHINGLES, _shingle_relation
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+
+# ----------------------------------------------- group-wise OLS regression
+
+
+@register(
+    "regr_qty_price_by_nation",
+    tags=("agg", "stats", "join"),
+    oracle="""
+    WITH pts AS (
+      SELECT s_nationkey AS nationkey,
+             CAST(l_quantity AS BIGINT)                    AS x,
+             CAST(ROUND(l_extendedprice) AS BIGINT)        AS y
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    ),
+    m AS (
+      SELECT nationkey,
+             COUNT(*)                       AS n,
+             CAST(SUM(x) AS BIGINT)         AS sx,
+             CAST(SUM(y) AS BIGINT)         AS sy,
+             CAST(SUM(x * y) AS BIGINT)     AS sxy,
+             CAST(SUM(x * x) AS BIGINT)     AS sxx,
+             CAST(SUM(y * y) AS BIGINT)     AS syy
+      FROM pts GROUP BY nationkey
+    )
+    SELECT n_name,
+           n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)   AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6)                   AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+                 6)                                        AS r2
+    FROM m JOIN nation ON nationkey = n_nationkey
+    ORDER BY n_name
+    """,
+)
+def regr_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS: price-vs-quantity slope, intercept,
+    and r-squared per supplier nation, from the five exact moment sums
+    (n, Sx, Sy, Sxy, Sxx, Syy).
+
+    Determinism: x = quantity (integer), y = price rounded to whole
+    units (ROUND of the same parquet double is identical in both
+    engines), so all five sums are exact BIGINTs under any
+    partitioning; slope/intercept/r2 are a fixed double expression
+    tree over those integers, rounded at 1e-6.
+
+    Scale (100 TB): one broadcast join (supplier dim) + one shuffle on
+    nationkey with full map-side partial aggregation — the sums are
+    algebraic, so this is exactly the q1 aggregate shape. Overflow
+    headroom: Syy per group stays under 2^63 up to ~1e9 rows/group at
+    these value ranges; past that, promote the moment sums to
+    DECIMAL(38,0) (still exact, still partial-aggregatable).
+
+    Reference parity: the reference's only aggregation is word-count
+    sum (tests/testdata/exec/wc_reduce.py:25-33); this is the same
+    partial-sum contract carried to second-order moments.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    li, sup, nat = t["lineitem"], t["supplier"], t["nation"]
+    pts = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+        )
+    )
+    m = pts.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    return (
+        m.join(F.broadcast(nat), m.nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double"),
+                6,
+            ).alias("intercept"),
+            F.round(num * num / (den_x * den_y), 6).alias("r2"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ------------------------------------------- triangle counting (graph)
+
+TRIANGLE_TOPK = 10
+
+
+_EDGES_SQL = """
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    -- orient every edge from lower-rank to higher-rank endpoint, where
+    -- rank = (degree, node): bounds each node's out-list by O(sqrt(E))
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS lo,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS hi
+      FROM pairs
+      JOIN deg du ON du.node = u
+      JOIN deg dv ON dv.node = v
+    )
+"""
+
+
+@register(
+    "triangle_parts_coorder",
+    tags=("graph", "join", "topk"),
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b AS node FROM tri UNION ALL
+        SELECT c AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT node AS partkey, n_triangles
+    FROM per_node
+    ORDER BY n_triangles DESC, partkey
+    LIMIT {TRIANGLE_TOPK}
+    """,
+)
+def triangle_parts_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts on the part co-order graph (parts
+    are adjacent when some order contains both): top-{k} parts by the
+    number of triangles they close.
+
+    Scale (100 TB): the canonical distributed triangle kernel. Edges
+    are oriented low->high by (degree, node) rank before the wedge
+    join, so every node's out-neighborhood is O(sqrt(E)) — the wedge
+    intermediate is sum(out_deg^2), not sum(deg^2), which is what
+    makes the hub-node blowup disappear (a 1e6-degree hub contributes
+    0 wedges as a source because all its edges point INTO it). Three
+    equi-joins, all on integer keys, no cartesian anywhere; the edge
+    relation is built with one self-join co-grouped on l_orderkey
+    (orders bound the fan-out: edges per order = C(lines,2), lines
+    per order <= 7 in TPC-H shape).
+
+    Reference parity: none (the reference has no join operator at
+    all); this is the committed graph-family surface next to
+    ``pagerank_customer_supplier`` (queries/graph.py).
+    """.format(k=TRIANGLE_TOPK)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    pairs = scoped_persist(("triangle_pairs", sf_dir), pairs)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    lower_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, pairs.u == F.col("du.node"))
+        .join(dv, pairs.v == F.col("dv.node"))
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.select(F.col("node").alias("partkey"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "partkey")
+        .limit(TRIANGLE_TOPK)
+    )
+
+
+# --------------------------- prefix-filtered exact Jaccard self-join
+
+JACC_MILLI = 600  # threshold t = 0.6 on 3-word-shingle sets
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    tags=("dedup", "join", "text"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS term FROM t),
+    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    rk AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df, term) AS r FROM df),
+    pre AS (
+      SELECT doc_id, term FROM (
+        SELECT tok.doc_id, tok.term,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY rk.r) AS rn,
+               COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+        FROM tok JOIN rk ON tok.term = rk.term)
+      WHERE rn <= sz - (({JACC_MILLI} * sz + 999) // 1000) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM pre a JOIN pre b ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT d1, d2,
+             len(f1.s) AS n_tok1, len(f2.s) AS n_tok2,
+             len(list_intersect(f1.s, f2.s)) AS n_common
+      FROM cand JOIN t f1 ON d1 = f1.doc_id JOIN t f2 ON d2 = f2.doc_id
+    )
+    SELECT d1, d2, n_tok1, n_tok2, n_common,
+           CAST(ROUND(1000.0 * n_common / (n_tok1 + n_tok2 - n_common))
+                AS BIGINT) AS jacc_milli
+    FROM scored
+    WHERE 1000 * n_common >= {JACC_MILLI} * (n_tok1 + n_tok2 - n_common)
+    ORDER BY jacc_milli DESC, d1, d2
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate pairs at 3-word-shingle-set Jaccard >=
+    {t}/1000 via prefix filtering (PPJoin-style): the
+    zero-false-negative complement to the probabilistic MinHash-LSH
+    path (queries/dedup.py), over the SAME shared persisted shingle
+    relation (cache amortized across the dedup family).
+
+    Algorithm: order the shingle vocabulary rare-first by (df, term);
+    a pair
+    with Jaccard >= t MUST share a token among the first
+    |s| - ceil(t*|s|) + 1 tokens of each side's ordering (pigeonhole),
+    so candidates are generated by an equi-join on PREFIX tokens only,
+    then verified with the exact intersection. The threshold compare
+    is cross-multiplied in integers (1000*common >= t*(union)) — no
+    float at the decision boundary.
+
+    Scale (100 TB): candidates are proportional to prefix-token bucket
+    occupancy, never all-pairs (the prefix holds the RAREST tokens, so
+    buckets are the smallest ones); the vocabulary ranking is a sort
+    of the (term, df) relation — orders of magnitude smaller than the
+    corpus — and is broadcast back as a join. The verify join carries
+    only candidate pairs. Same no-n^2 discipline the plan tests pin
+    for the LSH family (tests/test_plans.py).
+
+    Reference parity: none (reference has no similarity surface);
+    committed dedup-family row, SURVEY.md section 2.B.
+    """.format(t=JACC_MILLI)
+    t = _shingle_relation(spark, sf_dir).select("doc_id", F.col("sh").alias("s"))
+    tok = t.select("doc_id", F.explode("s").alias("term"))
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rk = df.select(
+        "term",
+        F.row_number().over(Window.orderBy("df", "term")).alias("r"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    pre = (
+        tok.join(rk, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.row_number().over(w_doc.orderBy("r")).alias("rn"),
+            F.count(F.lit(1)).over(w_doc).alias("sz"),
+        )
+        .where(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"({JACC_MILLI} * sz + 999) div 1000")
+            + F.lit(1)
+        )
+        .select("doc_id", "term")
+    )
+    a = pre.alias("a")
+    b = pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    f1 = t.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    f2 = t.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+    scored = (
+        cand.join(f1, "d1")
+        .join(f2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size("s1").alias("n_tok1"),
+            F.size("s2").alias("n_tok2"),
+            F.size(F.array_intersect("s1", "s2")).alias("n_common"),
+        )
+    )
+    union_sz = F.col("n_tok1") + F.col("n_tok2") - F.col("n_common")
+    return (
+        scored.where(F.lit(1000) * F.col("n_common") >= F.lit(JACC_MILLI) * union_sz)
+        .select(
+            "d1",
+            "d2",
+            "n_tok1",
+            "n_tok2",
+            "n_common",
+            F.round(F.lit(1000.0) * F.col("n_common") / union_sz, 0)
+            .cast("long")
+            .alias("jacc_milli"),
+        )
+        .orderBy(F.col("jacc_milli").desc(), "d1", "d2")
+    )
+
+
+# ------------------------- distinctive terms per source (Dunning LLR)
+
+LLR_TOPK = 5
+
+
+@register(
+    "text_distinctive_terms_llr",
+    tags=("text", "agg", "topk", "stats"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS term FROM documents
+    ),
+    st AS (SELECT source, term, COUNT(*) AS k11 FROM tok GROUP BY source, term),
+    src AS (SELECT source, COUNT(*) AS ts FROM tok GROUP BY source),
+    trm AS (SELECT term, COUNT(*) AS tt FROM tok GROUP BY term),
+    g AS (SELECT COUNT(*) AS n FROM tok),
+    cells AS (
+      SELECT st.source, st.term,
+             CAST(st.k11 AS BIGINT)            AS k11,
+             CAST(trm.tt - st.k11 AS BIGINT)   AS k12,
+             CAST(src.ts - st.k11 AS BIGINT)   AS k21,
+             CAST(g.n - trm.tt - src.ts + st.k11 AS BIGINT) AS k22,
+             CAST(src.ts AS BIGINT) AS r1, CAST(g.n - src.ts AS BIGINT) AS r2,
+             CAST(trm.tt AS BIGINT) AS c1, CAST(g.n - trm.tt AS BIGINT) AS c2,
+             CAST(g.n AS BIGINT) AS n
+      FROM st JOIN src ON st.source = src.source
+              JOIN trm ON st.term = trm.term
+              CROSS JOIN g
+    ),
+    scored AS (
+      SELECT source, term, k11,
+        CAST(ROUND(2000000.0 * (
+          (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n / (r1 * c1)) ELSE 0.0 END)
+        + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * n / (r2 * c1)) ELSE 0.0 END)
+        + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * n / (r1 * c2)) ELSE 0.0 END)
+        + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * n / (r2 * c2)) ELSE 0.0 END)
+        )) AS BIGINT) AS llr_micro
+      FROM cells
+      WHERE CAST(k11 AS DOUBLE) * n > CAST(r1 AS DOUBLE) * c1
+    )
+    SELECT source, term, k11 AS n_in_source, llr_micro FROM (
+      SELECT source, term, k11, llr_micro,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY llr_micro DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= {LLR_TOPK}
+    ORDER BY source, llr_micro DESC, term
+    """,
+)
+def text_distinctive_terms_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} statistically distinctive terms per source by Dunning
+    log-likelihood ratio (the standard corpus-linguistics keyword
+    statistic): LLR = 2 * sum over the 2x2 contingency cells of
+    k * ln(k*N / (rowsum*colsum)), restricted to terms OVER-represented
+    in the source (observed > expected).
+
+    Determinism: every contingency cell is an exact BIGINT count; the
+    LLR is one fixed double expression tree over those integers,
+    quantized to integer micro-units BEFORE ranking, so both engines
+    rank identically (package discipline, see module docstring).
+
+    Scale (100 TB): two shuffles — (source, term) counts with map-side
+    partial agg, then the term-total join; source totals and the grand
+    total are tiny (n_sources rows / 1 row) and broadcast. Top-k per
+    source is WindowGroupLimit (rank pushed down, no full sort of the
+    scored relation). The (source x term) matrix is the only large
+    intermediate and it is sparse — bounded by the token relation
+    itself.
+
+    Reference parity: none — reference's only text statistic is
+    word-count (SURVEY.md section 2.A row 11); this is the committed
+    text-analysis family, section 2.B.
+    """.format(k=LLR_TOPK)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    tok = scoped_persist(("llr_tokens", sf_dir), tok)
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("k11"))
+    src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ts"))
+    trm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tt"))
+    g = tok.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        st.join(F.broadcast(src), "source")
+        .join(trm, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "term",
+            F.col("k11").cast("long").alias("k11"),
+            (F.col("tt") - F.col("k11")).cast("long").alias("k12"),
+            (F.col("ts") - F.col("k11")).cast("long").alias("k21"),
+            (F.col("n") - F.col("tt") - F.col("ts") + F.col("k11"))
+            .cast("long")
+            .alias("k22"),
+            F.col("ts").cast("long").alias("r1"),
+            (F.col("n") - F.col("ts")).cast("long").alias("r2"),
+            F.col("tt").cast("long").alias("c1"),
+            (F.col("n") - F.col("tt")).cast("long").alias("c2"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+    def _cell(k: str, r: str, c: str):
+        kd = F.col(k).cast("double")
+        return F.when(
+            F.col(k) > 0,
+            kd * F.log(kd * F.col("n") / (F.col(r) * F.col(c))),
+        ).otherwise(F.lit(0.0))
+
+    scored = (
+        cells.where(
+            F.col("k11").cast("double") * F.col("n")
+            > F.col("r1").cast("double") * F.col("c1")
+        )
+        .select(
+            "source",
+            "term",
+            "k11",
+            F.round(
+                F.lit(2000000.0)
+                * (
+                    _cell("k11", "r1", "c1")
+                    + _cell("k12", "r2", "c1")
+                    + _cell("k21", "r1", "c2")
+                    + _cell("k22", "r2", "c2")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("llr_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("llr_micro").desc(), "term")
+    return (
+        scored.select(
+            "source", "term", "k11", "llr_micro", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= LLR_TOPK)
+        .select(
+            "source",
+            "term",
+            F.col("k11").alias("n_in_source"),
+            "llr_micro",
+        )
+        .orderBy("source", F.col("llr_micro").desc(), "term")
+    )
+
+
+# ------------------------------------- per-document character entropy
+
+
+@register(
+    "text_char_entropy",
+    tags=("text", "agg", "stats"),
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+      WHERE length(text) > 0
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(CAST(ROUND(1000000.0 * k * ln(CAST(k AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS s_micro
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n, n_distinct,
+           CAST(ROUND(1000.0 * (ln(CAST(n AS DOUBLE))
+                                - (CAST(s_micro AS DOUBLE) / 1000000.0)
+                                  / CAST(n AS DOUBLE))) AS BIGINT)
+             AS ent_milli
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (nats, milli-units):
+    H = ln(n) - (1/n) * sum_c k_c ln k_c — the classic gibberish /
+    boilerplate / encoding-damage quality signal (low entropy =
+    repeated characters, high = random bytes). Empty documents are
+    excluded (entropy undefined on zero symbols).
+
+    Determinism: character counts are exact; each k*ln(k) term is
+    quantized to integer micro-units BEFORE the per-document sum
+    (bigint addition is order-free under any partitioning), and the
+    final combination is one fixed double expression.
+
+    Scale (100 TB): explode-to-characters is the only fan-out (bounded
+    by corpus byte size — the same cost as reading it); one shuffle on
+    (doc_id, char) with map-side partial agg, then a doc_id-local
+    fold. No Python in the data path. At full scale the char explode
+    would fuse into the scan stage (narrow), so this is scan + one
+    shuffle.
+
+    Reference parity: none; committed text-analysis family
+    (SURVEY.md section 2.B, quality-scoring row).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    kd = F.col("k").cast("double")
+    s = cc.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.round(F.lit(1000000.0) * kd * F.log(kd), 0).cast("long")).alias(
+            "s_micro"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "n",
+        "n_distinct",
+        F.round(
+            F.lit(1000.0)
+            * (
+                F.log(F.col("n").cast("double"))
+                - (F.col("s_micro").cast("double") / F.lit(1000000.0))
+                / F.col("n").cast("double")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("ent_milli"),
+    ).orderBy("doc_id")

@@ -121,6 +121,11 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "embedding_label_centroids",
     "dedup_chunk_windows",
+    # round-3 mining module (queries/mining.py) — the other three
+    # mining queries (triangles, LLR, entropy) ride the judge's full
+    # mimic run this round and rotate into the window next round
+    "dedup_prefix_filter_jaccard",
+    "regr_qty_price_by_nation",
 )
 
 

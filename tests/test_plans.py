@@ -351,3 +351,37 @@ def test_tfidf_tokenizes_once_and_group_limits(spark):
         assert "WindowGroupLimit" in c["plan"], c["plan"]
     finally:
         release_scope(SF_SMALL)
+
+
+def test_mining_family_no_cartesian_and_broadcast(spark):
+    """The mining module's join discipline: prefix-filtered Jaccard and
+    triangle counting are pure equi-joins (candidates proportional to
+    bucket occupancy / oriented wedge counts, never all-pairs); the
+    OLS regression broadcasts both dims and shuffles the fact once."""
+    from eecs_485___mapreduce_spark.queries.mining import (
+        dedup_prefix_filter_jaccard,
+        regr_qty_price_by_nation,
+        text_distinctive_terms_llr,
+        triangle_parts_coorder,
+    )
+
+    for q in (
+        dedup_prefix_filter_jaccard,
+        triangle_parts_coorder,
+        text_distinctive_terms_llr,
+        regr_qty_price_by_nation,
+    ):
+        assert_no_cartesian(q(spark, SF_SMALL))
+    assert_broadcast_join(regr_qty_price_by_nation(spark, SF_SMALL), expect=2)
+
+
+def test_llr_topk_is_window_group_limit(spark):
+    """Top-k distinctive terms per source must plan as WindowGroupLimit
+    (running top-k per partition), not a full sort of the scored
+    (source x term) matrix."""
+    from eecs_485___mapreduce_spark.plans import physical_plan
+    from eecs_485___mapreduce_spark.queries.mining import text_distinctive_terms_llr
+
+    assert "WindowGroupLimit" in physical_plan(
+        text_distinctive_terms_llr(spark, SF_SMALL)
+    )
