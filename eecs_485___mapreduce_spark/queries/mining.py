@@ -195,22 +195,42 @@ def triangle_parts_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate is sum(out_deg^2), not sum(deg^2), which is what
     makes the hub-node blowup disappear (a 1e6-degree hub contributes
     0 wedges as a source because all its edges point INTO it). Three
-    equi-joins, all on integer keys, no cartesian anywhere; the edge
-    relation is built with one self-join co-grouped on l_orderkey
-    (orders bound the fan-out: edges per order = C(lines,2), lines
-    per order <= 7 in TPC-H shape).
+    equi-joins, all on integer keys, no cartesian anywhere.
+
+    Physical shape: edges are generated WITHOUT a self-join — one
+    groupBy(l_orderkey) collects each order's part set and emits its
+    C(lines,2) pairs array-side (lines per order <= 7 in TPC-H shape,
+    so the fan-out is bounded); the degree relation is |nodes| rows
+    (the part dimension — orders of magnitude smaller than the edge
+    relation) and is BROADCAST into the orientation step, so the only
+    shuffles are the order groupBy, the edge distinct, and the two
+    wedge-join exchanges. ``oriented`` is persisted once and read by
+    all three join legs (otherwise Catalyst recomputes the whole
+    upstream per leg — measured 2.3x slower at sf0.1).
 
     Reference parity: none (the reference has no join operator at
     all); this is the committed graph-family surface next to
     ``pagerank_customer_supplier`` (queries/graph.py).
     """.format(k=TRIANGLE_TOPK)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    parts_per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    # all (ps[i], ps[j]) with i < j, array-side: flatten the per-order
+    # combination triangle, then distinct across orders
+    pair_arrays = parts_per_order.select(
+        F.flatten(
+            F.transform(
+                F.slice(F.col("ps"), 1, F.size("ps") - 1),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size("ps")), lambda y: F.struct(x.alias("u"), y.alias("v"))
+                ),
+            )
+        ).alias("prs")
+    )
     pairs = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        pair_arrays.select(F.explode("prs").alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
     )
     pairs = scoped_persist(("triangle_pairs", sf_dir), pairs)
@@ -226,13 +246,14 @@ def triangle_parts_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
     )
     oriented = (
-        pairs.join(du, pairs.u == F.col("du.node"))
-        .join(dv, pairs.v == F.col("dv.node"))
+        pairs.join(F.broadcast(du), pairs.u == F.col("du.node"))
+        .join(F.broadcast(dv), pairs.v == F.col("dv.node"))
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
     )
+    oriented = scoped_persist(("triangle_oriented", sf_dir), oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
