@@ -642,3 +642,165 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ent_milli"),
     ).orderBy("doc_id")
+
+
+# -------------------------- Markov transition matrix over event types
+
+
+@register(
+    "events_markov_transitions",
+    tags=("window", "agg", "timeseries"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM trans GROUP BY from_type)
+    SELECT trans.from_type, to_type, n,
+           CAST(ROUND(100000.0 * n / row_total) AS BIGINT) AS p_micro100
+    FROM trans JOIN tot ON trans.from_type = tot.from_type
+    ORDER BY trans.from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: counts and row-normalized probabilities (1e-5 units)
+    for every (from_type, to_type) edge — the behavioral-model /
+    funnel-diagnostics primitive.
+
+    Determinism: sequence order is (ts, event_id) — event_id is the
+    unique tiebreak, so lag() is identical in both engines; counts are
+    exact and the probability is one rounded division of two BIGINTs.
+
+    Scale (100 TB): ONE shuffle on user_id (the lag window), then a
+    partial-agg shuffle on the (from, to) pair whose cardinality is
+    |event_types|^2 — tiny. Row totals join on |event_types| rows,
+    broadcast. The user window never materializes more than a
+    partition sort — no per-user state beyond the sort.
+
+    Reference parity: none; committed time-series family
+    (SURVEY.md section 2.B).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.lit(100000.0) * F.col("n") / F.col("row_total"), 0
+            )
+            .cast("long")
+            .alias("p_micro100"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ----------------------- HITS hubs & authorities (integer-exact)
+
+HITS_TOPK = 15
+
+
+@register(
+    "hits_customer_part",
+    tags=("graph", "agg", "topk"),
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    -- h0 = 1 for every customer; two unrolled HITS iterations in
+    -- exact integer arithmetic (no normalization inside the loop:
+    -- ranking is scale-invariant)
+    a1 AS (SELECT part, COUNT(*) AS a FROM edges GROUP BY part),
+    h1 AS (SELECT cust, CAST(SUM(a1.a) AS BIGINT) AS h
+           FROM edges JOIN a1 ON edges.part = a1.part GROUP BY cust),
+    a2 AS (SELECT part, CAST(SUM(h1.h) AS BIGINT) AS a
+           FROM edges JOIN h1 ON edges.cust = h1.cust GROUP BY part)
+    SELECT part AS partkey, a AS authority_score,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e WHERE e.part = a2.part)
+             AS in_degree
+    FROM a2
+    ORDER BY authority_score DESC, partkey
+    LIMIT {HITS_TOPK}
+    """,
+)
+def hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the customer->part purchase
+    bipartite graph, two unrolled iterations in EXACT integer
+    arithmetic (h0 = 1): top-{k} authority parts with their raw
+    integer authority mass and in-degree. Unlike degree ranking, the
+    score weights each purchase by how prolific the buying customer
+    is — the classic "authority = endorsed by good hubs" signal.
+
+    Determinism: no normalization inside the loop (HITS ranking is
+    scale-invariant), so every score is an exact BIGINT sum —
+    order-free under any partitioning, no float anywhere. Overflow
+    headroom: a2 <= E * max_deg^2; at 1e12 edges and 1e4 max degree
+    promote to DECIMAL(38,0) or rescale between iterations.
+
+    Scale (100 TB): each half-iteration is one equi-join of the edge
+    relation against a node-score relation orders of magnitude
+    smaller, followed by a partial-agg shuffle — the PageRank shape
+    (queries/graph.py) with the same persisted-edges discipline; the
+    edge relation is persisted once and reused by all three passes.
+    AQE broadcasts the score side when it fits, which is the
+    billion-edge-safe default.
+
+    Reference parity: none; committed graph family
+    (SURVEY.md section 2.B).
+    """.format(k=HITS_TOPK)
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    edges = scoped_persist(("hits_edges", sf_dir), edges)
+    a1 = edges.groupBy("part").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h").alias("a"))
+    )
+    indeg = edges.groupBy("part").agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        a2.join(indeg, "part")
+        .select(
+            F.col("part").alias("partkey"),
+            F.col("a").alias("authority_score"),
+            "in_degree",
+        )
+        .orderBy(F.col("authority_score").desc(), "partkey")
+        .limit(HITS_TOPK)
+    )

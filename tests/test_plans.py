@@ -360,6 +360,8 @@ def test_mining_family_no_cartesian_and_broadcast(spark):
     OLS regression broadcasts both dims and shuffles the fact once."""
     from eecs_485___mapreduce_spark.queries.mining import (
         dedup_prefix_filter_jaccard,
+        events_markov_transitions,
+        hits_customer_part,
         regr_qty_price_by_nation,
         text_distinctive_terms_llr,
         triangle_parts_coorder,
@@ -370,6 +372,8 @@ def test_mining_family_no_cartesian_and_broadcast(spark):
         triangle_parts_coorder,
         text_distinctive_terms_llr,
         regr_qty_price_by_nation,
+        events_markov_transitions,
+        hits_customer_part,
     ):
         assert_no_cartesian(q(spark, SF_SMALL))
     assert_broadcast_join(regr_qty_price_by_nation(spark, SF_SMALL), expect=2)
