@@ -804,3 +804,226 @@ def hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority_score").desc(), "partkey")
         .limit(HITS_TOPK)
     )
+
+
+# ----------------------- bigram-LM surprisal (cross-entropy quality)
+
+_BIGRAMS = (
+    f"CASE WHEN len({_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_TOKS})), "
+    f"i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1])) "
+    f"ELSE [] END"
+)
+
+
+@register(
+    "text_bigram_surprisal",
+    tags=("text", "pipeline", "stats"),
+    oracle=f"""
+    WITH bg AS (SELECT doc_id, unnest({_BIGRAMS}) AS bigram FROM documents),
+    bcnt AS (SELECT bigram, COUNT(*) AS bc FROM bg GROUP BY bigram),
+    ctx AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(bc) AS BIGINT) AS cc
+      FROM bcnt GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(1000 * ln(CAST(cc AS DOUBLE) / bc)) AS BIGINT) AS s
+      FROM bg
+      JOIN bcnt USING (bigram)
+      JOIN ctx ON split_part(bigram, ' ', 1) = ctx.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS sum_surprisal_mnat,
+           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 3) AS mean_surprisal_mnat
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus bigram LM
+    (-ln P(w2|w1), MLE): the second-order companion to
+    ``text_unigram_logprob`` — repeated boilerplate scores near zero
+    even when its unigrams are rare, so the two signals together
+    separate "rare words" from "rare sequences" (the CCNet/Gopher
+    quality-filter pair). Documents with fewer than 2 tokens have no
+    bigrams and are excluded.
+
+    Determinism: P(w2|w1) = c(w1 w2) / c(w1 ·) — both counts exact
+    BIGINTs (the context count is the SUM of bigram counts sharing the
+    left token, not the raw unigram count, so the last token of each
+    document never skews the denominator); per-instance surprisal is
+    quantized to integer millinats BEFORE the per-doc sum.
+
+    Scale (100 TB): bigram relation exploded once (array-side, in
+    codegen) and persisted for its two consumers; bigram counts are
+    one partial+final agg on the bigram key; context counts REUSE the
+    bigram-count relation (vocab-sized, not corpus-sized input); the
+    per-doc rollup is one shuffle on doc_id.
+
+    Reference parity: word count is the reference's only text stat
+    (SURVEY.md section 2.A row 11); committed text-analysis family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("tok")).where(
+        F.size("tok") >= 2
+    )
+    bg = scoped_persist(
+        ("bigram_surprisal.bg", sf_dir),
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tok") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+                    ),
+                )
+            ).alias("bigram"),
+        ),
+    )
+    bcnt = scoped_persist(
+        ("bigram_surprisal.bcnt", sf_dir),
+        bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc")),
+    )
+    ctx = bcnt.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("bc").alias("cc"))
+    scored = (
+        bg.join(bcnt, "bigram")
+        .join(
+            ctx,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1000.0)
+                * F.log(F.col("cc").cast("double") / F.col("bc")),
+                0,
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("sum_surprisal_mnat"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_surprisal_mnat",
+            F.round(
+                F.col("sum_surprisal_mnat").cast("double") / F.col("n_bigrams"), 3
+            ).alias("mean_surprisal_mnat"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------- trailing-window z-score anomaly detection
+
+ANOMALY_WINDOW = 24  # trailing observed hours in the baseline
+ANOMALY_MIN_BASELINE = 12
+ANOMALY_Z2_NUM = 9  # flag |z| >= 3, compared as (n*x-S)^2 >= 9*(n*Q-S^2)
+
+
+@register(
+    "events_hourly_anomalies",
+    tags=("window", "timeseries", "stats"),
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, hour_ts, CAST(cnt AS BIGINT) AS cnt,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS q
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, cnt, n AS n_baseline,
+           CAST(ROUND(1000.0 * (n * cnt - s)
+                      / sqrt(CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s))
+                AS BIGINT) AS z_milli
+    FROM framed
+    WHERE n >= {ANOMALY_MIN_BASELINE}
+      AND n * q - s * s > 0
+      AND (n * cnt - s) * (n * cnt - s) >= {ANOMALY_Z2_NUM} * (n * q - s * s)
+    ORDER BY event_type, hour_ts
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per event type: hours whose count
+    deviates >= 3 sigma from the trailing {w}-observed-hour baseline
+    (current hour excluded from its own baseline). The monitoring /
+    data-quality primitive over the event stream.
+
+    Determinism: the >= 3-sigma DECISION is exact integer arithmetic —
+    (n*x - S)^2 >= 9*(n*Q - S^2) over BIGINT frame sums (no sqrt, no
+    float at the boundary); the reported z_milli is one fixed double
+    tree over the same integers. Frames are ROWS-based over observed
+    hours with a minimum baseline of {m}, so missing hours never
+    create NULL-arithmetic drift between engines.
+
+    Scale (100 TB): pre-aggregate to (type, hour) FIRST — the window
+    runs over the rollup (|types| x |hours| rows, ~5 orders of
+    magnitude smaller than the event stream), one shuffle for the
+    rollup + one for the per-type window sort. O(window) running
+    state per row, never a self-join against the trailing range.
+
+    Reference parity: none; committed time-series family
+    (SURVEY.md section 2.B).
+    """.format(w=ANOMALY_WINDOW, m=ANOMALY_MIN_BASELINE)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-ANOMALY_WINDOW, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour_ts",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        framed.where(
+            (F.col("n") >= ANOMALY_MIN_BASELINE)
+            & (var_num > 0)
+            & (dev * dev >= F.lit(ANOMALY_Z2_NUM) * var_num)
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "cnt",
+            F.col("n").alias("n_baseline"),
+            F.round(
+                F.lit(1000.0)
+                * dev.cast("double")
+                / F.sqrt(
+                    F.col("n").cast("double") * F.col("q")
+                    - F.col("s").cast("double") * F.col("s")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("z_milli"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

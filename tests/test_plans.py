@@ -360,9 +360,11 @@ def test_mining_family_no_cartesian_and_broadcast(spark):
     OLS regression broadcasts both dims and shuffles the fact once."""
     from eecs_485___mapreduce_spark.queries.mining import (
         dedup_prefix_filter_jaccard,
+        events_hourly_anomalies,
         events_markov_transitions,
         hits_customer_part,
         regr_qty_price_by_nation,
+        text_bigram_surprisal,
         text_distinctive_terms_llr,
         triangle_parts_coorder,
     )
@@ -374,6 +376,8 @@ def test_mining_family_no_cartesian_and_broadcast(spark):
         regr_qty_price_by_nation,
         events_markov_transitions,
         hits_customer_part,
+        text_bigram_surprisal,
+        events_hourly_anomalies,
     ):
         assert_no_cartesian(q(spark, SF_SMALL))
     assert_broadcast_join(regr_qty_price_by_nation(spark, SF_SMALL), expect=2)
