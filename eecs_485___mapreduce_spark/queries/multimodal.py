@@ -123,3 +123,46 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     and centroid operators consume."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(docs)
+
+
+@register(
+    "multimodal_image_headers",
+    tags=("multimodal", "udf"),
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+           CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 10
+                                WHEN 2 THEN 26 ELSE 30 END
+                + doc_id % 32 AS BIGINT) AS byte_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container decode over the Arrow mapInPandas path:
+    deterministic PNG/GIF/BMP/JPEG payloads are SERIALIZED per row
+    (format spec byte layouts — IHDR, logical screen descriptor,
+    BITMAPINFOHEADER, SOF0 marker), then PARSED back by the
+    header decoder (``multimodal.parse_image_header`` — magic sniff +
+    struct unpack + JPEG marker walk). The oracle recomputes the
+    expected metadata arithmetically from doc_id, so the driver
+    value-hash certifies the full build->parse byte round-trip.
+
+    This closes the metadata plane of the multimodal stub: container
+    dimensions/format need no imaging library; only pixel decode
+    remains stubbed (``decode_image_meta``, documented container
+    limitation).
+
+    Scale (100 TB): both steps are per-partition Arrow batches —
+    decode parallelism = partition count, no shuffle, no driver
+    payload transfer; corrupt payloads yield fmt=NULL rows instead of
+    failing the batch (required at crawl scale where corruption is
+    routine, pinned by tests/test_multimodal.py).
+    """
+    from ..multimodal import decode_image_headers, with_image_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_headers(with_image_payload(docs)).orderBy("doc_id")

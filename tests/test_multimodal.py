@@ -74,3 +74,53 @@ def test_extract_binary_meta_roundtrip(spark):
         import hashlib
 
         assert m.payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_parse_image_header_all_formats_roundtrip():
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_image_payload,
+        parse_image_header,
+    )
+
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        for w, h in ((1, 1), (123, 77), (65535, 480)):
+            if fmt == "gif" and (w > 65535 or h > 65535):
+                continue
+            got = parse_image_header(build_image_payload(fmt, w, h, filler=5))
+            assert got == (fmt, w, h), (fmt, w, h, got)
+
+
+def test_parse_image_header_corrupt_and_edge_inputs():
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_image_payload,
+        parse_image_header,
+    )
+
+    # corrupt / truncated payloads degrade to None, never raise
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"garbage bytes") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated
+    assert parse_image_header(b"\xff\xd8\x00\x00") is None  # bad JPEG marker
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None  # no SOF
+    # BMP top-down rows encode height negative; parser normalizes
+    import struct
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -32)
+    assert parse_image_header(bmp) == ("bmp", 64, 32)
+    # JPEG with restart markers before SOF still parses (marker walk)
+    jpeg = build_image_payload("jpeg", 10, 20)
+    with_rst = jpeg[:2] + b"\xff\xd0" + jpeg[2:]
+    assert parse_image_header(with_rst) == ("jpeg", 10, 20)
+
+
+def test_decode_image_headers_null_on_unparseable(spark):
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.multimodal import decode_image_headers
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)], "doc_id bigint, payload binary"
+    ).withColumn("payload", F.coalesce("payload", F.lit(b"")))
+    rows = {r.doc_id: r for r in decode_image_headers(df).collect()}
+    assert rows[1].fmt is None and rows[1].width is None
+    assert rows[2].fmt is None and rows[2].byte_len == 0
