@@ -249,3 +249,60 @@ def release_scope(sf_dir: str | None = None) -> int:
         _PERSIST_SCOPE.pop(key).unpersist()
         n += 1
     return n
+
+
+# ------------------------------------------------------------ z-order
+
+ZORDER_BITS = 16
+
+
+def zorder_norm(c: Column, cmin: Column, cmax: Column) -> Column:
+    """Min-max normalize a numeric column to the [0, 2^16) integer
+    grid: floor((x - min) * 65535 / (max - min)). The division is
+    double-precision but EXACT for this domain (numerator <= 2^53 by
+    construction: 16-bit scale x sub-2^37 spans), so Spark and DuckDB
+    floor identical doubles — the same formula is emitted in the
+    oracle SQL."""
+    span = (cmax.cast("long") - cmin.cast("long")).cast("double")
+    scaled = (
+        (c.cast("long") - cmin.cast("long")) * F.lit((1 << ZORDER_BITS) - 1)
+    ).cast("double")
+    return F.when(span > 0, F.floor(scaled / span)).otherwise(F.lit(0))
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-wide non-negative
+    integer columns: bit i of ``a`` lands at position 2i, bit i of
+    ``b`` at 2i+1. Pure shift/mask arithmetic — stays in whole-stage
+    codegen, and the identical formula is emitted for the DuckDB
+    oracle by :func:`zorder_key_sql`.
+
+    Sorting by this key gives MULTI-dimensional locality: any
+    axis-aligned query rectangle intersects O(perimeter) Z-runs, so
+    parquet row-group min/max stats prune on BOTH columns — the
+    standard lakehouse layout for two-column selective scans (1-D
+    sort-clustering gives one tight column and one full-span column).
+    """
+    terms = []
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        terms.append(
+            abit * F.lit(1 << (2 * i)) + bbit * F.lit(1 << (2 * i + 1))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_key_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """The DuckDB-SQL twin of :func:`zorder_key` — same term order,
+    exact integer ops only."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(((CAST({a} AS BIGINT) >> {i}) & 1) * {1 << (2 * i)}"
+            f" + ((CAST({b} AS BIGINT) >> {i}) & 1) * {1 << (2 * i + 1)})"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -1027,3 +1027,94 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+# ---------------------------------------- Z-order locality key audit
+
+ZORDER_TOPK = 40
+
+
+def _zorder_oracle() -> str:
+    from ..functions import zorder_key_sql
+
+    zexpr = zorder_key_sql("an", "bn")
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+             MIN(date_diff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE))) AS bmin,
+             MAX(date_diff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE))) AS bmax
+      FROM orders
+    ),
+    norm AS (
+      SELECT o_orderkey,
+             CAST(FLOOR((CAST(o_custkey - amin AS BIGINT) * 65535)
+                        / CAST(amax - amin AS DOUBLE)) AS BIGINT) AS an,
+             CAST(FLOOR((CAST(date_diff('day', DATE '1992-01-01',
+                                        CAST(o_orderdate AS DATE)) - bmin
+                              AS BIGINT) * 65535)
+                        / CAST(bmax - bmin AS DOUBLE)) AS BIGINT) AS bn
+      FROM orders CROSS JOIN bounds
+    )
+    SELECT o_orderkey, an AS cust_grid, bn AS day_grid,
+           CAST({zexpr} AS BIGINT) AS z_value
+    FROM norm
+    ORDER BY z_value, o_orderkey
+    LIMIT {ZORDER_TOPK}
+    """
+
+
+@register(
+    "zorder_orders_locality",
+    tags=("layout", "math"),
+    oracle=_zorder_oracle(),
+)
+def zorder_orders_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, order-day):
+    the first {k} orders in Z-sequence with their 16-bit grid
+    coordinates — the value audit for the ``write_zorder_parquet``
+    layout sink (sinks.py), whose per-file TWO-column bounding boxes
+    are asserted separately in tests/test_sources_sinks.py.
+
+    Determinism: grid normalization is floor((x-min)*65535/span) —
+    numerator bounded far under 2^53, so the double division floors
+    identically in both engines; the interleave itself is pure integer
+    shift/mask arithmetic with an identical generated expression tree
+    on both sides (``functions.zorder_key`` / ``zorder_key_sql``).
+
+    Scale (100 TB): one scalar min/max agg (broadcast back as a
+    1-row relation), then the key is a per-row codegen expression —
+    no shuffle at all in this audit form; the layout sink adds the
+    range exchange that buys two-column row-group pruning for every
+    later scan.
+
+    Reference parity: none; data-layout family next to the
+    sort-clustered and bucketed writers (SURVEY.md section 2.B
+    sinks row).
+    """.format(k=ZORDER_TOPK)
+    from ..functions import zorder_key, zorder_norm
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    bounds = orders.agg(
+        F.min("o_custkey").alias("amin"),
+        F.max("o_custkey").alias("amax"),
+        F.min(day).alias("bmin"),
+        F.max(day).alias("bmax"),
+    )
+    norm = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        zorder_norm(F.col("o_custkey"), F.col("amin"), F.col("amax")).alias("an"),
+        zorder_norm(day, F.col("bmin"), F.col("bmax")).alias("bn"),
+    )
+    return (
+        norm.select(
+            "o_orderkey",
+            F.col("an").alias("cust_grid"),
+            F.col("bn").alias("day_grid"),
+            zorder_key(F.col("an"), F.col("bn")).cast("long").alias("z_value"),
+        )
+        .orderBy("z_value", "o_orderkey")
+        .limit(ZORDER_TOPK)
+    )

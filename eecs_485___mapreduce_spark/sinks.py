@@ -20,6 +20,7 @@ giant files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _with_file_count(df: DataFrame, num_files: int | None) -> DataFrame:
@@ -243,3 +244,50 @@ def write_shuffle_layout(
                     with open(p, "rb") as fh:
                         shutil.copyfileobj(fh, out)
     shutil.rmtree(staged)
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    output_dir: str,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet: min-max normalize two numeric
+    columns to the 16-bit grid, Morton-interleave them
+    (``functions.zorder_key``), then range-partition + locally sort on
+    the z-value before writing.
+
+    Where :func:`write_sorted_parquet` gives ONE tight column (and
+    leaves the other spanning the whole domain in every file), the
+    Z-layout bounds BOTH columns per file — an axis-aligned predicate
+    on either (or both) columns prunes row groups via parquet min/max
+    stats. This is the standard lakehouse two-column clustering trade:
+    one extra scalar-agg pass (min/max, broadcast back) + one range
+    exchange at write time, bought back by every future selective
+    scan. (Per-file double-column bounding boxes are asserted in
+    tests/test_sources_sinks.py.)
+    """
+    from .functions import zorder_key, zorder_norm
+
+    bounds = df.agg(
+        F.min(col_a).alias("amin"),
+        F.max(col_a).alias("amax"),
+        F.min(col_b).alias("bmin"),
+        F.max(col_b).alias("bmax"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        zorder_key(
+            zorder_norm(F.col(col_a), F.col("amin"), F.col("amax")),
+            zorder_norm(F.col(col_b), F.col("bmin"), F.col("bmax")),
+        ),
+    ).drop("amin", "amax", "bmin", "bmax")
+    out = (
+        keyed.repartitionByRange("_z")
+        if num_files is None
+        else keyed.repartitionByRange(num_files, "_z")
+    )
+    out.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(
+        output_dir
+    )

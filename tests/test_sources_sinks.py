@@ -285,3 +285,57 @@ def test_write_shuffle_layout_reproduces_reference_naming_and_routing(
         assert got == sorted(vals), name
     # no stray files beyond the populated (task, r) cells
     assert set(names) == set(want)
+
+
+def test_zorder_layout_bounds_both_columns(spark, tmp_path):
+    """write_zorder_parquet must give per-file locality on BOTH cluster
+    columns: with the 1-D sort layout the secondary column spans
+    ~the whole domain in every file; the Z-layout's mean per-file
+    bounding-box area must be a small fraction of that."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sinks import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day"),
+    )
+    zdir = str(tmp_path / "z")
+    sdir = str(tmp_path / "s")
+    write_zorder_parquet(orders, zdir, "o_custkey", "day", num_files=64)
+    write_sorted_parquet(orders, sdir, ["o_custkey"], num_files=64)
+
+    def mean_widths(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("aw"),
+                (F.max("day") - F.min("day")).alias("bw"),
+            )
+            .collect()
+        )
+        assert len(rows) >= 16
+        return (
+            sum(r.aw for r in rows) / len(rows),
+            sum(r.bw for r in rows) / len(rows),
+        )
+
+    z_aw, z_bw = mean_widths(zdir)
+    s_aw, s_bw = mean_widths(sdir)
+    # Total box area per file is ~the same for any layout; the Z-curve
+    # property is BALANCE — with 64 files each dimension is bounded at
+    # ~1/8 of its domain, where the 1-D sort leaves the secondary
+    # column (day) spanning nearly the whole domain in every file.
+    dom_b = (
+        orders.agg((F.max("day") - F.min("day")).alias("w")).collect()[0].w
+    )
+    assert z_bw < 0.5 * s_bw, (z_bw, s_bw)
+    assert z_bw < 0.35 * dom_b, (z_bw, dom_b)
