@@ -228,3 +228,103 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     )
     q.awaitTermination()
     return q
+
+
+# ------------------- streaming anomaly detection (stateful baseline)
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hours", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+ANOMALY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("hour_sec", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_baseline", T.LongType()),
+        T.StructField("z_milli", T.LongType()),
+    ]
+)
+
+
+def anomalies_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``queries.mining.events_hourly_anomalies``:
+    per event type, maintain the trailing 24-observed-hour baseline as
+    explicit state (applyInPandasWithState) and emit hours whose count
+    deviates >= 3 sigma.
+
+    State per key is O(window): two 24-long arrays (hour, count) —
+    bounded by |event_types| x 24 regardless of event volume. The
+    3-sigma decision is the SAME exact-integer comparison as the batch
+    twin ((n*x-S)^2 >= 9*(n*Q-S^2)), and z_milli uses half-away-
+    from-zero rounding to match Spark/DuckDB ROUND. Micro-batches are
+    hour-sorted inside the group; as with the sessionizer, cross-batch
+    exactness assumes replay does not interleave event time (file
+    replays satisfy this; an out-of-order source would pair this with
+    a watermark holding back open hours).
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..queries.mining import (
+        ANOMALY_MIN_BASELINE,
+        ANOMALY_WINDOW,
+        ANOMALY_Z2_NUM,
+    )
+
+    def _round_half_away(x: float) -> int:
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    def update(key, pdfs, state: GroupState):  # noqa: ANN001
+        (event_type,) = key
+        if state.exists:
+            hours, counts = (list(v) for v in state.get)
+        else:
+            hours, counts = [], []
+        batch: dict[int, int] = {}
+        for pdf in pdfs:
+            secs = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
+            for h, c in (secs // 3600).value_counts().items():
+                batch[int(h) * 3600] = batch.get(int(h) * 3600, 0) + int(c)
+        out_rows = []
+        for hour_sec in sorted(batch):
+            cnt = batch[hour_sec]
+            n = len(hours)
+            if n >= ANOMALY_MIN_BASELINE:
+                s = sum(counts)
+                q = sum(c * c for c in counts)
+                var_num = n * q - s * s
+                dev = n * cnt - s
+                if var_num > 0 and dev * dev >= ANOMALY_Z2_NUM * var_num:
+                    z = 1000.0 * dev / math.sqrt(float(n) * q - float(s) * s)
+                    out_rows.append(
+                        (event_type, hour_sec, cnt, n, _round_half_away(z))
+                    )
+            hours.append(hour_sec)
+            counts.append(cnt)
+            if len(hours) > ANOMALY_WINDOW:
+                hours = hours[-ANOMALY_WINDOW:]
+                counts = counts[-ANOMALY_WINDOW:]
+        state.update((hours, counts))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["event_type", "hour_sec", "cnt", "n_baseline", "z_milli"],
+        )
+
+    return (
+        events.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

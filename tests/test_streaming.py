@@ -322,3 +322,32 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_anomalies_stream_equals_batch(spark):
+    """The stateful streaming anomaly detector must emit exactly the
+    batch twin's rows on a bounded replay (same 3-sigma integer
+    decision, same trailing-24 baseline)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.mining import events_hourly_anomalies
+    from eecs_485___mapreduce_spark.streaming.events import (
+        anomalies_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    run_stream_to_memory(anomalies_stream(stream), "anom_stream")
+    got = {
+        (r.event_type, r.hour_sec, r.cnt, r.n_baseline, r.z_milli)
+        for r in spark.table("anom_stream").collect()
+    }
+    want = {
+        (r.event_type, r.hour_sec, r.cnt, r.n_baseline, r.z_milli)
+        for r in events_hourly_anomalies(spark, SF_SMALL)
+        .withColumn("hour_sec", F.unix_timestamp("hour_ts"))
+        .select("event_type", "hour_sec", "cnt", "n_baseline", "z_milli")
+        .collect()
+    }
+    assert got == want and len(want) > 0
