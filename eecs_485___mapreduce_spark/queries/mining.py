@@ -293,7 +293,11 @@ JACC_MILLI = 600  # threshold t = 0.6 on 3-word-shingle sets
     tags=("dedup", "join", "text"),
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {_SHINGLES} AS s FROM documents
+      SELECT doc_id, s FROM (
+        SELECT doc_id,
+               list_filter({_SHINGLES}, x -> x IS NOT NULL AND x <> '') AS s
+        FROM documents)
+      WHERE len(s) > 0
     ),
     tok AS (SELECT doc_id, unnest(s) AS term FROM t),
     df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
@@ -351,7 +355,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (reference has no similarity surface);
     committed dedup-family row, SURVEY.md section 2.B.
     """.format(t=JACC_MILLI)
-    t = _shingle_relation(spark, sf_dir).select("doc_id", F.col("sh").alias("s"))
+    # Token-less documents shingle to the degenerate ['']/[NULL] set
+    # (and do so DIFFERENTLY across engines — DuckDB array_to_string of
+    # an empty list is NULL, Spark array_join is ''): they are exact-
+    # duplicate territory (dedup_exact), not near-dup material, so both
+    # sides drop them before pairing.
+    t = (
+        _shingle_relation(spark, sf_dir)
+        .select("doc_id", F.filter(F.col("sh"), lambda x: x != F.lit("")).alias("s"))
+        .where(F.size("s") > 0)
+    )
     tok = t.select("doc_id", F.explode("s").alias("term"))
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rk = df.select(

@@ -48,6 +48,12 @@ EDGE_QUERIES = [
     "dedup_exact",
     "snapshot_diff_documents",
     "shuffle_shard_assignment",
+    # round-3 mining/multimodal additions (document-shaped)
+    "text_distinctive_terms_llr",
+    "text_char_entropy",
+    "text_bigram_surprisal",
+    "dedup_prefix_filter_jaccard",
+    "multimodal_image_headers",
 ]
 
 

@@ -262,6 +262,7 @@ def test_scoped_persist_reuse_and_release(spark):
         scoped_persist,
     )
 
+    release_scope()  # sweep any scopes left cached by earlier tests
     a = scoped_persist(("t1", "/scope-a"), spark.range(5))
     b = scoped_persist(("t2", "/scope-b"), spark.range(6))
     assert scoped_persist(("t1", "/scope-a"), spark.range(5)) is a
