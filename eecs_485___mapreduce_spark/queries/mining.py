@@ -1131,3 +1131,133 @@ def zorder_orders_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("z_value", "o_orderkey")
         .limit(ZORDER_TOPK)
     )
+
+
+# ---------------- Kolmogorov-Smirnov drift detection (per source)
+
+
+@register(
+    "ks_doclen_by_source",
+    tags=("stats", "agg", "window"),
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars, COUNT(*) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    srcs AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src FROM c GROUP BY source),
+    vals AS (SELECT DISTINCT n_chars FROM c),
+    g AS (
+      SELECT n_chars,
+             CAST(SUM(SUM(cnt)) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+      FROM c GROUP BY n_chars
+    ),
+    grid AS (
+      SELECT s.source, v.n_chars, s.n_src,
+             CAST(SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY s.source
+                                                ORDER BY v.n_chars) AS BIGINT)
+               AS cum_src
+      FROM srcs s
+      CROSS JOIN vals v
+      LEFT JOIN c ON c.source = s.source AND c.n_chars = v.n_chars
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM c),
+    dev AS (
+      SELECT grid.source, grid.n_src,
+             tot.n_all - grid.n_src AS n_rest,
+             ABS(grid.cum_src * (tot.n_all - grid.n_src)
+                 - (g.cum_all - grid.cum_src) * grid.n_src) AS d_num
+      FROM grid
+      JOIN g ON grid.n_chars = g.n_chars
+      CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(n_src AS BIGINT) AS n_src,
+           CAST(n_rest AS BIGINT) AS n_rest,
+           CAST(MAX(d_num) AS BIGINT) AS d_num,
+           CAST(ROUND(1000.0 * MAX(d_num) / (n_src * n_rest)) AS BIGINT)
+             AS d_milli
+    FROM dev
+    GROUP BY source, n_src, n_rest
+    ORDER BY d_milli DESC, source
+    """,
+)
+def ks_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per source: the max
+    CDF deviation between each source's document-length distribution
+    and the rest of the corpus — the standard distribution-drift /
+    contamination detector run between pipeline snapshots or data
+    mixtures.
+
+    Determinism: D = max_x |F_src(x) - F_rest(x)| is evaluated with
+    the division CLEARED: d_num = max |cum_src*n_rest - cum_rest*n_src|
+    — every term an exact BIGINT (counts and cumulative counts), so
+    the max and the ranking are pure integer arithmetic; only the
+    reported d_milli divides (one rounded double op over exact ints).
+
+    Scale (100 TB): the corpus collapses FIRST to (source, length)
+    counts — output-bounded, |sources| x |distinct lengths| — and all
+    window cumsums run over that tiny grid, never the corpus. One
+    corpus-sized shuffle (the groupBy), everything after is
+    dimension-table work. The grid cross join is |sources| x |lengths|
+    and both sides are broadcast-scale.
+
+    Reference parity: none; committed stats family
+    (SURVEY.md section 2.B).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    c = scoped_persist(("ks_counts", sf_dir), c)
+    srcs = c.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    vals = c.select("n_chars").distinct()
+    g = (
+        c.groupBy("n_chars")
+        .agg(F.sum("cnt").alias("v"))
+        .select(
+            "n_chars",
+            F.sum("v").over(Window.orderBy("n_chars")).alias("cum_all"),
+        )
+    )
+    grid = (
+        F.broadcast(srcs)
+        .crossJoin(F.broadcast(vals))
+        .join(c, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            "n_src",
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .over(Window.partitionBy("source").orderBy("n_chars"))
+            .alias("cum_src"),
+        )
+    )
+    tot = c.agg(F.sum("cnt").alias("n_all"))
+    dev = (
+        grid.join(F.broadcast(g), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_src",
+            (F.col("n_all") - F.col("n_src")).alias("n_rest"),
+            F.abs(
+                F.col("cum_src") * (F.col("n_all") - F.col("n_src"))
+                - (F.col("cum_all") - F.col("cum_src")) * F.col("n_src")
+            ).alias("d_num"),
+        )
+    )
+    return (
+        dev.groupBy("source", "n_src", "n_rest")
+        .agg(F.max("d_num").alias("d_num"))
+        .select(
+            "source",
+            "n_src",
+            "n_rest",
+            "d_num",
+            F.round(
+                F.lit(1000.0) * F.col("d_num") / (F.col("n_src") * F.col("n_rest")),
+                0,
+            )
+            .cast("long")
+            .alias("d_milli"),
+        )
+        .orderBy(F.col("d_milli").desc(), "source")
+    )

@@ -54,6 +54,7 @@ EDGE_QUERIES = [
     "text_bigram_surprisal",
     "dedup_prefix_filter_jaccard",
     "multimodal_image_headers",
+    "ks_doclen_by_source",
 ]
 
 
