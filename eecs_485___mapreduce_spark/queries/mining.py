@@ -1261,3 +1261,52 @@ def ks_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("d_milli").desc(), "source")
     )
+
+
+# --------------------------------- pivot (wide counts by event type)
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_hourly_types",
+    tags=("agg", "pivot", "timeseries"),
+    oracle=f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+           {", ".join(
+             f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+             for t in PIVOT_TYPES)},
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY 1
+    ORDER BY hour_of_day
+    """,
+)
+def events_pivot_hourly_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hour-of-day x event-type count matrix in wide form (one
+    column per type) — the companion to ``unpivot_lineitem_measures``
+    completing the reshape pair. Pivot values are the FIXED published
+    type vocabulary, so the output schema is static (dynamic-pivot
+    discovery would need a collect of distinct values — a documented
+    anti-pattern at 100 TB; fix the vocabulary or dictionary-encode
+    first).
+
+    Scale: Spark's ``pivot(col, values)`` with explicit values plans
+    exactly like the CASE-WHEN aggregate the oracle spells out: ONE
+    shuffle on the group key with map-side partial aggs, 24 x
+    (|types|+1) output cells. No second pass, no value discovery.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in PIVOT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}").withColumn(
+            f"n_{t}", F.coalesce(F.col(f"n_{t}"), F.lit(0))
+        )
+    total = None
+    for t in PIVOT_TYPES:
+        total = F.col(f"n_{t}") if total is None else total + F.col(f"n_{t}")
+    return out.withColumn("n_total", total).orderBy("hour_of_day")
