@@ -1291,22 +1291,27 @@ def events_pivot_hourly_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-pattern at 100 TB; fix the vocabulary or dictionary-encode
     first).
 
-    Scale: Spark's ``pivot(col, values)`` with explicit values plans
-    exactly like the CASE-WHEN aggregate the oracle spells out: ONE
-    shuffle on the group key with map-side partial aggs, 24 x
-    (|types|+1) output cells. No second pass, no value discovery.
+    Scale: the event stream collapses ONCE to the (hour, type) rollup
+    (one shuffle, map-side partials); the ``pivot(col, values)``
+    reshape and the row-total run over that 24 x |types| relation —
+    dimension-table work. ``n_total`` counts EVERY event in the hour
+    (including types outside the published vocabulary — NULLs and
+    stragglers must not silently vanish from the census), which is why
+    it joins from the rollup rather than summing the pivoted columns.
     """
     ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = scoped_persist(("pivot_hourly_base", sf_dir), base)
     out = (
-        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        base.groupBy("hour_of_day")
         .pivot("event_type", list(PIVOT_TYPES))
-        .agg(F.count(F.lit(1)))
+        .agg(F.sum("c"))
     )
     for t in PIVOT_TYPES:
         out = out.withColumnRenamed(t, f"n_{t}").withColumn(
             f"n_{t}", F.coalesce(F.col(f"n_{t}"), F.lit(0))
         )
-    total = None
-    for t in PIVOT_TYPES:
-        total = F.col(f"n_{t}") if total is None else total + F.col(f"n_{t}")
-    return out.withColumn("n_total", total).orderBy("hour_of_day")
+    total = base.groupBy("hour_of_day").agg(F.sum("c").alias("n_total"))
+    return out.join(total, "hour_of_day").orderBy("hour_of_day")

@@ -146,6 +146,10 @@ EDGE_EVENT_QUERIES = [
     "topk_per_group",
     "scd2_user_state",
     "cohort_retention",
+    # round-3 mining additions (event-shaped)
+    "events_markov_transitions",
+    "events_hourly_anomalies",
+    "events_pivot_hourly_types",
 ]
 
 
