@@ -739,3 +739,105 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------- split leakage audit
+
+
+def _leakage_oracle() -> str:
+    from ..functions import CANONICAL_TEXT_SQL
+
+    ck = f"md5({CANONICAL_TEXT_SQL.format(c='text')})"
+    split_of = lambda key: f"""CASE
+        WHEN {md5_long_sql(f"'split:' || {key}")} % 100
+             < {SPLIT_TRAIN_PCT} THEN 'train'
+        WHEN {md5_long_sql(f"'split:' || {key}")} % 100
+             < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+        ELSE 'test' END"""
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {ck} AS ck,
+             {split_of('CAST(doc_id AS VARCHAR)')} AS split_by_id,
+             {split_of(ck)} AS split_by_content
+      FROM documents
+    ),
+    by_id AS (
+      SELECT ck, COUNT(*) AS n_docs,
+             COUNT(DISTINCT split_by_id) AS n_splits
+      FROM keyed GROUP BY ck
+    ),
+    by_ck AS (
+      SELECT ck, COUNT(*) AS n_docs,
+             COUNT(DISTINCT split_by_content) AS n_splits
+      FROM keyed GROUP BY ck
+    )
+    SELECT 'by_doc_id' AS strategy,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_leaked_docs
+    FROM by_id
+    UNION ALL
+    SELECT 'by_content_key',
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+    FROM by_ck
+    ORDER BY strategy
+    """
+
+
+@register(
+    "split_leakage_audit",
+    tags=("sampling", "pipeline", "hash", "dedup"),
+    oracle=_leakage_oracle(),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit of the 90/5/5 split: for each split
+    strategy, how many exact-duplicate groups (same canonical content)
+    end up with members in MORE THAN ONE split. Splitting by doc_id
+    hash leaks every duplicated document across splits with high
+    probability; splitting by the CONTENT key is leak-free by
+    construction (the split is a pure function of the group key) —
+    this audit is the census that proves it on the actual corpus, and
+    the reason production splits key on content, not row ids.
+
+    Scale (100 TB): one shuffle on the 128-bit content key (same key
+    the exact-dedup pass already computes — shared work in a real
+    pipeline); both strategy censuses aggregate the SAME grouped
+    relation, and the output is 2 rows. Split assignment itself stays
+    a scan-side pure-function projection, exactly as in
+    ``split_train_val_test``.
+    """
+    from ..functions import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    ck = F.md5(canonical_text("text"))
+    keyed = docs.select(
+        ck.alias("ck"),
+        split_assignment("doc_id").alias("split_by_id"),
+    ).withColumn("split_by_content", split_assignment(F.col("ck")))
+
+    def census(split_col: str, label: str) -> DataFrame:
+        grouped = keyed.groupBy("ck").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(split_col).alias("n_splits"),
+        )
+        return grouped.agg(
+            F.lit(label).alias("strategy"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_groups"
+            ),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias(
+                "n_leaky_groups"
+            ),
+            F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0)).alias(
+                "n_leaked_docs"
+            ),
+        )
+
+    return census("split_by_id", "by_doc_id").unionAll(
+        census("split_by_content", "by_content_key")
+    ).orderBy("strategy")

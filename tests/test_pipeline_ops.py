@@ -207,3 +207,46 @@ def test_observation_metrics_ride_the_gate_pass(spark):
     assert obs_in.get["chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
     assert obs_out.get["rows"] == kept
     assert 0 < kept < obs_in.get["rows"]
+
+
+def test_split_leakage_audit_nonzero_on_duplicated_corpus(spark, tmp_path):
+    """The leakage audit must not pass vacuously (the main corpus has
+    no exact duplicates, so every count is 0 there — the same
+    all-zeros trap the PII counts had): on a corpus WITH duplicate
+    content, by_doc_id splitting must show leaked groups and
+    by_content_key must show exactly none, with both engines agreeing
+    on the nonzero numbers."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.queries.curation import (
+        _leakage_oracle,
+        split_leakage_audit,
+    )
+
+    rows = [
+        # 40 duplicate pairs: same text, far-apart doc_ids
+        *[(i, f"dup text number {i % 40}", "en", "srcA", 20) for i in range(80)],
+        # 20 singletons
+        *[(100 + i, f"unique text {i}", "en", "srcB", 15) for i in range(20)],
+    ]
+    d = str(tmp_path / "dupcorpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.strategy: (r.n_dup_groups, r.n_leaky_groups, r.n_leaked_docs)
+        for r in split_leakage_audit(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(_leakage_oracle()).fetchall()
+    }
+    assert got == want
+    assert got["by_doc_id"][0] == 40  # all duplicate groups seen
+    assert got["by_doc_id"][1] > 0  # id-hash split leaks
+    assert got["by_content_key"] == (40, 0, 0)  # content-key split never leaks
