@@ -301,13 +301,13 @@ JACC_MILLI = 600  # threshold t = 0.6 on 3-word-shingle sets
     ),
     tok AS (SELECT doc_id, unnest(s) AS term FROM t),
     df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
-    rk AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df, term) AS r FROM df),
     pre AS (
       SELECT doc_id, term FROM (
         SELECT tok.doc_id, tok.term,
-               ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY rk.r) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY df.df, tok.term) AS rn,
                COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
-        FROM tok JOIN rk ON tok.term = rk.term)
+        FROM tok JOIN df ON tok.term = df.term)
       WHERE rn <= sz - (({JACC_MILLI} * sz + 999) // 1000) + 1
     ),
     cand AS (
@@ -367,17 +367,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = t.select("doc_id", F.explode("s").alias("term"))
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    rk = df.select(
-        "term",
-        F.row_number().over(Window.orderBy("df", "term")).alias("r"),
-    )
+    # Rare-first prefix order is (df, term) DIRECTLY in the per-doc
+    # window — materializing a global vocabulary ROW_NUMBER would be a
+    # single-partition sort of the whole vocab for a rank that is
+    # strictly monotone in (df, term) anyway.
     w_doc = Window.partitionBy("doc_id")
     pre = (
-        tok.join(rk, "term")
+        tok.join(df, "term")
         .select(
             "doc_id",
             "term",
-            F.row_number().over(w_doc.orderBy("r")).alias("rn"),
+            F.row_number().over(w_doc.orderBy("df", "term")).alias("rn"),
             F.count(F.lit(1)).over(w_doc).alias("sz"),
         )
         .where(
