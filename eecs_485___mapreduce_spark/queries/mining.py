@@ -1315,3 +1315,85 @@ def events_pivot_hourly_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     total = base.groupBy("hour_of_day").agg(F.sum("c").alias("n_total"))
     return out.join(total, "hour_of_day").orderBy("hour_of_day")
+
+
+# -------------------- chi-square independence test (source x lang)
+
+
+@register(
+    "chi2_source_lang",
+    tags=("stats", "agg"),
+    oracle="""
+    WITH c AS (SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM c GROUP BY source),
+    cs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cl FROM c GROUP BY lang),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+    cells AS (
+      SELECT c.source, c.lang,
+             CAST(c.o AS BIGINT) AS o,
+             CAST(rs.r AS BIGINT) AS r, CAST(cs.cl AS BIGINT) AS cl,
+             tot.n AS n
+      FROM c JOIN rs ON c.source = rs.source
+             JOIN cs ON c.lang = cs.lang CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_observed_cells,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ROUND(1000000.0 *
+                ((CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * cl)
+                 * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * cl))
+                / (CAST(r AS DOUBLE) * cl * n)) AS BIGINT)) AS BIGINT)
+             AS chi2_micro
+    FROM cells
+    """,
+)
+def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of (source, lang):
+    sum over observed cells of (O - E)^2 / E with E = r*c/N, computed
+    with the division cleared — each cell term is
+    (O*N - r*c)^2 / (r*c*N) scaled by N, i.e. chi2 = that sum / N...
+    concretely the per-cell contribution here is quantized to
+    micro-units of (O*N - r*c)^2/(r*c*N), whose SUM equals N * chi2 —
+    a monotone transform reported as ``chi2_micro`` (divide by N for
+    the classical statistic). The corpus-composition drift test run
+    between pipeline snapshots: "is language mix independent of
+    source, and if not, how far off".
+
+    Determinism: O, r, c, N are exact BIGINTs; the per-cell double
+    tree is fixed and quantized to integer micro-units BEFORE the
+    final sum (order-free bigint addition). Zero-count cells (absent
+    rows) contribute r*c/N each to the classical statistic; this audit
+    reports the observed-cell sum plus the cell count so the absent
+    mass is recoverable — standard sparse-contingency practice at
+    scale (materializing the dense |sources| x |langs| grid is the
+    oracle's job, not the 100 TB engine's).
+
+    Scale (100 TB): one shuffle to the (source, lang) contingency
+    rollup; marginals and the total are dimension-sized broadcasts;
+    the statistic is a constant-size census row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    c = scoped_persist(("chi2_cells", sf_dir), c)
+    rs = c.groupBy("source").agg(F.sum("o").alias("r"))
+    cs = c.groupBy("lang").agg(F.sum("o").alias("cl"))
+    tot = c.agg(F.sum("o").alias("n"))
+    cells = (
+        c.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.col("o").cast("double") * F.col("n") - F.col("r").cast("double") * F.col(
+        "cl"
+    )
+    term = F.round(
+        F.lit(1000000.0)
+        * dev
+        * dev
+        / (F.col("r").cast("double") * F.col("cl") * F.col("n")),
+        0,
+    ).cast("long")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_observed_cells"),
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum(term).alias("chi2_micro"),
+    )

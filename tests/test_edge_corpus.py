@@ -55,6 +55,7 @@ EDGE_QUERIES = [
     "dedup_prefix_filter_jaccard",
     "multimodal_image_headers",
     "ks_doclen_by_source",
+    "chi2_source_lang",
 ]
 
 
