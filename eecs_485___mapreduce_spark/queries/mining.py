@@ -1397,3 +1397,85 @@ def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_docs"),
         F.sum(term).alias("chi2_micro"),
     )
+
+
+# ----------------- marketing attribution (first / last touch)
+
+
+@register(
+    "attribution_first_last_touch",
+    tags=("window", "agg", "timeseries"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT COALESCE(first_touch, 'none') AS first_touch,
+           COALESCE(last_touch, 'none') AS last_touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY first_touch, last_touch
+    """,
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution census: every purchase credited to the
+    user's FIRST non-purchase touch and LAST non-purchase touch before
+    it, rolled up to the (first, last) channel matrix with purchase
+    counts and exact decimal revenue — the two standard single-touch
+    attribution models in one pass.
+
+    Determinism: touch selection is conditional first/last IGNORE
+    NULLS over the (ts, event_id)-ordered per-user frame (unique
+    tiebreak, identical in both engines); revenue goes through
+    decimal(18,2) (exact, order-free).
+
+    Scale (100 TB): ONE shuffle on user_id computes both window
+    functions over the same sort (running O(1) state each — the frame
+    is unbounded-preceding, so Spark keeps running first/last, never
+    the frame rows); the census is a second, |channels|^2-bounded agg.
+    Contrast with the self-join formulation (purchases x prior events)
+    which materializes per-pair rows and dies on power users.
+
+    Reference parity: none; committed time-series/window family
+    (SURVEY.md section 2.B).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("first_touch"), F.lit("none")).alias("first_touch"),
+            F.coalesce(F.col("last_touch"), F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )

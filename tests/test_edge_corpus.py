@@ -151,6 +151,7 @@ EDGE_EVENT_QUERIES = [
     "events_markov_transitions",
     "events_hourly_anomalies",
     "events_pivot_hourly_types",
+    "attribution_first_last_touch",
 ]
 
 
