@@ -1,16 +1,25 @@
-r"""Statistical / graph / similarity mining operators: group-wise OLS
-regression, degree-oriented triangle counting, prefix-filtered exact
-Jaccard self-join, log-likelihood distinctive terms, and per-document
-character entropy.
+r"""Statistical / graph / similarity mining operators.
+
+Families in this module (every one DuckDB-oracle-checked):
+
+- **Closed-form statistics**: group-wise OLS regression (five exact
+  moment sums), Pearson chi-square independence census, two-sample
+  Kolmogorov-Smirnov drift detection, trailing-window z-score anomaly
+  detection (3-sigma decision in exact integers).
+- **Graph kernels**: degree-oriented triangle counting (hub-proof
+  wedge join), HITS hubs/authorities in exact integer mass.
+- **Similarity**: prefix-filtered EXACT Jaccard self-join — the
+  zero-false-negative complement to the probabilistic MinHash-LSH
+  path, over the SAME persisted shingle relation.
+- **Text quality**: Dunning log-likelihood distinctive terms,
+  per-document character entropy, bigram-LM surprisal.
+- **Behavioral**: first-order Markov transition matrix, first/last-
+  touch attribution, fixed-vocabulary pivot.
+- **Data layout**: Morton Z-order locality key (the value audit for
+  ``sinks.write_zorder_parquet``).
 
 The reference has no analytics surface at all (SURVEY.md section 2.B);
-these extend the engine's committed north-star families: regression is
-the moment-statistics family's closed-form modeling step, triangle
-counting is the canonical distributed-join graph kernel, the
-prefix-filtered Jaccard join is the EXACT complement to the
-probabilistic MinHash-LSH near-dup path (zero false negatives, same
-no-all-pairs discipline), and LLR/entropy are corpus-quality signals a
-training-data pipeline runs per source / per document.
+these extend the engine's committed north-star families.
 
 Cross-engine determinism follows the package discipline (SCALE.md):
 every aggregate is an exact BIGINT sum of per-row integers; doubles
