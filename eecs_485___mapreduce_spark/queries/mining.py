@@ -1488,3 +1488,186 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch", "last_touch")
     )
+
+
+# ------------------------------- RFM segmentation (quintile scores)
+
+RFM_REF_DATE = "1998-12-31"
+RFM_BANDS = 5
+
+
+@register(
+    "rfm_customer_segments",
+    tags=("window", "agg", "topk"),
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '{RFM_REF_DATE}')                 AS recency_days,
+             COUNT(*)                                         AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE)                                  AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ntile({RFM_BANDS}) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile({RFM_BANDS}) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile({RFM_BANDS}) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+             monetary
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(monetary)) AS BIGINT) AS segment_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quintile-score every ordering customer on the three classic axes
+    against a fixed reference date, then census the segment lattice
+    (counts + exact segment revenue) — the standard CRM / lifecycle
+    segmentation query.
+
+    Determinism: every ntile orders with the customer key as the
+    unique tiebreak; monetary goes through decimal(18,2) before
+    scoring and ROUND-to-unit at output.
+
+    Scale (100 TB): the fact stream collapses to one row per customer
+    FIRST (one shuffle, map-side partials); the three ntile windows
+    run over the per-customer relation. A global ntile is a single-
+    ordering operation — at extreme customer cardinality swap in
+    percentile-bucket scoring from approx_percentile cutpoints (the
+    same trade documented for the robust-outlier census); the segment
+    census output is {b}^3-bounded.
+
+    Reference parity: none; committed window/analytics family
+    (SURVEY.md section 2.B).
+    """.format(b=RFM_BANDS)
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(RFM_BANDS)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(RFM_BANDS)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(RFM_BANDS)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 0).cast("long").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --------------------------------- Pareto (80/20) revenue census
+
+PARETO_MILLI = 800  # the "80" in 80/20
+
+
+@register(
+    "pareto_revenue_parts",
+    tags=("window", "agg", "stats"),
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_parts FROM rev),
+    c AS (
+      SELECT CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+                  AS BIGINT) AS cum_cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rnk
+      FROM rev
+    )
+    SELECT tot.n_parts,
+           tot.total_cents,
+           CAST(MIN(CASE WHEN 1000 * cum_cents >= {PARETO_MILLI} * total_cents
+                         THEN rnk END) AS BIGINT) AS parts_for_80pct,
+           CAST(ROUND(1000.0 * MIN(CASE WHEN 1000 * cum_cents
+                                             >= {PARETO_MILLI} * total_cents
+                                        THEN rnk END) / tot.n_parts)
+                AS BIGINT) AS parts_share_milli
+    FROM c CROSS JOIN tot
+    GROUP BY tot.n_parts, tot.total_cents
+    """,
+)
+def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration census: the number (and share) of parts
+    that cover {p}% of total revenue — the classic 80/20 check a
+    catalog/assortment analysis starts with.
+
+    Determinism: revenue is exact integer cents (ROUND of the same
+    parquet double is identical cross-engine); the 80% threshold is
+    the cross-multiplied integer compare 1000*cum >= {p}0*total; the
+    running sum orders by (cents DESC, partkey) — unique tiebreak.
+
+    Scale (100 TB): the fact stream collapses to per-part revenue
+    first (one shuffle); the ranked cumsum runs over the part
+    dimension (orders of magnitude smaller). The global window over
+    the dimension is the documented trade — a two-pass range-
+    partitioned cumsum is the swap-in once the dimension itself stops
+    fitting a sort (same note as the DAU curve).
+
+    Reference parity: none; committed window/analytics family
+    (SURVEY.md section 2.B).
+    """.format(p=PARETO_MILLI // 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    rev = scoped_persist(("pareto_rev", sf_dir), rev)
+    tot = rev.agg(
+        F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey")
+    c = rev.select(
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    hit = F.min(
+        F.when(
+            F.lit(1000) * F.col("cum_cents")
+            >= F.lit(PARETO_MILLI) * F.col("total_cents"),
+            F.col("rnk"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n_parts", "total_cents")
+        .agg(
+            hit.cast("long").alias("parts_for_80pct"),
+            F.round(F.lit(1000.0) * hit / F.col("n_parts"), 0)
+            .cast("long")
+            .alias("parts_share_milli"),
+        )
+    )
