@@ -67,15 +67,18 @@ _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
     )
     SELECT n_name,
            n,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)   AS slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE), 6)                   AS intercept,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
-                 6)                                        AS r2
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             ROUND((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) END               AS intercept,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+                   6) END                                    AS r2
     FROM m JOIN nation ON nationkey = n_nationkey
     ORDER BY n_name
     """,
@@ -121,9 +124,14 @@ def regr_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope = num / den_x
+    den_x_i = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y_i = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den_x = den_x_i.cast("double")
+    den_y = den_y_i.cast("double")
+    # Zero-variance groups (single point, constant x or y) have no
+    # defined slope/r2 — NULL, not a divide-by-zero (ANSI throws;
+    # found by the edge star-schema harness).
+    slope = F.when(den_x_i != 0, num / den_x)
     return (
         m.join(F.broadcast(nat), m.nationkey == nat.n_nationkey)
         .select(
@@ -135,7 +143,10 @@ def regr_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n").cast("double"),
                 6,
             ).alias("intercept"),
-            F.round(num * num / (den_x * den_y), 6).alias("r2"),
+            F.when(
+                (den_x_i != 0) & (den_y_i != 0),
+                F.round(num * num / (den_x * den_y), 6),
+            ).alias("r2"),
         )
         .orderBy("n_name")
     )

@@ -372,6 +372,10 @@ EDGE_STAR_QUERIES = [
     "window_rank_suite", "merge_upsert_orders", "ntile_price_bands",
     "profile_orders_columns", "outlier_orders_robust_z",
     "fuzzy_match_customer_supplier", "pagerank_customer_supplier",
+    # round-3 mining additions (star-shaped)
+    "regr_qty_price_by_nation", "triangle_parts_coorder",
+    "hits_customer_part", "rfm_customer_segments",
+    "pareto_revenue_parts", "zorder_orders_locality",
 ]
 
 
