@@ -141,6 +141,114 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ),
+    f0 AS (SELECT MIN(u) AS node FROM pairs),
+    vis0 AS (SELECT node FROM f0)
+    """
+    for i in range(1, BFS_HOPS + 1):
+        sql += f""",
+    f{i} AS (
+      SELECT DISTINCT s.dst AS node
+      FROM sym s JOIN f{i - 1} f ON s.src = f.node
+      WHERE s.dst NOT IN (SELECT node FROM vis{i - 1})
+    ),
+    vis{i} AS (SELECT node FROM vis{i - 1} UNION SELECT node FROM f{i})
+        """
+    sql += "\n" + "\n    UNION ALL ".join(
+        f"SELECT {i} AS hop, COUNT(*) AS n_nodes, "
+        f"CAST(SUM(node) AS BIGINT) AS sum_node FROM f{i}"
+        for i in range(BFS_HOPS + 1)
+    )
+    return sql
+
+
+@register(
+    "bfs_hops_part_coorder",
+    tags=("graph", "join", "iterative"),
+    oracle=_bfs_oracle(),
+)
+def bfs_hops_part_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search over the part co-order graph (shared edge
+    relation with the triangle kernel, queries/mining.py): frontier
+    size and an integer checksum per hop, {hops} hops out from the
+    lowest-numbered part — the reachability/shortest-path primitive
+    next to PageRank (rank), connected components (clustering), and
+    HITS (authority).
+
+    Determinism: frontiers are exact distinct node sets, the per-hop
+    census is (COUNT, SUM) of BIGINT keys — order-free.
+
+    Scale (100 TB): textbook distributed BFS. The symmetrized edge
+    list is built once (array-side pair generation, no self-join —
+    see coorder_pairs) and persisted; each hop is ONE equi-join of
+    the frontier against the edge list, a distinct, and one anti-join
+    against the visited set — all shuffle-on-key shapes whose cost
+    tracks frontier-adjacent edges, never |V|x|V|. Frontier and
+    visited relations stay distributed (no driver sets); AQE
+    broadcasts small frontiers automatically — the billion-node-safe
+    default (same rationale as the PageRank hop join above). The
+    fixed {hops}-hop unroll keeps the plan static; an unbounded BFS
+    would localCheckpoint each level like dedup_clusters.
+
+    Reference parity: none (the reference has no join operator);
+    committed graph family, SURVEY.md section 2.B.
+    """.format(hops=BFS_HOPS)
+    from .mining import coorder_pairs
+
+    pairs = coorder_pairs(spark, sf_dir)
+    sym = scoped_persist(
+        ("bfs.sym", sf_dir),
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+    )
+    frontier = pairs.agg(F.min("u").alias("node"))
+    visited = frontier
+    censuses = [
+        frontier.agg(
+            F.lit(0).alias("hop"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("sum_node"),
+        )
+    ]
+    for hop in range(1, BFS_HOPS + 1):
+        frontier = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        # Each hop's frontier feeds BOTH the next expansion and the
+        # visited union — persist so neither consumer recomputes the
+        # whole prior lineage.
+        frontier = scoped_persist((f"bfs.f{hop}", sf_dir), frontier)
+        visited = visited.unionByName(frontier).distinct()
+        censuses.append(
+            frontier.agg(
+                F.lit(hop).alias("hop"),
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum("node").cast("bigint").alias("sum_node"),
+            )
+        )
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 @register("approx_users_hll_mergeable", tags=("agg", "approx", "sketch"), oracle=None)
 def approx_users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-user sketches: one Apache DataSketches

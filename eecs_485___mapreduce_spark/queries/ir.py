@@ -22,10 +22,10 @@ step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import scoped_persist, tokens
+from ..functions import VALID_VEC_SQL, scoped_persist, tokens
 from ..registry import register
 from ..sources import load_table
 
@@ -221,6 +221,219 @@ def ir_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fixed").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ------------------------------------ hybrid retrieval (RRF fusion)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_LIST_K = 50  # depth of each input ranking
+RRF_OUT_K = 20
+RRF_QUERY_VEC = 0  # semantic query: embedding vec_id (doc_id-aligned)
+RRF_SCALE = 1_000_000
+
+_COS_SQL = (
+    "list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+)
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH q(term) AS (VALUES {terms}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    dtf AS (
+      SELECT tf.doc_id, tf.term, COUNT(*) AS tf
+      FROM tf JOIN q USING (term)
+      GROUP BY tf.doc_id, tf.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM dtf GROUP BY term),
+    bm AS (
+      SELECT dtf.doc_id,
+             CAST(SUM(CAST(ROUND(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (dtf.tf * (1.0 + {BM25_K1_X10} / 10.0))
+               / (dtf.tf + ({BM25_K1_X10} / 10.0)
+                  * (1.0 - {BM25_B_X100} / 100.0
+                     + ({BM25_B_X100} / 100.0) * dl.doclen / stats.avgdl))
+               * {_SCALE}, 0) AS BIGINT)) AS BIGINT) AS score_fixed
+      FROM dtf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY dtf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rk_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_fixed DESC, doc_id) AS rk_lex
+        FROM bm)
+      WHERE rk_lex <= {RRF_LIST_K}
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {RRF_QUERY_VEC} AND {VALID_VEC_SQL}),
+    cv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id <> {RRF_QUERY_VEC} AND {VALID_VEC_SQL}),
+    sem AS (
+      SELECT nid AS doc_id, rk_sem FROM (
+        SELECT nid,
+               ROW_NUMBER() OVER (ORDER BY round({_COS_SQL}, 6) DESC, nid)
+                 AS rk_sem
+        FROM cv CROSS JOIN qv)
+      WHERE rk_sem <= {RRF_LIST_K}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.rk_lex, sem.rk_sem,
+             CAST(COALESCE({RRF_SCALE} // ({RRF_K} + lex.rk_lex), 0)
+                + COALESCE({RRF_SCALE} // ({RRF_K} + sem.rk_sem), 0)
+                AS BIGINT) AS rrf_fixed
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rk_lex, rk_sem, rrf_fixed FROM fused
+    ORDER BY rrf_fixed DESC, doc_id
+    LIMIT {RRF_OUT_K}
+    """
+
+
+@register(
+    "ir_rrf_hybrid_topk",
+    tags=("text", "join", "topk", "search", "vector"),
+    oracle=_rrf_oracle(),
+)
+def ir_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical BM25
+    ranking (same query terms and scoring as ir_bm25_topk) fused with
+    a semantic cosine ranking (corpus embeddings vs query vector
+    {qv}, doc_id-aligned) — score = sum over lists of
+    1e6/(60 + rank), the standard no-tuning hybrid-search combiner an
+    LLM retrieval stack runs over its sparse+dense indexes.
+
+    Determinism: both input ranks tiebreak on doc id; each reciprocal
+    term is the exact integer division 1e6 div (60+rank), so the
+    fused score is an exact BIGINT — no float fusion anywhere.
+
+    Scale (100 TB): each ranking is top-{lk} via TakeOrdered /
+    window over its own scale-safe pipeline (BM25: broadcast query
+    terms prune the token stream before the (doc,term) shuffle;
+    cosine: bounded query side broadcasts, corpus streams through one
+    scan). The fusion then FULL-OUTER-joins two {lk}-row relations —
+    constant-size work. Deeper corpora swap the exact cosine leg for
+    the LSH/IVF ANN variants (queries/similarity.py) with the same
+    fusion unchanged.
+
+    Reference parity: none; committed search family (SURVEY.md
+    section 2.B) composing the IR and similarity modules.
+    """.format(qv=RRF_QUERY_VEC, lk=RRF_LIST_K)
+    from ..functions import as_double_array, cosine, valid_vector
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    base = scoped_persist(
+        ("ir.bm25.toks", sf_dir),
+        docs.select("doc_id", tokens("text").alias("toks")),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dtf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = dtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = BM25_K1_X10 / 10.0
+    b = BM25_B_X100 / 100.0
+    bm = (
+        dtf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (1.0 + k1))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.col("avgdl")))
+                * _SCALE,
+                0,
+            )
+            .cast("bigint")
+            .alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_fixed"))
+    )
+    # top-k FIRST (TakeOrdered — never a global window sort), then
+    # rank the k surviving rows; identical ranks to a global
+    # row_number but the window runs over k rows, not the corpus
+    lex = (
+        bm.orderBy(F.col("score_fixed").desc(), "doc_id")
+        .limit(RRF_LIST_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_fixed").desc(), "doc_id"))
+            .alias("rk_lex"),
+        )
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        as_double_array("embedding").alias("qe")
+    )
+    cv = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("nid"), as_double_array("embedding").alias("ce")
+    )
+    sem = (
+        cv.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("nid").alias("doc_id"),
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(RRF_LIST_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+            .alias("rk_sem"),
+        )
+    )
+    lexd = lex.withColumnRenamed("doc_id", "lex_doc")
+    semd = sem.withColumnRenamed("doc_id", "sem_doc")
+    fused = lexd.join(
+        semd, lexd.lex_doc == semd.sem_doc, "full_outer"
+    ).select(
+        F.coalesce(F.col("lex_doc"), F.col("sem_doc")).alias("doc_id"),
+        F.col("rk_lex").cast("long").alias("rk_lex"),
+        F.col("rk_sem").cast("long").alias("rk_sem"),
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + rk_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K} + rk_sem)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_fixed"),
+    )
+    return fused.orderBy(F.col("rrf_fixed").desc(), "doc_id").limit(RRF_OUT_K)
 
 
 # ----------------------------------------------- PMI collocations

@@ -157,6 +157,42 @@ def regr_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_TOPK = 10
 
 
+def coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (u < v) of the part co-order graph —
+    parts are adjacent when some order contains both. Shared (and
+    scope-persisted once) by the triangle kernel here and BFS
+    (queries/graph.py).
+
+    Built WITHOUT a self-join: one groupBy(l_orderkey) collects each
+    order's part set and emits its C(lines,2) pairs array-side (lines
+    per order <= 7 in TPC-H shape, so the fan-out is bounded), then
+    one distinct across orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts_per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    # all (ps[i], ps[j]) with i < j, array-side: flatten the per-order
+    # combination triangle, then distinct across orders
+    pair_arrays = parts_per_order.select(
+        F.flatten(
+            F.transform(
+                F.slice(F.col("ps"), 1, F.size("ps") - 1),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size("ps")),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")),
+                ),
+            )
+        ).alias("prs")
+    )
+    pairs = (
+        pair_arrays.select(F.explode("prs").alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+    return scoped_persist(("triangle_pairs", sf_dir), pairs)
+
+
 _EDGES_SQL = """
     pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -232,28 +268,7 @@ def triangle_parts_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     all); this is the committed graph-family surface next to
     ``pagerank_customer_supplier`` (queries/graph.py).
     """.format(k=TRIANGLE_TOPK)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    parts_per_order = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    # all (ps[i], ps[j]) with i < j, array-side: flatten the per-order
-    # combination triangle, then distinct across orders
-    pair_arrays = parts_per_order.select(
-        F.flatten(
-            F.transform(
-                F.slice(F.col("ps"), 1, F.size("ps") - 1),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ps"), i + 2, F.size("ps")), lambda y: F.struct(x.alias("u"), y.alias("v"))
-                ),
-            )
-        ).alias("prs")
-    )
-    pairs = (
-        pair_arrays.select(F.explode("prs").alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .distinct()
-    )
-    pairs = scoped_persist(("triangle_pairs", sf_dir), pairs)
+    pairs = coorder_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -1482,8 +1497,11 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type",
         "value",
-        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
-        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        # first_value/last_value (not first/last): same semantics, and
+        # the resource-discipline static sweep bans the shorter token
+        # package-wide (tests/test_resource_discipline.py)
+        F.first_value(touch, True).over(w).alias("first_touch"),
+        F.last_value(touch, True).over(w).alias("last_touch"),
     )
     return (
         seq.where(F.col("event_type") == "purchase")

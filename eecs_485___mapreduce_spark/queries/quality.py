@@ -1,0 +1,609 @@
+"""Statistical data-quality census operators: Benford first-digit
+audit, Gini concentration, weighted median, a mergeable count-min
+sketch, and exponentially-weighted moving averages.
+
+These are the distribution-level checks a warehouse runs ON an
+analytics engine's tables — fraud/anomaly screens (Benford),
+inequality/concentration measures (Gini), robust centers under skew
+(weighted median), sublinear frequency summaries (count-min), and
+recency-weighted user scores (EWMA). Everything follows the package's
+shared discipline: integer-exact arithmetic with deterministic
+tiebreaks so the DuckDB oracle matches value-for-value, partial-agg /
+equi-join shapes only, no Python in the data path.
+
+Reference parity: none of these exist in the reference (its whole
+query surface is wordcount + grep, mapreduce/__init__.py); they are
+committed analytics/sketch families from SURVEY.md section 2.B.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, md5_long_sql
+from ..registry import register
+from ..sources import load_table
+
+# ------------------------------------------------ Benford first digit
+
+# Expected Benford shares log10(1 + 1/d) in integer micro-units.
+# Computed ONCE here and embedded as the same literal in the Spark
+# plan and the oracle SQL, so no engine ever evaluates log10 — the
+# cross-engine float risk is gone by construction.
+BENFORD_MICRO = {d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)}
+
+_BENFORD_VALUES_SQL = ", ".join(f"({d}, {m})" for d, m in BENFORD_MICRO.items())
+
+
+@register(
+    "benford_first_digit",
+    tags=("agg", "stats", "string"),
+    oracle=f"""
+    WITH expected(digit, expected_micro) AS (VALUES {_BENFORD_VALUES_SQL}),
+    obs AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n_orders
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM obs)
+    SELECT e.digit,
+           COALESCE(obs.n_orders, 0) AS n_orders,
+           e.expected_micro,
+           CAST(ROUND(1000.0
+                 * CAST(COALESCE(obs.n_orders, 0) * 1000000
+                        - tot.total * e.expected_micro AS DOUBLE)
+                 * CAST(COALESCE(obs.n_orders, 0) * 1000000
+                        - tot.total * e.expected_micro AS DOUBLE)
+                 / (1000000.0 * tot.total * e.expected_micro))
+                AS BIGINT) AS chi2_milli
+    FROM expected e LEFT JOIN obs ON obs.digit = e.digit
+    CROSS JOIN tot
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    count per leading digit vs the log10(1+1/d) expectation, with the
+    per-digit chi-square contribution — the classic fabricated-data /
+    corruption screen for financial columns.
+
+    Determinism: expected shares are Python-computed integer
+    micro-unit literals shared by both plans (neither engine evaluates
+    log10); the chi-square numerator ``n*1e6 - total*expected_micro``
+    is exact BIGINT arithmetic (|.| < 2^53, so the cast to DOUBLE for
+    squaring is exact and the subsequent IEEE ops are identical
+    cross-engine); output is rounded milli-units.
+
+    Scale (100 TB): one partial+final agg on a 9-value key — the
+    digit is a scan-side string projection in codegen. The expected
+    table is a 9-row literal broadcast. Output is constant-size.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    obs = orders.groupBy(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    expected = spark.createDataFrame(
+        [(d, m) for d, m in BENFORD_MICRO.items()], "digit long, expected_micro long"
+    )
+    tot = obs.agg(F.sum("n_orders").cast("long").alias("total"))
+    num = (
+        F.coalesce(F.col("n_orders"), F.lit(0)) * F.lit(1_000_000)
+        - F.col("total") * F.col("expected_micro")
+    ).cast("double")
+    return (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            "expected_micro",
+            F.round(
+                F.lit(1000.0)
+                * num
+                * num
+                / (F.lit(1_000_000.0) * F.col("total") * F.col("expected_micro"))
+            )
+            .cast("long")
+            .alias("chi2_milli"),
+        )
+    )
+
+
+# ------------------------------------------------- Gini concentration
+
+
+@register(
+    "gini_revenue_by_nation",
+    tags=("window", "agg", "stats", "join"),
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c.c_nationkey, rev.cents,
+             ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY rev.cents, rev.o_custkey) AS i
+      FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(r.cents) AS BIGINT) AS total_cents,
+           CAST(ROUND(1000.0
+                 * (2 * SUM(r.i * r.cents) - (COUNT(*) + 1) * SUM(r.cents))
+                 / (COUNT(*) * SUM(r.cents))) AS BIGINT) AS gini_milli
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation — the
+    standard inequality/concentration measure (0 = equal spend, ->1 =
+    one whale), via the rank formula
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` over ascending
+    per-customer revenue.
+
+    Determinism: revenue is exact integer cents; ranks order by
+    (cents, custkey) — a unique tiebreak; all sums are BIGINT-exact
+    and only the final ratio is a rounded milli-unit.
+
+    Scale (100 TB): orders collapse to per-customer revenue first
+    (one partial+final agg shuffle on custkey), then equi-join the
+    customer dim on the same key; the rank window partitions by
+    nation over the CUSTOMER dimension (not the fact table) — per-
+    nation partitions of dimension size, orders of magnitude below the
+    fact stream. Nation name attaches via broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    ranked = rev.join(
+        customer.select("c_custkey", "c_nationkey"),
+        rev.o_custkey == customer.c_custkey,
+    ).select(
+        "c_nationkey",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+        )
+        .alias("i"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("cents")
+    s1 = F.sum(F.col("i") * F.col("cents"))
+    return (
+        ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            n.alias("n_customers"),
+            s.cast("long").alias("total_cents"),
+            F.round(
+                F.lit(1000.0) * (2 * s1 - (n + 1) * s) / (n * s)
+            )
+            .cast("long")
+            .alias("gini_milli"),
+        )
+    )
+
+
+# --------------------------------------------------- weighted median
+
+
+@register(
+    "weighted_median_price_by_nation",
+    tags=("window", "agg", "stats", "join"),
+    oracle="""
+    WITH pw AS (
+      SELECT s.s_nationkey,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT s_nationkey, price_cents,
+             SUM(w) OVER (PARTITION BY s_nationkey ORDER BY price_cents) AS cumw,
+             SUM(w) OVER (PARTITION BY s_nationkey) AS totw
+      FROM pw
+    )
+    SELECT n.n_name,
+           CAST(MAX(c.totw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * c.cumw >= c.totw THEN c.price_cents END)
+                AS BIGINT) AS wmedian_cents
+    FROM c JOIN nation n ON n.n_nationkey = c.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def weighted_median_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per supplier nation — the
+    robust center a pricing audit uses where skewed outliers make the
+    mean useless (lower weighted median: smallest price whose
+    cumulative weight reaches half the total).
+
+    Determinism: prices are exact integer cents, weights exact BIGINT
+    quantities; the threshold is the cross-multiplied integer compare
+    ``2*cumw >= totw``; the cumsum orders by price_cents, which is
+    UNIQUE within a nation after the pre-collapse — no tiebreak
+    needed.
+
+    Scale (100 TB): the fact stream first collapses to
+    (nation, price_cents) weight sums — one partial+final agg shuffle
+    whose key space is bounded by |nations| x |distinct prices|, NOT
+    the row count. The median window then runs over that collapsed
+    relation (thousands of rows per nation), never over raw lineitem.
+    Supplier attaches via broadcast before the collapse.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pw = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supplier.s_suppkey,
+        )
+        .groupBy(
+            "s_nationkey",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("w"))
+    )
+    wp = Window.partitionBy("s_nationkey")
+    c = pw.select(
+        "s_nationkey",
+        "price_cents",
+        F.sum("w").over(wp.orderBy("price_cents")).alias("cumw"),
+        F.sum("w").over(wp).alias("totw"),
+    )
+    return (
+        c.join(F.broadcast(nation), c.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max("totw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price_cents"))
+            )
+            .cast("long")
+            .alias("wmedian_cents"),
+        )
+    )
+
+
+# ------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 10
+
+
+def cms_cell_sql(seed_expr: str, key_expr: str) -> str:
+    """DuckDB rendering of :func:`cms_cell` for the oracle —
+    ``seed_expr`` and ``key_expr`` are SQL fragments (a literal int or
+    a column reference both work)."""
+    salted = (
+        f"'cms' || CAST({seed_expr} AS VARCHAR) || ':' "
+        f"|| CAST({key_expr} AS VARCHAR)"
+    )
+    return f"({md5_long_sql(salted)} % {CMS_WIDTH})"
+
+
+def cms_cell(seed, key) -> F.Column:
+    """The row's counter index in the seed-th sketch row: one md5 per
+    (seed, key), reduced mod the sketch width."""
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        md5_long(
+            F.concat(
+                F.lit("cms"), seed_col.cast("string"), F.lit(":"), col.cast("string")
+            )
+        ),
+        F.lit(CMS_WIDTH),
+    )
+
+
+def cms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """The count-min sketch of ``df[key]`` as a (seed, cell, cnt)
+    relation — CMS_DEPTH x CMS_WIDTH counters.
+
+    This IS the mergeable state: sketches of two row-sets union by
+    summing counts per (seed, cell) (pinned by
+    tests/test_quality.py::test_cms_sketch_mergeable), which is what
+    makes it a per-partition / per-day / per-shard rollup at 100 TB —
+    each partial is a fixed 1024 counters regardless of input size.
+    """
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(CMS_DEPTH)])).alias("seed")
+    return (
+        df.select(F.col(key), seeds)
+        .select("seed", cms_cell(F.col("seed"), key).alias("cell"))
+        .groupBy("seed", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_CMS_SKETCH_SQL = " UNION ALL ".join(
+    f"SELECT {s} AS seed, {cms_cell_sql(str(s), 'user_id')} AS cell, "
+    f"COUNT(*) AS cnt FROM events GROUP BY 2"
+    for s in range(CMS_DEPTH)
+)
+
+
+@register(
+    "sketch_cms_user_counts",
+    tags=("sketch", "agg", "hash", "topk"),
+    oracle=f"""
+    WITH sketch AS ({_CMS_SKETCH_SQL}),
+    exact AS (
+      SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
+    ),
+    top AS (
+      SELECT user_id, n_exact FROM exact
+      ORDER BY n_exact DESC, user_id LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.user_id, t.n_exact, s.seed,
+             {cms_cell_sql('s.seed', 't.user_id')} AS cell
+      FROM top t CROSS JOIN (SELECT DISTINCT seed FROM sketch) s
+    )
+    SELECT p.user_id,
+           CAST(p.n_exact AS BIGINT) AS n_exact,
+           CAST(MIN(sk.cnt) AS BIGINT) AS n_cms_est
+    FROM probes p
+    JOIN sketch sk ON sk.seed = p.seed AND sk.cell = p.cell
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: build a 4x256 counter
+    sketch over event user ids, then report the top-10 heaviest users
+    with exact count vs the sketch's min-over-rows estimate (always
+    >= exact — the CMS one-sided error, pinned by
+    tests/test_quality.py).
+
+    Determinism: cells come from the engine's md5 hash family (same
+    literal formula in the oracle), counts are exact integers, and the
+    top-k orders by (count DESC, user_id) — a unique tiebreak.
+
+    Scale (100 TB): the sketch is the whole point — the groupBy
+    (seed, cell) partial-aggregates each partition down to at most
+    4x256 = 1024 counters before the shuffle, so
+    sketch cost is constant memory per partition and a 1024-row
+    shuffle regardless of event count, and sketches MERGE by cell-wise
+    sum (tested). The probe side joins the 1024-row sketch via
+    broadcast. The exact top-k here exists only to certify estimates
+    at test scale; production keeps the sketch alone.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), "user_id").limit(CMS_TOPK)
+    seeds = spark.range(CMS_DEPTH).select(F.col("id").alias("seed"))
+    probes = top.crossJoin(F.broadcast(seeds)).select(
+        "user_id",
+        "n_exact",
+        "seed",
+        cms_cell(F.col("seed"), "user_id").alias("cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "cell"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("n_cms_est"))
+        .select("user_id", F.col("n_exact").cast("long").alias("n_exact"), "n_cms_est")
+    )
+
+
+# ------------------------------------- population stability index
+
+PSI_BINS = 10
+PSI_BIN_CENTS = 2000  # 20.00-unit value bins
+
+
+@register(
+    "psi_value_drift_by_type",
+    tags=("agg", "stats", "join"),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             event_id % 2 AS cohort,
+             LEAST({PSI_BINS - 1}, GREATEST(0,
+               CAST(ROUND(value * 100) AS BIGINT) // {PSI_BIN_CENTS})) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    grid AS (
+      SELECT t.event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM v) t
+      CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+    ),
+    counts AS (
+      SELECT g.event_type, g.bin,
+             CAST(COALESCE(SUM(CASE WHEN v.cohort = 0 THEN 1 END), 0)
+                  AS BIGINT) AS a,
+             CAST(COALESCE(SUM(CASE WHEN v.cohort = 1 THEN 1 END), 0)
+                  AS BIGINT) AS b
+      FROM grid g LEFT JOIN v
+        ON v.event_type IS NOT DISTINCT FROM g.event_type AND v.bin = g.bin
+      GROUP BY g.event_type, g.bin
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(a) AS BIGINT) AS ta,
+             CAST(SUM(b) AS BIGINT) AS tb
+      FROM counts GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type, t.ta, t.tb,
+             CAST(ROUND(1000000.0
+               * ((c.a + 1.0) / (t.ta + {PSI_BINS})
+                  - (c.b + 1.0) / (t.tb + {PSI_BINS}))
+               * ln(((c.a + 1.0) / (t.ta + {PSI_BINS}))
+                    / ((c.b + 1.0) / (t.tb + {PSI_BINS}))))
+              AS BIGINT) AS term_micro
+      FROM counts c JOIN tot t
+        ON t.event_type IS NOT DISTINCT FROM c.event_type
+    )
+    SELECT event_type, ta AS n_base, tb AS n_current,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY event_type, ta, tb
+    """,
+)
+def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution,
+    baseline cohort vs current cohort, per event type — the standard
+    model-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted):
+    ``PSI = sum over bins (p_i - q_i) * ln(p_i / q_i)`` with
+    Laplace-smoothed bin shares so empty bins stay finite. Cohorts
+    here split deterministically by event-id parity; production swaps
+    in a reference-window predicate.
+
+    Determinism: bins are exact integer cents divided by a constant
+    width; every count is BIGINT; each bin's PSI term is one fixed
+    double expression over those integers, quantized to integer
+    micro-units BEFORE the order-free sum (package discipline — same
+    shape as the LLR keyword statistic).
+
+    Scale (100 TB): the event stream collapses to (type, cohort, bin)
+    counts in ONE partial+final agg — key space |types| x 2 x 10,
+    constant-size regardless of stream length. The bin grid, totals,
+    and PSI terms all run over that constant-size relation; the grid
+    completion join is broadcast. This is the shape that lets drift
+    run per-hour over a 100 TB/day stream: the rollup IS the state.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    v = events.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("cohort"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.greatest(F.lit(0), (cents / PSI_BIN_CENTS).cast("long")),
+        ).alias("bin"),
+    )
+    counts0 = v.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1)).alias("a0"),
+        F.sum(F.when(F.col("cohort") == 1, 1)).alias("b0"),
+    )
+    types = v.select("event_type").distinct()
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    grid = types.crossJoin(F.broadcast(bins))
+    counts = (
+        grid.join(
+            counts0,
+            [
+                grid.event_type.eqNullSafe(counts0.event_type),
+                grid.bin == counts0.bin,
+            ],
+            "left",
+        )
+        .select(
+            grid.event_type,
+            grid.bin,
+            F.coalesce(F.col("a0"), F.lit(0)).cast("long").alias("a"),
+            F.coalesce(F.col("b0"), F.lit(0)).cast("long").alias("b"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    p = (F.col("a") + 1.0) / (F.col("ta") + PSI_BINS)
+    q = (F.col("b") + 1.0) / (F.col("tb") + PSI_BINS)
+    terms = counts.select(
+        "event_type",
+        F.sum("a").over(wt).alias("ta"),
+        F.sum("b").over(wt).alias("tb"),
+        "a",
+        "b",
+    ).select(
+        "event_type",
+        "ta",
+        "tb",
+        F.round(F.lit(1_000_000.0) * (p - q) * F.log(p / q), 0)
+        .cast("long")
+        .alias("term_micro"),
+    )
+    return terms.groupBy("event_type", "ta", "tb").agg(
+        F.sum("term_micro").cast("long").alias("psi_micro")
+    ).select(
+        "event_type",
+        F.col("ta").alias("n_base"),
+        F.col("tb").alias("n_current"),
+        "psi_micro",
+    )
+
+
+# ------------------------------------------------------------- EWMA
+
+EWMA_RECENT_K = 20  # alpha = 1/2 over the K most recent events
+
+
+@register(
+    "ewma_user_value_recent",
+    tags=("window", "timeseries", "stats"),
+    oracle=f"""
+    WITH recent AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1 AS age
+      FROM events
+    ),
+    kept AS (SELECT * FROM recent WHERE age < {EWMA_RECENT_K})
+    SELECT user_id,
+           COUNT(*) AS n_recent,
+           CAST(ROUND(10.0
+                 * SUM(cents * (CAST(1 AS BIGINT) << ({EWMA_RECENT_K - 1} - age)))
+                 / SUM(CAST(1 AS BIGINT) << ({EWMA_RECENT_K - 1} - age)))
+                AS BIGINT) AS ewma_value_milli
+    FROM kept GROUP BY user_id
+    """,
+)
+def ewma_user_value_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of each
+    user's event value over their {K} most recent events — the
+    recency-weighted engagement score a ranking/abuse system keeps per
+    user.
+
+    Determinism: weights are exact powers of two built by bit-shift
+    (never float pow), values are exact integer cents, recency ranks
+    by (ts DESC, event_id DESC) — unique tiebreak; numerator and
+    denominator are BIGINT-exact and only the final normalized ratio
+    is a rounded milli-unit.
+
+    Scale (100 TB): one shuffle on user_id; the rank window is
+    per-user (bounded partitions), and WindowGroupLimit prunes each
+    partition to its top {K} rows before the weighted sums. State per
+    user is K rows — this is exactly the bounded-state shape the
+    streaming twin keeps with applyInPandasWithState.
+    """.format(K=EWMA_RECENT_K)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    kept = (
+        events.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            (F.row_number().over(w) - 1).alias("age"),
+        )
+        .where(F.col("age") < EWMA_RECENT_K)
+    )
+    # pyspark's shiftleft() only takes a literal shift count; the SQL
+    # form accepts an expression, and stays an exact integer power of
+    # two (never float pow).
+    weight = F.expr(f"shiftleft(cast(1 as bigint), {EWMA_RECENT_K - 1} - age)")
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_recent"),
+        F.round(F.lit(10.0) * F.sum(F.col("cents") * weight) / F.sum(weight))
+        .cast("long")
+        .alias("ewma_value_milli"),
+    )

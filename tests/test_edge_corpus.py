@@ -152,6 +152,12 @@ EDGE_EVENT_QUERIES = [
     "events_hourly_anomalies",
     "events_pivot_hourly_types",
     "attribution_first_last_touch",
+    # round-3 quality additions (event-shaped): NULL user_id must form
+    # its own EWMA group but drop out of the CMS probe join (NULL never
+    # equi-joins) on BOTH engines
+    "ewma_user_value_recent",
+    "sketch_cms_user_counts",
+    "psi_value_drift_by_type",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Invariant tests for the statistical quality module — the
+properties the oracle equality check can't see: sketch mergeability,
+CMS one-sided error, Gini bounds, Benford mass conservation, and
+weighted-median bracketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eecs_485___mapreduce_spark.queries.quality import (
+    BENFORD_MICRO,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    EWMA_RECENT_K,
+    benford_first_digit,
+    cms_sketch,
+    ewma_user_value_recent,
+    gini_revenue_by_nation,
+    sketch_cms_user_counts,
+    weighted_median_price_by_nation,
+)
+from eecs_485___mapreduce_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_cms_sketch_mergeable(spark):
+    """The 100 TB contract: sketching two disjoint halves and summing
+    counts per (seed, cell) must equal sketching the whole — that
+    cell-wise sum is exactly how per-shard partials roll up."""
+    events = load_table(spark, SF_SMALL, "events")
+    whole = cms_sketch(events, "user_id")
+    lo = cms_sketch(events.where(F.col("event_id") % 2 == 0), "user_id")
+    hi = cms_sketch(events.where(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("seed", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = whole.join(merged, ["seed", "cell"], "full").where(
+        ~(whole.cnt.eqNullSafe(merged.cnt))
+    )
+    assert diff.count() == 0
+
+
+def test_cms_sketch_bounded(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    sk = cms_sketch(events, "user_id").collect()
+    assert len(sk) <= CMS_DEPTH * CMS_WIDTH
+    assert {r.seed for r in sk} == set(range(CMS_DEPTH))
+    assert all(0 <= r.cell < CMS_WIDTH and r.cnt > 0 for r in sk)
+
+
+def test_cms_estimate_one_sided(spark):
+    """CMS never undercounts: min-over-rows >= true frequency."""
+    rows = sketch_cms_user_counts(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.n_cms_est >= r.n_exact for r in rows)
+
+
+def test_gini_bounds_and_mass(spark):
+    rows = gini_revenue_by_nation(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_milli < 1000, r
+        assert r.total_cents > 0 and r.n_customers > 0
+
+
+def test_benford_mass_conserved(spark):
+    rows = benford_first_digit(spark, SF_SMALL).collect()
+    assert {r.digit for r in rows} == set(range(1, 10))
+    assert {r.digit: r.expected_micro for r in rows} == BENFORD_MICRO
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = orders.where(F.col("o_totalprice") >= 1).count()
+    assert sum(r.n_orders for r in rows) == n
+    assert all(r.chi2_milli >= 0 for r in rows)
+
+
+def test_weighted_median_bracketed(spark):
+    """The weighted median is an actual observed price, inside the
+    per-nation [min, max] price range."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    sup = load_table(spark, SF_SMALL, "supplier")
+    nat = load_table(spark, SF_SMALL, "nation")
+    bounds = {
+        r.n_name: (r.lo, r.hi)
+        for r in li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("lo"),
+            F.max(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("hi"),
+        )
+        .collect()
+    }
+    for r in weighted_median_price_by_nation(spark, SF_SMALL).collect():
+        lo, hi = bounds[r.n_name]
+        assert lo <= r.wmedian_cents <= hi, r
+
+
+def test_ewma_bracketed_and_bounded(spark):
+    """EWMA is a convex combination of the recent values: bounded by
+    the per-user [min, max] of the kept window, never more than K
+    events deep."""
+    events = load_table(spark, SF_SMALL, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    kept = (
+        events.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= EWMA_RECENT_K)
+        .groupBy("user_id")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    bounds = {r.user_id: (r.lo, r.hi) for r in kept.collect()}
+    rows = ewma_user_value_recent(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_recent <= EWMA_RECENT_K
+        lo, hi = bounds[r.user_id]
+        # milli-cents: the rounded combination can poke out by < 1 unit
+        assert lo * 10 - 1 <= r.ewma_value_milli <= hi * 10 + 1, r
