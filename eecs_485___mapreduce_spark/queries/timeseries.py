@@ -441,3 +441,62 @@ def user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("bigint").alias("decay_score_fixed"),
         F.max(F.to_date("ts")).alias("last_active"),
     )
+
+
+# ------------------------------------------------- order cadence
+
+
+@register(
+    "order_cadence_gaps",
+    tags=("window", "datetime"),
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS prev_gap_days,
+           CAST(datediff('day',
+                CAST(o_orderdate AS DATE),
+                lead(CAST(o_orderdate AS DATE)) OVER w) AS BIGINT)
+             AS next_gap_days,
+           CAST(nth_value(CAST(ROUND(o_totalprice * 100) AS BIGINT), 2)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS second_price_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order purchase cadence: days since the customer's previous
+    order (lag), days until their next (lead), and the customer's
+    second-ever order total as of each row (nth_value over the
+    running frame) — the offset-window family (lag/lead/nth_value)
+    that rounds out the rank suite (queries/tpch.py).
+
+    Determinism: day gaps are exact integer date arithmetic on
+    midnight-aligned dates; prices exact integer cents; the window
+    orders by (o_orderdate, o_orderkey) — unique tiebreak. NULLs
+    (first/last order, customers with <2 orders) are structural and
+    identical cross-engine.
+
+    Scale (100 TB): one shuffle on o_custkey; all three offset
+    functions share a single window spec (one per-partition sorted
+    pass), bounded state per customer. This is the feature-extraction
+    shape for inter-arrival/churn models — no self-join on the orders
+    table, which is the naive formulation's quadratic trap.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("prev_gap_days"),
+        F.datediff(F.lead(d).over(w), d).cast("long").alias("next_gap_days"),
+        F.nth_value(cents, 2)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("second_price_cents"),
+    )

@@ -382,6 +382,12 @@ EDGE_STAR_QUERIES = [
     "regr_qty_price_by_nation", "triangle_parts_coorder",
     "hits_customer_part", "rfm_customer_segments",
     "pareto_revenue_parts", "zorder_orders_locality",
+    # round-3 quality/graph/window additions (star-shaped): dangling
+    # keys, single-order customers (all-NULL lag/lead), <2-order
+    # customers (NULL nth_value), zero/negative prices
+    "benford_first_digit", "gini_revenue_by_nation",
+    "weighted_median_price_by_nation", "bfs_hops_part_coorder",
+    "order_cadence_gaps",
 ]
 
 
