@@ -7,6 +7,9 @@ from .documents import (  # noqa: F401
     read_documents_stream,
 )
 from .sinks import (  # noqa: F401
+    cms_sketch_batch,
+    cms_sketch_stream,
+    read_cms_sketch,
     upsert_batch,
     upsert_events_stream,
 )

@@ -79,6 +79,59 @@ def upsert_batch(spark: SparkSession, batch: DataFrame, table_dir: str) -> None:
     )
 
 
+def cms_sketch_batch(batch: DataFrame, table_dir: str, batch_id: int) -> None:
+    """Write one micro-batch's count-min partial sketch as the
+    ``batch_id`` partition of the sketch store.
+
+    Exactly-once WITHOUT a transaction log: a sketch merge (cell-wise
+    sum) is not idempotent, so the store never sums across batches at
+    write time — each batch owns its partition (a fixed <=1024-row
+    sketch), and a replayed batch dynamically overwrites ONLY its own
+    partition. Merging happens on read (:func:`read_cms_sketch`),
+    where summing each batch exactly once is structural.
+    """
+    from ..queries.quality import cms_sketch
+
+    (
+        cms_sketch(batch, "user_id")
+        .withColumn("batch_id", F.lit(batch_id))
+        .repartition(1)  # one file per batch partition: 1024-row sketch
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(table_dir)
+    )
+
+
+def cms_sketch_stream(events: DataFrame, table_dir: str, checkpoint_dir: str):
+    """Maintain a streaming count-min sketch store over event user ids:
+    availableNow drain writing one partial-sketch partition per
+    micro-batch. The 100 TB shape: per-batch state is CONSTANT (<=
+    4x256 counters) however large the batch, and any window of batches
+    rolls up by cell-wise sum — the mergeable-sketch discipline of
+    queries/quality.py applied to continuous ingest."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        cms_sketch_batch(batch, table_dir, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The merged sketch over every batch partition: cell-wise sum —
+    each batch partial participates exactly once."""
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("seed", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def upsert_events_stream(
     events: DataFrame, table_dir: str, checkpoint_dir: str
 ):

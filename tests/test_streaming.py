@@ -351,3 +351,88 @@ def test_anomalies_stream_equals_batch(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cms_sketch_stream_store_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """The streaming count-min sketch store: the read-side merge over
+    per-batch partial sketches must equal the one-shot batch sketch of
+    the whole input — however the input splits into micro-batches —
+    and replaying a batch (foreachBatch is at-least-once) must
+    overwrite only its own partition, leaving the merged sketch
+    unchanged. That partition-per-batch layout is what makes a
+    NON-idempotent merge (cell-wise sum) exactly-once."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.quality import cms_sketch
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming import (
+        cms_sketch_batch,
+        cms_sketch_stream,
+        read_cms_sketch,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, SF_SMALL, "events")
+    events.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cms_sketch_stream(stream, table, ckpt)
+    q.awaitTermination()
+
+    n_batches = (
+        spark.read.parquet(table).select("batch_id").distinct().count()
+    )
+    assert n_batches == 3
+
+    cols = ["seed", "cell", "cnt"]
+    want = normalize(
+        [tuple(r) for r in cms_sketch(events, "user_id").collect()], cols
+    )
+    got = normalize(
+        [tuple(r) for r in read_cms_sketch(spark, table).select(*cols).collect()],
+        cols,
+    )
+    assert got == want
+
+    # Replaying the same logical batch id overwrites its own partition
+    # -> merged sketch unchanged even though the merge op itself is
+    # non-idempotent. File->batch assignment order isn't the sorted
+    # file listing, so find the source file whose sketch equals the
+    # stored batch-0 partial (that file IS what batch 0 processed).
+    import os
+
+    stored0 = normalize(
+        [
+            tuple(r)
+            for r in spark.read.parquet(table)
+            .where(F.col("batch_id") == 0)
+            .select(*cols)
+            .collect()
+        ],
+        cols,
+    )
+    replay = None
+    for p in os.listdir(src):
+        if not p.endswith(".parquet"):
+            continue
+        cand = spark.read.parquet(f"{src}/{p}")
+        sk = normalize(
+            [tuple(r) for r in cms_sketch(cand, "user_id").collect()], cols
+        )
+        if sk == stored0:
+            replay = cand
+            break
+    assert replay is not None, "no source file matches the batch-0 partial"
+    cms_sketch_batch(replay, table, 0)
+    again = normalize(
+        [tuple(r) for r in read_cms_sketch(spark, table).select(*cols).collect()],
+        cols,
+    )
+    assert again == want
