@@ -607,3 +607,49 @@ def ewma_user_value_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ewma_value_milli"),
     )
+
+
+# -------------------------------------------- activity bitmap index
+
+
+@register(
+    "bitmap_user_activity_days",
+    tags=("agg", "sketch", "bitwise"),
+    oracle="""
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS BIGINT)
+             AS day_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)))
+                AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def bitmap_user_activity_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user day-of-month activity bitmap: one BIGINT whose bit
+    (d-1) is set iff the user was active on day d, plus its popcount —
+    the bitmap-index encoding engagement systems keep because set
+    algebra on users becomes bitwise AND/OR on fixed-width integers.
+
+    Determinism: pure integer bit algebra — bit_or is associative and
+    commutative, so the aggregate is partition-order free by
+    construction (no quantization needed anywhere).
+
+    Scale (100 TB): the bitmap IS mergeable state — per-partition
+    partial bit_or collapses each partition to one long per user
+    before the single shuffle, and coarser rollups (weekly, monthly,
+    per-cohort) OR the stored bitmaps without re-scanning events
+    (pinned by tests/test_quality.py::test_activity_bitmap_mergeable).
+    Constant 8 bytes of state per (user, month) at any event volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # pyspark's shiftleft() only takes a literal count; the SQL form
+    # accepts the day expression (same note as the EWMA weights)
+    day_bit = F.expr("shiftleft(cast(1 as bigint), day(ts) - 1)")
+    bmp = F.bit_or(day_bit)
+    return events.groupBy("user_id").agg(
+        bmp.cast("long").alias("day_bitmap"),
+        F.bit_count(bmp).cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

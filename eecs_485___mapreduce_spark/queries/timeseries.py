@@ -500,3 +500,70 @@ def order_cadence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("second_price_cents"),
     )
+
+
+# -------------------------------------------- time-weighted average
+
+
+@register(
+    "time_weighted_value_per_user",
+    tags=("timeseries", "window", "agg"),
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 1000000 AS sec,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, cents,
+             lead(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) - sec AS dt_s
+      FROM v
+    )
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(dt_s) AS BIGINT) AS span_s,
+           CAST(ROUND(10.0 * SUM(cents * dt_s) / SUM(dt_s)) AS BIGINT)
+             AS twa_value_milli
+    FROM d GROUP BY user_id
+    """,
+)
+def time_weighted_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user: each value holds
+    until the user's next event (step interpolation), so the average
+    weights each reading by its holding duration — the correct mean
+    for irregularly-sampled series (a plain AVG over-counts bursts),
+    standard in sensor/pricing/engagement rollups.
+
+    Determinism: weights are exact integer second gaps (Spark
+    ``unix_timestamp`` == DuckDB ``epoch_us // 1e6``, the package's
+    pinned epoch idiom), values exact integer cents; numerator and
+    denominator are BIGINT-exact sums and only the final ratio rounds
+    to milli-units. The last reading per user has no successor and
+    drops out of BOTH sums identically (lead -> NULL).
+
+    Scale (100 TB): one shuffle on user_id, one sorted window pass for
+    the lead(), one partial+final agg — bounded per-user state. The
+    same shape at production scale windows by (user, day) so a
+    reading's holding time clips at the period boundary.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = v.select(
+        "user_id", "cents", (F.lead("sec").over(w) - F.col("sec")).alias("dt_s")
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dt_s").cast("long").alias("span_s"),
+        F.round(F.lit(10.0) * F.sum(F.col("cents") * F.col("dt_s")) / F.sum("dt_s"))
+        .cast("long")
+        .alias("twa_value_milli"),
+    )

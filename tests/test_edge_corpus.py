@@ -158,6 +158,8 @@ EDGE_EVENT_QUERIES = [
     "ewma_user_value_recent",
     "sketch_cms_user_counts",
     "psi_value_drift_by_type",
+    "bitmap_user_activity_days",
+    "time_weighted_value_per_user",
 ]
 
 

@@ -126,3 +126,72 @@ def test_ewma_bracketed_and_bounded(spark):
         lo, hi = bounds[r.user_id]
         # milli-cents: the rounded combination can poke out by < 1 unit
         assert lo * 10 - 1 <= r.ewma_value_milli <= hi * 10 + 1, r
+
+
+def test_activity_bitmap_mergeable(spark):
+    """The bitmap contract at 100 TB: OR of two disjoint halves'
+    bitmaps equals the whole-input bitmap — bit_or is the mergeable
+    rollup (weekly/monthly/cohort unions without re-scanning)."""
+    from eecs_485___mapreduce_spark.queries.quality import bitmap_user_activity_days
+
+    events = load_table(spark, SF_SMALL, "events")
+    day_bit = F.expr("shiftleft(cast(1 as bigint), day(ts) - 1)")
+
+    def bitmap(df):
+        return df.groupBy("user_id").agg(F.bit_or(day_bit).alias("b"))
+
+    lo = bitmap(events.where(F.col("event_id") % 2 == 0)).withColumnRenamed("b", "lo")
+    hi = bitmap(events.where(F.col("event_id") % 2 == 1)).withColumnRenamed("b", "hi")
+    merged = {
+        r.user_id: r.m
+        for r in lo.join(hi, "user_id", "full")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("lo"), F.lit(0)).bitwiseOR(
+                    F.coalesce(F.col("hi"), F.lit(0))
+                )
+            ).alias("m"),
+        )
+        .collect()
+    }
+    whole = {
+        r.user_id: r.day_bitmap
+        for r in bitmap_user_activity_days(spark, SF_SMALL).collect()
+    }
+    assert merged == whole
+    rows = bitmap_user_activity_days(spark, SF_SMALL).collect()
+    for r in rows:
+        # popcount consistent, active days bounded by event count and 31
+        assert 1 <= r.n_active_days <= min(r.n_events, 31), r
+
+
+def test_time_weighted_average_bracketed(spark):
+    """TWA is a convex combination of held values: bounded by the
+    per-user [min, max] cents over NON-terminal readings."""
+    from eecs_485___mapreduce_spark.queries.timeseries import (
+        time_weighted_value_per_user,
+    )
+    from pyspark.sql import Window
+
+    events = load_table(spark, SF_SMALL, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    held = (
+        events.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.lead(F.unix_timestamp("ts")).over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    bounds = {r.user_id: (r.lo, r.hi) for r in held.collect()}
+    for r in time_weighted_value_per_user(spark, SF_SMALL).collect():
+        if r.twa_value_milli is None:
+            assert r.user_id not in bounds or r.span_s in (0, None)
+            continue
+        lo, hi = bounds[r.user_id]
+        assert lo * 10 - 1 <= r.twa_value_milli <= hi * 10 + 1, r
