@@ -56,6 +56,9 @@ EDGE_QUERIES = [
     "multimodal_image_headers",
     "ks_doclen_by_source",
     "chi2_source_lang",
+    # round-3 UDTF (document-shaped): empty/whitespace-only text must
+    # yield zero sentences; explicit whitespace class strips \t\n
+    "udtf_split_sentences",
 ]
 
 
