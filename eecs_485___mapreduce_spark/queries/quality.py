@@ -653,3 +653,125 @@ def bitmap_user_activity_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bmp).cast("long").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ------------------------------------------ anti-entropy checksum
+
+
+@register(
+    "integrity_checksum_orders",
+    tags=("agg", "hash", "audit"),
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(bit_xor({md5_long_sql(
+               "'ck:' || CAST(o_orderkey AS VARCHAR) || ':' "
+               "|| CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) "
+               "|| ':' || CAST(o_custkey AS VARCHAR)"
+           )}) AS BIGINT) AS xor_fingerprint
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def integrity_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint per order status: XOR of a
+    per-row md5 over the row's canonical key fields — the anti-entropy
+    check two replicas (or a source and its migrated copy) exchange to
+    prove they hold the same rows WITHOUT moving data: equal
+    fingerprints + equal counts per group localize any divergence to a
+    group.
+
+    Determinism: the canonical string is explicit integer casts (key,
+    exact cents, custkey) — no float or locale rendering; bit_xor is
+    associative, commutative, and self-inverse, so the aggregate is
+    partition-order free and verification composes: XOR of group
+    fingerprints is the table fingerprint.
+
+    Scale (100 TB): scan-side hash in codegen + one partial+final agg
+    on a tiny key — each partition collapses to |groups| longs before
+    the shuffle. The self-inverse property is the production win:
+    after replicating a delta, the expected new fingerprint is
+    old XOR delta — O(1) incremental maintenance, no re-scan
+    (pinned by tests/test_quality.py::test_checksum_self_inverse).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    row_hash = md5_long(
+        F.concat(
+            F.lit("ck:"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            F.lit(":"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_hash).cast("long").alias("xor_fingerprint"),
+    )
+
+
+# ------------------------------------- rolling distinct (exact)
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+@register(
+    "rolling_7d_distinct_users",
+    tags=("window", "timeseries", "agg"),
+    oracle=f"""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    covered AS (
+      SELECT DISTINCT user_id, d + CAST(o.o AS INTEGER) AS cover_day
+      FROM active, UNNEST(range({ROLLING_DISTINCT_DAYS})) AS o(o)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS cover_day FROM events)
+    SELECT c.cover_day AS day,
+           COUNT(*) AS n_distinct_users_7d
+    FROM covered c JOIN days USING (cover_day)
+    GROUP BY 1
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-{w}-day distinct active users per day — the
+    rolling-retention denominator. Rolling COUNT(DISTINCT) has no
+    window form in any engine; the scale-safe identity used here: a
+    user active on day d is distinct-active for every window ending
+    on d..d+{w1}, so explode each (user, active_day) to its {w} covered
+    end-days, dedup (user, end_day), and the per-day count IS the
+    rolling distinct count. Days outside the observed range are
+    clipped by joining back to real event days.
+
+    Determinism: pure integer/date set algebra — no approximation, no
+    ordering anywhere.
+
+    Scale (100 TB): the event stream first collapses to DISTINCT
+    (user, day) — one partial+final agg bounded by |users| x |days|,
+    orders of magnitude under the event count; the {w}-way explode and
+    second dedup stay on that collapsed relation. Compare the HLL
+    route (approx_users_hll_mergeable): sketches trade exactness for
+    O(1) state — this is the exact complement when the
+    user x day relation fits (it does: 8 bytes x users x days).
+    """.format(w=ROLLING_DISTINCT_DAYS, w1=ROLLING_DISTINCT_DAYS - 1)
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    active = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    covered = (
+        active.select(
+            "user_id",
+            "d",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ROLLING_DISTINCT_DAYS - 1))
+            ).alias("o"),
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("o")).alias("cover_day"))
+        .distinct()
+    )
+    days = events.select(F.to_date("ts").alias("cover_day")).distinct()
+    return (
+        covered.join(days, "cover_day")
+        .groupBy(F.col("cover_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_users_7d"))
+    )

@@ -163,6 +163,7 @@ EDGE_EVENT_QUERIES = [
     "psi_value_drift_by_type",
     "bitmap_user_activity_days",
     "time_weighted_value_per_user",
+    "rolling_7d_distinct_users",
 ]
 
 

@@ -195,3 +195,75 @@ def test_time_weighted_average_bracketed(spark):
             continue
         lo, hi = bounds[r.user_id]
         assert lo * 10 - 1 <= r.twa_value_milli <= hi * 10 + 1, r
+
+
+def test_checksum_self_inverse(spark):
+    """The anti-entropy contract: fingerprints compose by XOR — the
+    whole-table fingerprint equals XOR of any disjoint split's
+    fingerprints, so a replica can verify a delta as old XOR delta
+    with no re-scan."""
+    from eecs_485___mapreduce_spark.queries.quality import integrity_checksum_orders
+    from eecs_485___mapreduce_spark.functions import md5_long
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    row_hash = md5_long(
+        F.concat(
+            F.lit("ck:"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            F.lit(":"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+
+    def fp(df):
+        return {
+            r.o_orderstatus: (r.n, r.x)
+            for r in df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.bit_xor(row_hash).alias("x"))
+            .collect()
+        }
+
+    lo = fp(orders.where(F.col("o_orderkey") % 2 == 0))
+    hi = fp(orders.where(F.col("o_orderkey") % 2 == 1))
+    whole = {
+        r.o_orderstatus: (r.n_rows, r.xor_fingerprint)
+        for r in integrity_checksum_orders(spark, SF_SMALL).collect()
+    }
+    for status, (n, x) in whole.items():
+        nl, xl = lo.get(status, (0, 0))
+        nh, xh = hi.get(status, (0, 0))
+        assert nl + nh == n
+        assert xl ^ xh == x, status
+
+
+def test_rolling_distinct_equals_bruteforce(spark):
+    """Coverage-explosion identity vs the direct definition: for every
+    day, count distinct users with >=1 event in the trailing 7 days."""
+    import datetime
+
+    from eecs_485___mapreduce_spark.queries.quality import (
+        ROLLING_DISTINCT_DAYS,
+        rolling_7d_distinct_users,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    pairs = {
+        (r.user_id, r.d)
+        for r in events.select(
+            "user_id", F.to_date("ts").alias("d")
+        ).distinct().collect()
+    }
+    days = sorted({d for _, d in pairs})
+    brute = {}
+    for day in days:
+        lo = day - datetime.timedelta(days=ROLLING_DISTINCT_DAYS - 1)
+        brute[day] = len({u for (u, d) in pairs if lo <= d <= day})
+    got = {
+        r.day: r.n_distinct_users_7d
+        for r in rolling_7d_distinct_users(spark, SF_SMALL).collect()
+    }
+    assert got == brute
