@@ -36,7 +36,7 @@ then exact and association-order-independent in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import canonical_text, dec, md5_long, md5_long_sql, scoped_persist, tokens
@@ -623,5 +623,90 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w_fixed").cast("double") / F.col("total_w"), 6).alias(
                 "source_weight"
             ),
+        )
+    )
+
+
+# ------------------------------------------- power-iteration PCA
+
+POWER_ITERS = 60  # eigengap on this corpus is ~0.93: need ~60 hops
+POWER_CHECKPOINT_EVERY = 10
+
+
+@register("pca_top_component_power", tags=("similarity", "iterative"), oracle=None)
+def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix by power
+    iteration ({it} fixed iterations): v <- normalize(G v) — the
+    simplest distributed eigensolver, the building block under PCA
+    whitening, spectral hashing, and embedding-drift monitors.
+
+    The Gram relation reuses embedding_gram_matrix's integer-exact
+    (i, j, gram) upper triangle (mirrored to full symmetry and
+    persisted once); each iteration is ONE equi-join of the d-row
+    vector against the d^2-row matrix plus one partial+final agg on
+    the row index, then a scalar-norm broadcast — the matvec never
+    materializes anything bigger than the matrix relation itself. At
+    production d (say 4096) the matrix is 16M rows: same plan,
+    shuffle-on-key, no driver state. Sign is fixed deterministically
+    (the largest-|component| dimension, lowest dim on ties, is made
+    positive), so the result is reproducible run to run.
+
+    Rows-only by design (iterative float fixpoint — same class as
+    k-means/CC); tests/test_mlprep.py certifies against numpy's exact
+    eigendecomposition of the SAME matrix: |cosine| >= 0.999, Rayleigh
+    quotient within 1e-6 relative, unit norm.
+    """.format(it=POWER_ITERS)
+    ut = embedding_gram_matrix(spark, sf_dir)
+    full = scoped_persist(
+        ("pca.gram_full", sf_dir),
+        ut.unionByName(
+            ut.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+            )
+        ).select("i", "j", F.col("gram").cast("double").alias("g")),
+    )
+    dims = full.select(F.col("i").alias("dim")).distinct()
+    v = dims.select("dim", F.lit(1.0).alias("x"))
+    for it in range(1, POWER_ITERS + 1):
+        w = (
+            full.join(v, full.j == v.dim)
+            .groupBy(full.i.alias("dim"))
+            .agg(F.sum(F.col("g") * F.col("x")).alias("wx"))
+        )
+        # normalize with a whole-relation WINDOW aggregate, not a
+        # separate agg + crossJoin: the two-branch form makes every
+        # downstream consumer evaluate w's subtree TWICE, which
+        # compounds to 2^k plan blowup across k unrolled iterations
+        # (measured: 60 hops never finished; this form runs in
+        # seconds). The window is one partition of d rows — trivial.
+        nrm = F.sqrt(
+            F.sum(F.col("wx") * F.col("wx")).over(Window.partitionBy())
+        )
+        v = w.select("dim", (F.col("wx") / nrm).alias("x"))
+        # the vector is d rows but its LINEAGE deepens by a join+agg per
+        # hop — truncate periodically exactly like dedup_clusters /
+        # k-means, or iteration 60's plan tree is 60 joins deep
+        if it % POWER_CHECKPOINT_EVERY == 0:
+            v = v.localCheckpoint()
+    v = scoped_persist(("pca.v_final", sf_dir), v)
+    # Rayleigh quotient lambda = v' G v (||v|| = 1 post-normalization)
+    lam = (
+        full.join(v.select(F.col("dim").alias("jd"), F.col("x").alias("xj")), full.j == F.col("jd"))
+        .join(v.select(F.col("dim").alias("id"), F.col("x").alias("xi")), full.i == F.col("id"))
+        .agg(F.sum(F.col("xi") * F.col("g") * F.col("xj")).alias("eigenvalue"))
+    )
+    # deterministic sign: the largest-|x| dimension (lowest dim wins
+    # ties) is made positive
+    anchor = v.agg(
+        F.max(F.struct(F.abs("x").alias("a"), (-F.col("dim")).alias("nd"), F.col("x").alias("ax")))
+        .alias("m")
+    ).select(F.signum(F.col("m.ax")).alias("s"))
+    return (
+        v.crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "dim",
+            F.round(F.col("x") * F.col("s"), 6).alias("component"),
+            F.round("eigenvalue", 3).alias("eigenvalue"),
         )
     )
