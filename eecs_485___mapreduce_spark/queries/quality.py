@@ -775,3 +775,90 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cover_day").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_distinct_users_7d"))
     )
+
+
+# --------------------------------------- equi-depth range buckets
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "equidepth_buckets_orders",
+    tags=("window", "agg", "stats", "layout"),
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    d AS (SELECT cents, COUNT(*) AS c FROM v GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM d),
+    cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS cc FROM d),
+    ks AS (SELECT unnest(range(1, {EQUIDEPTH_BUCKETS})) AS k),
+    bd AS (
+      SELECT ks.k, MIN(cum.cents) AS b
+      FROM ks CROSS JOIN cum CROSS JOIN n
+      WHERE {EQUIDEPTH_BUCKETS} * cum.cc >= ks.k * n.nn
+      GROUP BY ks.k
+    ),
+    arr AS (SELECT list_sort(list(b)) AS bs FROM bd)
+    SELECT CAST(1 + len(list_filter(arr.bs, x -> x < v.cents)) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(v.cents) AS BIGINT) AS min_cents,
+           CAST(MAX(v.cents) AS BIGINT) AS max_cents
+    FROM v CROSS JOIN arr
+    GROUP BY 1
+    """,
+)
+def equidepth_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) bucketing of order totals: exact
+    decile boundaries, then a census of each bucket's population and
+    value range. This is the range-partitioner primitive — the split
+    computation behind sorted-table layout, range shuffles, and
+    equi-depth histograms for optimizer statistics (distinct from the
+    equal-WIDTH histogram_totalprice).
+
+    Determinism: boundaries are exact order statistics — boundary k is
+    the smallest cents value whose cumulative count reaches
+    ceil(k*n/{B}), decided by the cross-multiplied integer compare
+    {B}*cum >= k*n; assignment counts boundaries strictly below the
+    value. No floats anywhere.
+
+    Scale (100 TB): the fact stream collapses to (distinct value,
+    count) FIRST — one partial+final agg bounded by the value domain,
+    not the row count; the ranked cumsum runs over that collapsed
+    relation (same documented trade as the weighted median); the 9
+    boundaries collapse to ONE broadcast array row, and assignment is
+    a scan-side array filter in codegen — the fact table is never
+    shuffled. Production range partitioners sample instead of exact-
+    count; this exact form doubles as their correctness oracle.
+    """.format(B=EQUIDEPTH_BUCKETS)
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    d = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = d.select(
+        "cents",
+        F.sum("c").over(Window.orderBy("cents")).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("nn"),
+    )
+    ks = spark.range(1, EQUIDEPTH_BUCKETS).select(F.col("id").alias("k"))
+    bd = (
+        ks.crossJoin(cum)
+        .where(F.lit(EQUIDEPTH_BUCKETS) * F.col("cc") >= F.col("k") * F.col("nn"))
+        .groupBy("k")
+        .agg(F.min("cents").alias("b"))
+    )
+    arr = bd.agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("bs"), lambda x: x < F.col("cents"))
+    )
+    return (
+        v.crossJoin(F.broadcast(arr))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )

@@ -393,7 +393,8 @@ EDGE_STAR_QUERIES = [
     # customers (NULL nth_value), zero/negative prices
     "benford_first_digit", "gini_revenue_by_nation",
     "weighted_median_price_by_nation", "bfs_hops_part_coorder",
-    "order_cadence_gaps",
+    "order_cadence_gaps", "equidepth_buckets_orders",
+    "integrity_checksum_orders",
 ]
 
 

@@ -267,3 +267,27 @@ def test_rolling_distinct_equals_bruteforce(spark):
         for r in rolling_7d_distinct_users(spark, SF_SMALL).collect()
     }
     assert got == brute
+
+
+def test_equidepth_buckets_partition_the_table(spark):
+    """Bucket ranges must be ordered and non-overlapping, cover every
+    row, and be roughly equal-depth (within the slack value ties
+    force)."""
+    from eecs_485___mapreduce_spark.queries.quality import (
+        EQUIDEPTH_BUCKETS,
+        equidepth_buckets_orders,
+    )
+
+    rows = sorted(
+        equidepth_buckets_orders(spark, SF_SMALL).collect(), key=lambda r: r.bucket
+    )
+    n = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r.n_orders for r in rows) == n
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents < b.min_cents  # disjoint, ordered ranges
+    # equal depth within 20% of the ideal on this (nearly tie-free)
+    # column
+    ideal = n / EQUIDEPTH_BUCKETS
+    for r in rows:
+        assert 0.8 * ideal <= r.n_orders <= 1.2 * ideal, r
