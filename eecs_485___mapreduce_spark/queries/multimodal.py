@@ -166,3 +166,41 @@ def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_headers(with_image_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_headers",
+    tags=("multimodal", "udf"),
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'aiff' END AS fmt,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 22050 ELSE 44100 END
+                AS BIGINT) AS sample_rate,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 44 ELSE 38 END AS BIGINT)
+             AS byte_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode over the Arrow mapInPandas path —
+    the audio twin of multimodal_image_headers: deterministic RIFF/
+    WAVE and AIFF payloads are SERIALIZED per row (fmt/data chunk
+    walk, big-endian COMM with the 80-bit extended-float sample rate
+    the AIFF spec mandates), then PARSED back by
+    ``multimodal.parse_audio_header``. The oracle recomputes expected
+    metadata arithmetically from doc_id, so the driver value-hash
+    certifies the full build->parse byte round-trip — including the
+    float-80 encode/decode.
+
+    Scale (100 TB): per-partition Arrow batches, no shuffle, no
+    driver payload transfer; corrupt payloads yield fmt=NULL rows
+    (pinned by tests/test_multimodal.py), never batch failures.
+    """
+    from ..multimodal import decode_audio_headers, with_audio_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_headers(with_audio_payload(docs)).orderBy("doc_id")

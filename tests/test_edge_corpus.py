@@ -54,6 +54,7 @@ EDGE_QUERIES = [
     "text_bigram_surprisal",
     "dedup_prefix_filter_jaccard",
     "multimodal_image_headers",
+    "multimodal_audio_headers",
     "ks_doclen_by_source",
     "chi2_source_lang",
     # round-3 UDTF (document-shaped): empty/whitespace-only text must

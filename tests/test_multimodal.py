@@ -124,3 +124,34 @@ def test_decode_image_headers_null_on_unparseable(spark):
     rows = {r.doc_id: r for r in decode_image_headers(df).collect()}
     assert rows[1].fmt is None and rows[1].width is None
     assert rows[2].fmt is None and rows[2].byte_len == 0
+
+
+def test_audio_header_roundtrip_and_corruption(spark):
+    """The audio codec round-trips every (fmt, channels, rate, frames)
+    combination bit-exactly — including the AIFF 80-bit extended-float
+    sample rate — and corrupt payloads decode to fmt=NULL rows instead
+    of failing the Arrow batch."""
+    from eecs_485___mapreduce_spark.multimodal import (
+        AUDIO_RATES,
+        build_audio_payload,
+        decode_audio_headers,
+        parse_audio_header,
+    )
+
+    for fmt in ("wav", "aiff"):
+        for ch in (1, 2, 6):
+            for sr in AUDIO_RATES + (192000,):
+                for nf in (1, 12345):
+                    got = parse_audio_header(build_audio_payload(fmt, ch, sr, nf))
+                    assert got == (fmt, ch, sr, nf)
+
+    wav = build_audio_payload("wav", 2, 44100, 10)
+    rows = decode_audio_headers(
+        spark.createDataFrame(
+            [(1, wav), (2, b"not audio"), (3, b""), (4, wav[:10])],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].fmt == "wav" and by_id[1].n_frames == 10
+    assert by_id[2].fmt is None and by_id[3].fmt is None and by_id[4].fmt is None
