@@ -841,3 +841,79 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census("split_by_id", "by_doc_id").unionAll(
         census("split_by_content", "by_content_key")
     ).orderBy("strategy")
+
+
+# ------------------------------------- point-in-time (temporal) join
+
+
+@register(
+    "pit_join_event_states",
+    tags=("join", "datetime", "events", "window"),
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_id, event_type FROM c
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+      SELECT user_id,
+             event_type AS state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+      FROM ch
+    )
+    SELECT s.state,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN scd s
+      ON s.user_id = e.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    GROUP BY s.state
+    """,
+)
+def pit_join_event_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every event looks up the SCD2
+    state version that was current AT its timestamp — the versioned-
+    dimension lookup every warehouse fact load performs, and the join
+    shape Delta/Iceberg users call "as-of the fact's event time"
+    (distinct from the event-event as-of join in queries/advanced.py).
+    Census: events and distinct users attributed to each state.
+
+    Correctness contract: the SCD2 intervals partition each user's
+    timeline from their first event (zero-length intervals from
+    same-timestamp state flips match nothing), so every event matches
+    EXACTLY one version — conservation pinned by
+    tests/test_pipeline_ops.py::test_pit_join_matches_every_event_once.
+
+    Scale (100 TB): an equi-join on user_id with the containment
+    predicate evaluated post-match — interval versions per user are
+    few (bounded by state flips), so the join fan-out tracks the fact
+    stream, never |fact| x |versions-global|. The dimension side is
+    the collapsed SCD2 relation (one shuffle, shared partitioning
+    with the fact side). Same plan at production scale with the
+    dimension pre-bucketed on the key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    scd = scd2_user_state(spark, sf_dir).select(
+        F.col("user_id").alias("s_user"), "state", "valid_from", "valid_to"
+    )
+    # plain equality (not eqNullSafe): NULL-user events drop out of
+    # the lookup, matching the oracle's standard-SQL join semantics
+    joined = events.join(
+        scd,
+        (events.user_id == F.col("s_user"))
+        & (events.ts >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (events.ts < F.col("valid_to"))),
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

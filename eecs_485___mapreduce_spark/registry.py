@@ -128,6 +128,13 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "regr_qty_price_by_nation",
 )
 
+# Round-4 rotation queue: everything registered AFTER the round-3
+# window was frozen (quality module, BFS, RRF, cadence, bitmap, TWA,
+# checksum, rolling distinct, equi-depth, UDTF, audio headers, PCA,
+# PSI, and the remaining mining/graph tail) has sf0.01 coverage via
+# tools/driver_mimic.py + tests this round; promote those names into
+# DRIVER_ORDER_FIRST next round so each earns a driver row.
+
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect: populate REGISTRY from every query module.

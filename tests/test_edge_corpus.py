@@ -165,6 +165,7 @@ EDGE_EVENT_QUERIES = [
     "bitmap_user_activity_days",
     "time_weighted_value_per_user",
     "rolling_7d_distinct_users",
+    "pit_join_event_states",
 ]
 
 

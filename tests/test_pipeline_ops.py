@@ -250,3 +250,24 @@ def test_split_leakage_audit_nonzero_on_duplicated_corpus(spark, tmp_path):
     assert got["by_doc_id"][0] == 40  # all duplicate groups seen
     assert got["by_doc_id"][1] > 0  # id-hash split leaks
     assert got["by_content_key"] == (40, 0, 0)  # content-key split never leaks
+
+
+def test_pit_join_matches_every_event_once(spark):
+    """The temporal-join conservation law: SCD2 intervals partition
+    each user's timeline from their first event, so the point-in-time
+    lookup attributes every non-NULL-user event to EXACTLY one state
+    version (zero-length intervals from same-ts flips match none)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.curation import pit_join_event_states
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    from .conftest import SF_SMALL
+
+    total = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("user_id").isNotNull())
+        .count()
+    )
+    rows = pit_join_event_states(spark, SF_SMALL).collect()
+    assert sum(r.n_events for r in rows) == total
