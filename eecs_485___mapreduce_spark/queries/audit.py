@@ -510,3 +510,147 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_milli").desc(), "part_a", "part_b")
         .limit(BASKET_TOPK)
     )
+
+
+# ------------------------------------- declarative DQ constraints
+
+ORDER_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+_PRIORITY_SET_SQL = ", ".join(f"'{p}'" for p in ORDER_PRIORITIES)
+
+
+@register(
+    "dq_constraints_orders",
+    tags=("audit", "agg"),
+    oracle=f"""
+    SELECT 'pk_unique' AS constraint_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL
+                           OR o_orderdate <  TIMESTAMP '1992-01-01'
+                           OR o_orderdate >= TIMESTAMP '1999-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_in_domain',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                           OR o_orderpriority NOT IN ({_PRIORITY_SET_SQL})
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint census over orders — the
+    dbt-test / Deequ-check surface: primary-key uniqueness, NOT NULL,
+    value range, date range, and domain membership, each reported as a
+    violation count (0 = constraint holds). Next to the FK edge audit
+    (fk_integrity_audit) this completes the warehouse contract-check
+    family.
+
+    Scale (100 TB): every row-local constraint is a scan-side CASE in
+    codegen folded into ONE shared aggregation pass (count+sums) —
+    adding checks costs columns, not scans; the uniqueness check is
+    count-minus-distinct on the key (one partial agg). Violations
+    report as counts, never row materialization — a triage query
+    fetches offenders for one named constraint instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def viol(name: str, pred) -> DataFrame:
+        return orders.agg(
+            F.lit(name).alias("constraint_name"),
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        F.lit("pk_unique").alias("constraint_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    lo = F.lit("1992-01-01").cast("timestamp")
+    hi = F.lit("1999-01-01").cast("timestamp")
+    out = pk
+    for df in (
+        viol("custkey_not_null", F.col("o_custkey").isNull()),
+        viol(
+            "totalprice_positive",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        ),
+        viol(
+            "orderdate_in_range",
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < lo)
+            | (F.col("o_orderdate") >= hi),
+        ),
+        viol(
+            "priority_in_domain",
+            F.col("o_orderpriority").isNull()
+            | ~F.col("o_orderpriority").isin(*ORDER_PRIORITIES),
+        ),
+    ):
+        out = out.unionByName(df)
+    return out
+
+
+# --------------------------------------------- catalog statistics
+
+_CATALOG_TABLES = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+@register(
+    "catalog_table_stats",
+    tags=("audit", "agg"),
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows, "
+        f"COUNT(DISTINCT {k}) AS n_distinct_keys FROM {t}"
+        for t, k in _CATALOG_TABLES
+    ),
+)
+def catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics for every registered table:
+    row count and distinct leading-key count — the inputs a cost-based
+    optimizer (and a capacity planner) reads before anything else.
+    lineitem's leading key is o_orderkey (a multi-row key: the
+    distinct count exposes the fan-out ratio).
+
+    Scale (100 TB): one partial+final agg per table, each a single
+    scan with no row materialization; distinct counts are exact here
+    (the approx path is approx_distinct_parts /
+    approx_users_hll_mergeable). Production would persist these per
+    partition at write time and roll up incrementally.
+    """
+    out = None
+    for t, k in _CATALOG_TABLES:
+        df = load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(k).alias("n_distinct_keys"),
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -396,7 +396,7 @@ EDGE_STAR_QUERIES = [
     "benford_first_digit", "gini_revenue_by_nation",
     "weighted_median_price_by_nation", "bfs_hops_part_coorder",
     "order_cadence_gaps", "equidepth_buckets_orders",
-    "integrity_checksum_orders",
+    "integrity_checksum_orders", "dq_constraints_orders",
 ]
 
 
