@@ -690,3 +690,92 @@ def dedup_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ------------------------------------------ classifier evaluation
+
+from ..registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_LANG_ID_ORACLE = _REGISTRY["text_lang_id"].oracle
+
+
+@register(
+    "eval_langid_metrics",
+    tags=("text", "agg", "stats"),
+    oracle=f"""
+    WITH preds AS ({_LANG_ID_ORACLE}),
+    t AS (
+      SELECT lang,
+             COUNT(*) AS n_true,
+             CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM preds GROUP BY lang
+    ),
+    p AS (SELECT pred_lang AS lang, COUNT(*) AS n_pred FROM preds GROUP BY 1)
+    SELECT COALESCE(t.lang, p.lang) AS lang,
+           COALESCE(t.n_true, 0) AS n_true,
+           COALESCE(p.n_pred, 0) AS n_pred,
+           COALESCE(t.n_correct, 0) AS n_correct,
+           CAST(CASE WHEN COALESCE(p.n_pred, 0) > 0
+                     THEN ROUND(1000.0 * COALESCE(t.n_correct, 0) / p.n_pred)
+                END AS BIGINT) AS precision_milli,
+           CAST(CASE WHEN COALESCE(t.n_true, 0) > 0
+                     THEN ROUND(1000.0 * COALESCE(t.n_correct, 0) / t.n_true)
+                END AS BIGINT) AS recall_milli,
+           CAST(CASE WHEN COALESCE(t.n_true, 0) + COALESCE(p.n_pred, 0) > 0
+                     THEN ROUND(2000.0 * COALESCE(t.n_correct, 0)
+                                / (t.n_true + p.n_pred))
+                END AS BIGINT) AS f1_milli
+    FROM t FULL OUTER JOIN p ON t.lang = p.lang
+    """,
+)
+def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation census over the language-ID predictor:
+    per-class support, prediction count, hits, and precision / recall
+    / F1 — the metrics plane an ML-data pipeline runs after every
+    labeling/filtering model change (here evaluating text_lang_id
+    against the stored lang labels).
+
+    Determinism: counts are exact; each metric is one integer
+    cross-multiplied rounding (F1 uses the algebraic identity
+    2*hits/(support+predicted) — no float P/R intermediates). Classes
+    with no predictions (or no support) surface NULL for the
+    undefined metric, identically cross-engine via the FULL OUTER
+    join.
+
+    Scale (100 TB): the predictor is scan-side projection; the
+    evaluation is two partial+final aggs on a |classes|-sized key and
+    a |classes|-row join — the metrics cost nothing next to the scan.
+    """
+    preds = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    t = preds.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    p = preds.groupBy(F.col("pred_lang").alias("p_lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = t.join(p, t.lang == p.p_lang, "full_outer")
+    n_true = F.coalesce(F.col("n_true"), F.lit(0))
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
+    n_corr = F.coalesce(F.col("n_correct"), F.lit(0))
+    return j.select(
+        F.coalesce(F.col("lang"), F.col("p_lang")).alias("lang"),
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        n_corr.alias("n_correct"),
+        F.when(n_pred > 0, F.round(F.lit(1000.0) * n_corr / F.col("n_pred")))
+        .cast("long")
+        .alias("precision_milli"),
+        F.when(n_true > 0, F.round(F.lit(1000.0) * n_corr / F.col("n_true")))
+        .cast("long")
+        .alias("recall_milli"),
+        F.when(
+            n_true + n_pred > 0,
+            F.round(F.lit(2000.0) * n_corr / (F.col("n_true") + F.col("n_pred"))),
+        )
+        .cast("long")
+        .alias("f1_milli"),
+    )

@@ -60,6 +60,9 @@ EDGE_QUERIES = [
     # round-3 UDTF (document-shaped): empty/whitespace-only text must
     # yield zero sentences; explicit whitespace class strips \t\n
     "udtf_split_sentences",
+    # evaluation census: classes with zero predictions must surface
+    # NULL precision identically through the FULL OUTER join
+    "eval_langid_metrics",
 ]
 
 
