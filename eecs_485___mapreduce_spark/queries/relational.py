@@ -667,3 +667,60 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_s, max_s)"
         )
     )
+
+
+# ----------------------------------------------- XML round-trip
+
+
+@register(
+    "xml_roundtrip_events",
+    tags=("xml", "string", "agg"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML serialization round-trip: each event renders to an XML
+    record (``to_xml`` over a struct), the XML string is parsed back
+    (``from_xml`` with an explicit schema), and the census runs over
+    the PARSED fields — Spark 4's native XML surface (the third
+    semi-structured codec next to JSON and VARIANT). The oracle
+    computes the same census from the raw columns, so value-hash
+    equality certifies the serialize->parse identity, not just that
+    the query runs.
+
+    Scale (100 TB): both codec directions are scan-side codegen
+    expressions — no shuffle beyond the final census agg. The
+    explicit parse schema (never ``schema_of_xml`` over the data)
+    keeps the plan static and the scan single-pass.
+    """
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    xml = events.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_id"), F.col("event_type"), F.col("value")
+            ),
+            {"rootTag": "ev"},
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "event_id BIGINT, event_type STRING, value DOUBLE"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("r.value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.max("r.event_id").cast("long").alias("max_event_id"),
+    )

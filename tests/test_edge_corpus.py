@@ -169,6 +169,7 @@ EDGE_EVENT_QUERIES = [
     "time_weighted_value_per_user",
     "rolling_7d_distinct_users",
     "pit_join_event_states",
+    "xml_roundtrip_events",
 ]
 
 
