@@ -862,3 +862,77 @@ def equidepth_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+# ------------------------------------------------- trimmed mean
+
+TRIM_PCT = 10  # two-sided trim: drop floor(n/10) rows at each end
+
+
+@register(
+    "trimmed_mean_price_by_status",
+    tags=("window", "agg", "stats"),
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY CAST(ROUND(o_totalprice * 100)
+                                              AS BIGINT), o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN rk > n // {TRIM_PCT}
+                          AND rk <= n - n // {TRIM_PCT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(ROUND(10.0
+                 * SUM(CASE WHEN rk > n // {TRIM_PCT}
+                             AND rk <= n - n // {TRIM_PCT}
+                            THEN cents END)
+                 / SUM(CASE WHEN rk > n // {TRIM_PCT}
+                             AND rk <= n - n // {TRIM_PCT}
+                            THEN 1 END)) AS BIGINT) AS trimmed_mean_milli
+    FROM v GROUP BY o_orderstatus
+    """,
+)
+def trimmed_mean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided {p}% trimmed mean of order totals per status — the
+    robust center between the mean (outlier-dragged) and the median
+    (throws away most of the data): drop the floor(n/{p}) smallest and
+    largest rows, average the rest.
+
+    Determinism: exact integer cents ranked with a unique
+    (cents, orderkey) tiebreak; the trim bounds are integer floor
+    division; sums are BIGINT-exact and only the final mean rounds to
+    milli-units.
+
+    Scale (100 TB): one shuffle on the status key; rank and count
+    share a single window spec (one sorted pass), then one partial+
+    final agg. The per-group sort is the documented trade for EXACT
+    trimming — the approximate swap-in is percentile_approx bounds +
+    a scan-side BETWEEN filter, same downstream agg.
+    """.format(p=TRIM_PCT)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wp = Window.partitionBy("o_orderstatus")
+    v = orders.select(
+        "o_orderstatus",
+        cents.alias("cents"),
+        F.row_number().over(wp.orderBy(cents, "o_orderkey")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    k = (F.col("n") / TRIM_PCT).cast("long")
+    kept = F.when((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k), 1)
+    return v.groupBy("o_orderstatus").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.sum(F.coalesce(kept, F.lit(0))).cast("long").alias("n_kept"),
+        F.round(
+            F.lit(10.0)
+            * F.sum(F.when(kept.isNotNull(), F.col("cents")))
+            / F.sum(kept)
+        )
+        .cast("long")
+        .alias("trimmed_mean_milli"),
+    )
