@@ -328,3 +328,40 @@ def anomalies_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ----------------------- streaming rolling distinct (coverage form)
+
+
+def rolling_distinct_stream(
+    events: DataFrame, observed_days: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Streaming twin of queries.quality.rolling_7d_distinct_users:
+    exact trailing-N-day distinct users per day over a stream.
+
+    Same coverage identity as the batch form — each (user, active day)
+    covers the N window end-days — expressed stream-side as explode ->
+    stream-static semi-join against the observed-day calendar ->
+    streaming dropDuplicates on (user, cover day) -> count per day.
+    Run in COMPLETE output mode: the dedup and count state is bounded
+    by |users| x |days in the retention horizon| (production adds a
+    watermark on cover_day to age out closed windows; the test's
+    bounded corpus keeps state whole so the twin is value-exact).
+    """
+    covered = (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("o"),
+            F.to_date("ts").alias("d"),
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("o")).alias("cover_day"))
+    )
+    clipped = covered.join(F.broadcast(observed_days), "cover_day")
+    return (
+        clipped.dropDuplicates(["user_id", "cover_day"])
+        .groupBy(F.col("cover_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_users_7d"))
+    )

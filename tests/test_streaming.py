@@ -436,3 +436,42 @@ def test_cms_sketch_stream_store_equals_batch_and_replay_idempotent(spark, tmp_p
         cols,
     )
     assert again == want
+
+
+def test_rolling_distinct_stream_equals_batch(spark, tmp_path):
+    """The streaming coverage-form rolling distinct must equal the
+    batch operator exactly, however the input splits into
+    micro-batches (streaming dropDuplicates + complete-mode count)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.quality import rolling_7d_distinct_users
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming.events import (
+        rolling_distinct_stream,
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_SMALL, "events")
+    events.repartition(3).write.parquet(src)
+
+    observed = events.select(F.to_date("ts").alias("cover_day")).distinct()
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        rolling_distinct_stream(stream, observed),
+        "rolling_distinct_mem",
+        output_mode="complete",
+    )
+    got = {
+        (str(r.day), r.n_distinct_users_7d)
+        for r in spark.sql("SELECT * FROM rolling_distinct_mem").collect()
+    }
+    want = {
+        (str(r.day), r.n_distinct_users_7d)
+        for r in rolling_7d_distinct_users(spark, SF_SMALL).collect()
+    }
+    assert got == want
