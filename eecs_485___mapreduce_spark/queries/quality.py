@@ -589,13 +589,18 @@ def ewma_user_value_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    # filter on the RAW row_number (not the derived age): Spark's
+    # WindowGroupLimit rule only recognizes rank-predicate pruning on
+    # the window function's own output, and it prunes each user's
+    # partition to K rows during the sort instead of after
     kept = (
         events.select(
             "user_id",
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-            (F.row_number().over(w) - 1).alias("age"),
+            F.row_number().over(w).alias("rn"),
         )
-        .where(F.col("age") < EWMA_RECENT_K)
+        .where(F.col("rn") <= EWMA_RECENT_K)
+        .select("user_id", "cents", (F.col("rn") - 1).alias("age"))
     )
     # pyspark's shiftleft() only takes a literal shift count; the SQL
     # form accepts an expression, and stays an exact integer power of

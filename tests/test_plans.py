@@ -393,3 +393,78 @@ def test_llr_topk_is_window_group_limit(spark):
     assert "WindowGroupLimit" in physical_plan(
         text_distinctive_terms_llr(spark, SF_SMALL)
     )
+
+
+def test_quality_family_plan_shapes(spark):
+    """The session's statistical-quality operators keep their claimed
+    100 TB shapes: EWMA prunes each user's partition to K rows DURING
+    the window sort (WindowGroupLimit); the offset-window cadence runs
+    all three functions in ONE Window node over ONE exchange; the
+    trimmed mean shares one exchange between its two window frames;
+    nothing in the family plans a cartesian product."""
+    from eecs_485___mapreduce_spark.queries.quality import (
+        benford_first_digit,
+        bitmap_user_activity_days,
+        equidepth_buckets_orders,
+        ewma_user_value_recent,
+        gini_revenue_by_nation,
+        integrity_checksum_orders,
+        psi_value_drift_by_type,
+        rolling_7d_distinct_users,
+        sketch_cms_user_counts,
+        trimmed_mean_price_by_status,
+        weighted_median_price_by_nation,
+    )
+    from eecs_485___mapreduce_spark.queries.timeseries import (
+        order_cadence_gaps,
+        time_weighted_value_per_user,
+    )
+
+    ewma = physical_plan(ewma_user_value_recent(spark, SF_SMALL))
+    assert "WindowGroupLimit" in ewma, ewma
+
+    cadence = physical_plan(order_cadence_gaps(spark, SF_SMALL))
+    assert cadence.count("Window (") == 1, cadence
+    assert cadence.count("Exchange (") == 1, cadence
+
+    trimmed = physical_plan(trimmed_mean_price_by_status(spark, SF_SMALL))
+    assert trimmed.count("Exchange (") == 1, trimmed
+
+    twa = physical_plan(time_weighted_value_per_user(spark, SF_SMALL))
+    assert twa.count("Window (") == 1 and twa.count("Exchange (") == 1, twa
+
+    for q in (
+        benford_first_digit,
+        gini_revenue_by_nation,
+        weighted_median_price_by_nation,
+        sketch_cms_user_counts,
+        psi_value_drift_by_type,
+        bitmap_user_activity_days,
+        integrity_checksum_orders,
+        rolling_7d_distinct_users,
+        equidepth_buckets_orders,
+    ):
+        assert_no_cartesian(q(spark, SF_SMALL))
+
+
+def test_rolling_distinct_pushes_user_filter(spark):
+    from eecs_485___mapreduce_spark.queries.quality import rolling_7d_distinct_users
+
+    assert_pushed_filters(
+        rolling_7d_distinct_users(spark, SF_SMALL), "IsNotNull(user_id)"
+    )
+
+
+def test_pit_join_is_keyed_not_cartesian(spark):
+    """The temporal join must plan as a KEYED join (hash/sort-merge on
+    user_id with the validity window as a post-join predicate) — a
+    planner that saw only the range predicates would fall back to
+    BroadcastNestedLoop over the fact stream, which dies at scale."""
+    from eecs_485___mapreduce_spark.queries.curation import pit_join_event_states
+
+    plan = physical_plan(pit_join_event_states(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
