@@ -941,3 +941,58 @@ def trimmed_mean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trimmed_mean_milli"),
     )
+
+
+# ------------------------------------------------ Fano dispersion
+
+
+@register(
+    "fano_burstiness_by_type",
+    tags=("agg", "stats", "timeseries"),
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(ROUND(1000.0
+                 * (COUNT(*) * SUM(c * c) - SUM(c) * SUM(c))
+                 / (COUNT(*) * SUM(c))) AS BIGINT) AS fano_milli
+    FROM hourly GROUP BY event_type
+    """,
+)
+def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of hourly counts) per event
+    type — the standard burstiness index: 1000 milli = Poisson-like
+    arrivals, above = bursty, below = regular. The dispersion
+    complement to the 3-sigma anomaly detectors (which flag WHICH
+    hours deviate; this scores HOW dispersed a stream is overall).
+
+    Determinism: hourly counts are exact integers; variance/mean
+    collapses algebraically to (n*sum(c^2) - sum(c)^2) / (n*sum(c)) —
+    one integer expression, rounded once to milli-units (population
+    variance, consistent cross-engine).
+
+    Scale (100 TB): the stream collapses to (type, hour) counts first
+    (one partial+final agg; key space |types| x |hours|), then a
+    |types|-sized moment aggregation — the same rollup-first
+    discipline as the Markov/anomaly/KS family.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    s = F.sum("c")
+    s2 = F.sum(F.col("c") * F.col("c"))
+    return hourly.groupBy("event_type").agg(
+        n.alias("n_hours"),
+        s.cast("long").alias("n_events"),
+        F.round(F.lit(1000.0) * (n * s2 - s * s) / (n * s))
+        .cast("long")
+        .alias("fano_milli"),
+    )

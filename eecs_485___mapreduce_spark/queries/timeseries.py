@@ -567,3 +567,64 @@ def time_weighted_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twa_value_milli"),
     )
+
+
+# --------------------------------------------- gaps and islands
+
+
+@register(
+    "islands_user_activity_streaks",
+    tags=("window", "datetime", "timeseries"),
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM active
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS len,
+             MIN(d) AS streak_start
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           MIN(streak_start) AS first_active_day
+    FROM runs GROUP BY user_id
+    """,
+)
+def islands_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user
+    (streak count, longest run, first active day) — the canonical
+    islands idiom (date minus dense row_number is constant within a
+    run), the engagement-streak feature every retention model wants.
+
+    Determinism: pure date/integer arithmetic on the DISTINCT
+    (user, day) relation; no floats, unique ordering by day.
+
+    Scale (100 TB): the event stream collapses to DISTINCT (user, day)
+    first — bounded by |users| x |days| — then ONE shuffle on user_id
+    serves the row_number window and both aggregations (same
+    partitioning throughout, no re-exchange).
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    active = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = active.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    runs = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.min("streak_start").alias("first_active_day"),
+    )

@@ -170,6 +170,8 @@ EDGE_EVENT_QUERIES = [
     "rolling_7d_distinct_users",
     "pit_join_event_states",
     "xml_roundtrip_events",
+    "islands_user_activity_streaks",
+    "fano_burstiness_by_type",
 ]
 
 
