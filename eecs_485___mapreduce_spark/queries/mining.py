@@ -1700,3 +1700,127 @@ def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("parts_share_milli"),
         )
     )
+
+
+# --------------------------------- survival / hazard census
+
+
+@register(
+    "hazard_view_to_purchase",
+    tags=("window", "agg", "stats", "timeseries"),
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+               AS first_view
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    conv AS (
+      SELECT p.user_id, p.first_view,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(e.ts AS DATE) >= p.first_view
+                      THEN CAST(e.ts AS DATE) END) AS first_purchase
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      WHERE p.first_view IS NOT NULL
+      GROUP BY p.user_id, p.first_view
+    ),
+    offsets AS (
+      SELECT user_id,
+             CASE WHEN first_purchase IS NOT NULL
+                  THEN first_purchase - first_view
+                  ELSE (SELECT h FROM horizon) - first_view END AS t,
+             CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS converted
+      FROM conv
+    ),
+    cnt AS (
+      SELECT t, converted, COUNT(*) AS c FROM offsets GROUP BY t, converted
+    ),
+    days AS (
+      SELECT t,
+             CAST(COALESCE(SUM(CASE WHEN converted = 1 THEN c END), 0)
+                  AS BIGINT) AS n_converted,
+             CAST(SUM(c) AS BIGINT) AS n_leaving
+      FROM cnt GROUP BY t
+    )
+    SELECT t AS day_offset,
+           CAST(SUM(n_leaving) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk,
+           n_converted,
+           CAST(ROUND(1000.0 * n_converted
+                 / SUM(n_leaving) OVER (ORDER BY t DESC)) AS BIGINT)
+             AS hazard_milli
+    FROM days
+    """,
+)
+def hazard_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival/hazard census for view->purchase
+    conversion: for each day offset t since a user's first view, how
+    many users were still at risk (no purchase yet, not yet censored),
+    how many converted exactly at t, and the hazard rate — the
+    life-table the Kaplan-Meier estimator is built from. Users who
+    never purchase are right-censored at the observation horizon (the
+    corpus's last day), the textbook treatment.
+
+    Determinism: offsets are exact integer day arithmetic; the
+    at-risk count is the reverse cumulative sum of leavers (converted
+    + censored) — integer window math with a unique ORDER BY t;
+    hazard is one cross-multiplied milli rounding.
+
+    Scale (100 TB): the stream collapses to one row per user (two
+    keyed aggs on user_id), then to one row per (offset, outcome) —
+    the windowed life-table runs over a <=|days| relation. No grid
+    cross-join against users anywhere.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    d = F.to_date("ts")
+    horizon = events.agg(F.max(d).alias("h"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", d)).alias("first_view")
+    )
+    conv = (
+        per_user.where(F.col("first_view").isNotNull())
+        .join(events.select("user_id", "event_type", d.alias("ed")), "user_id")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ed") >= F.col("first_view")),
+                    F.col("ed"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    offsets = conv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            F.datediff("first_purchase", "first_view"),
+        )
+        .otherwise(F.datediff("h", "first_view"))
+        .alias("t"),
+        F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    days = (
+        offsets.groupBy("t", "converted")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("converted") == 1, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_converted"),
+            F.sum("c").cast("long").alias("n_leaving"),
+        )
+    )
+    w = Window.orderBy(F.col("t").desc())
+    at_risk = F.sum("n_leaving").over(w)
+    return days.select(
+        F.col("t").alias("day_offset"),
+        at_risk.cast("long").alias("n_at_risk"),
+        "n_converted",
+        F.round(F.lit(1000.0) * F.col("n_converted") / at_risk)
+        .cast("long")
+        .alias("hazard_milli"),
+    )

@@ -172,6 +172,7 @@ EDGE_EVENT_QUERIES = [
     "xml_roundtrip_events",
     "islands_user_activity_streaks",
     "fano_burstiness_by_type",
+    "hazard_view_to_purchase",
 ]
 
 
