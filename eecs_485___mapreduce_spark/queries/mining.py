@@ -1824,3 +1824,141 @@ def hazard_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hazard_milli"),
     )
+
+
+# ------------------------------------- A/B experiment analysis
+
+ABTEST_CONV_WINDOW = "24 HOURS"  # conversion: purchase within 24h of first view
+
+
+@register(
+    "abtest_conversion_ztest",
+    tags=("agg", "stats", "hash"),
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+    ),
+    assign AS (
+      SELECT fv.user_id,
+             fv.user_id % 2 AS arm,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts >= fv.t0
+                       AND e.ts < fv.t0 + INTERVAL 24 HOURS
+                      THEN 1 ELSE 0 END) AS converted
+      FROM fv JOIN events e ON e.user_id = fv.user_id
+      GROUP BY fv.user_id
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           conv_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           conv_b,
+           CAST(CASE WHEN conv_a + conv_b > 0
+                      AND conv_a + conv_b < n_a + n_b
+                THEN ROUND(1000.0 * (1.0 * conv_b / n_b - 1.0 * conv_a / n_a)
+                  / sqrt((1.0 * (conv_a + conv_b) / (n_a + n_b))
+                         * (1.0 - 1.0 * (conv_a + conv_b) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)))
+                END AS BIGINT) AS z_milli,
+           CAST(ROUND(1000.0
+                * CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                / (n_a + n_b)) AS BIGINT) AS srm_chi2_milli
+    FROM wide
+    """,
+)
+def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-proportion z-test on 24-hour
+    view->purchase conversion between two deterministic arms (user-id
+    parity stands in for the assignment hash), plus the sample-ratio-
+    mismatch chi-square against the expected 50/50 split — the two
+    checks every A/B readout runs first (a large SRM chi2 means the
+    assignment itself is broken and the z-test is void).
+
+    Determinism: counts are exact integers; the z statistic is ONE
+    fixed double expression over those integers (pooled-variance
+    form), rounded once to milli-units — the quantize-the-statistic
+    discipline of the KS/chi-square censuses; degenerate pools (0% or
+    100% conversion) surface NULL identically on both engines; the
+    SRM term is integer cross-multiplication. The conversion window
+    is pure timestamp-interval arithmetic (no epoch casts).
+
+    Scale (100 TB): one agg finds each user's first view, one keyed
+    join + agg collapses the stream to a per-user conversion bit,
+    then a 2-row arm rollup and a scalar pivot — nothing after the
+    user-key shuffles exceeds two rows. The assignment is a pure
+    scan-side function of the unit id (the property
+    split_train_val_test pins).
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    fv = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    assign = (
+        fv.join(events.select("user_id", "event_type", F.col("ts").alias("ets")), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ets") >= F.col("t0"))
+                    & (F.col("ets") < F.col("t0") + F.expr(f"INTERVAL {ABTEST_CONV_WINDOW}")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    tot_conv = F.col("conv_a") + F.col("conv_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    p_pool = F.lit(1.0) * tot_conv / tot_n
+    z = (
+        F.lit(1000.0)
+        * (
+            F.lit(1.0) * F.col("conv_b") / F.col("n_b")
+            - F.lit(1.0) * F.col("conv_a") / F.col("n_a")
+        )
+        / F.sqrt(
+            p_pool
+            * (F.lit(1.0) - p_pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    srm = (
+        F.lit(1000.0)
+        * (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / tot_n
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        "conv_a",
+        F.col("n_b").cast("long").alias("n_b"),
+        "conv_b",
+        F.when((tot_conv > 0) & (tot_conv < tot_n), F.round(z))
+        .cast("long")
+        .alias("z_milli"),
+        F.round(srm).cast("long").alias("srm_chi2_milli"),
+    )

@@ -173,6 +173,7 @@ EDGE_EVENT_QUERIES = [
     "islands_user_activity_streaks",
     "fano_burstiness_by_type",
     "hazard_view_to_purchase",
+    "abtest_conversion_ztest",
 ]
 
 
