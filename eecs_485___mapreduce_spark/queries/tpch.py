@@ -1316,3 +1316,92 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ----------------------------------------- trending leaderboard
+
+TRENDING_WINDOW_DAYS = 7
+TRENDING_TOPK = 5
+
+
+@register(
+    "trending_parts_7d",
+    tags=("window", "topk", "datetime", "agg"),
+    oracle=f"""
+    WITH pd AS (
+      SELECT l_partkey,
+             CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT l_partkey, d,
+             datediff('day', DATE '1992-01-01', d) AS di, cents
+      FROM pd
+    ),
+    trail AS (
+      SELECT l_partkey, d,
+             CAST(SUM(cents) OVER (PARTITION BY l_partkey ORDER BY di
+                     RANGE BETWEEN {TRENDING_WINDOW_DAYS - 1} PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS rev7_cents
+      FROM idx
+    ),
+    ranked AS (
+      SELECT d, l_partkey, rev7_cents,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY rev7_cents DESC, l_partkey) AS rk
+      FROM trail
+    )
+    SELECT d AS day, rk, l_partkey, rev7_cents
+    FROM ranked WHERE rk <= {TRENDING_TOPK}
+    """,
+)
+def trending_parts_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: for every ship day, the top-{k} parts by
+    trailing-{w}-day revenue — the rolling-window ranking behind every
+    "top movers" dashboard, combining a RANGE time frame (per part
+    over day indexes, so calendar gaps weigh zero rather than
+    stretching the window) with a per-day rank group-limit.
+
+    Determinism: revenue is exact integer cents pre-collapsed per
+    (part, day); the RANGE frame is integer day indexes from a fixed
+    epoch; ranks tiebreak on partkey.
+
+    Scale (100 TB): the fact stream collapses to the (part, day)
+    rollup FIRST (one partial+final agg; key space |parts| x |days|);
+    the trailing-sum window partitions per part over that rollup, and
+    the per-day top-{k} plans WindowGroupLimit (rank pruning during
+    the sort, pinned in tests/test_plans.py) — the full ranked
+    relation never materializes.
+    """.format(k=TRENDING_TOPK, w=TRENDING_WINDOW_DAYS)
+    li = load_table(spark, sf_dir, "lineitem")
+    pd_rel = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents")
+    )
+    idx = pd_rel.select(
+        "l_partkey",
+        "d",
+        F.datediff("d", F.lit("1992-01-01").cast("date")).alias("di"),
+        "cents",
+    )
+    wt = (
+        Window.partitionBy("l_partkey")
+        .orderBy("di")
+        .rangeBetween(-(TRENDING_WINDOW_DAYS - 1), Window.currentRow)
+    )
+    trail = idx.select(
+        "l_partkey", "d", F.sum("cents").over(wt).cast("long").alias("rev7_cents")
+    )
+    wr = Window.partitionBy("d").orderBy(F.col("rev7_cents").desc(), "l_partkey")
+    return (
+        trail.select(
+            F.col("d").alias("day"),
+            F.row_number().over(wr).alias("rk"),
+            "l_partkey",
+            "rev7_cents",
+        )
+        .where(F.col("rk") <= TRENDING_TOPK)
+    )

@@ -405,7 +405,7 @@ EDGE_STAR_QUERIES = [
     "weighted_median_price_by_nation", "bfs_hops_part_coorder",
     "order_cadence_gaps", "equidepth_buckets_orders",
     "integrity_checksum_orders", "dq_constraints_orders",
-    "trimmed_mean_price_by_status",
+    "trimmed_mean_price_by_status", "trending_parts_7d",
 ]
 
 
