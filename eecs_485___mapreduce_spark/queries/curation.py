@@ -917,3 +917,82 @@ def pit_join_event_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ------------------------------------------------ cohort LTV curve
+
+
+@register(
+    "cohort_ltv_curve",
+    tags=("window", "agg", "datetime", "events"),
+    oracle="""
+    WITH co AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_date, COUNT(*) AS cohort_users FROM co GROUP BY 1
+    ),
+    daily AS (
+      SELECT co.cohort_date,
+             CAST(CAST(e.ts AS DATE) - co.cohort_date AS BIGINT) AS day_offset,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e JOIN co ON co.user_id = e.user_id
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT d.cohort_date,
+           d.day_offset,
+           s.cohort_users,
+           CAST(SUM(d.cents) OVER (PARTITION BY d.cohort_date
+                                   ORDER BY d.day_offset) AS BIGINT)
+             AS cum_cents,
+           CAST(ROUND(10.0 * SUM(d.cents) OVER (PARTITION BY d.cohort_date
+                                                ORDER BY d.day_offset)
+                 / s.cohort_users) AS BIGINT) AS ltv_per_user_milli
+    FROM daily d JOIN sizes s USING (cohort_date)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative event value per
+    signup cohort by day offset, normalized per cohort user — the
+    money-side companion of cohort_retention (which counts active
+    users; this accumulates what they spend).
+
+    Determinism: exact integer cents collapsed per (cohort, offset)
+    BEFORE the running sum; the window orders by the integer offset
+    (unique per cohort); per-user LTV is one milli rounding.
+
+    Scale (100 TB): two keyed aggs (first-seen per user, then the
+    (cohort, offset) rollup) and a window over the rollup — the
+    cumulative sum never sees raw events. Cohort sizes broadcast.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    co = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    sizes = co.groupBy("cohort_date").agg(F.count(F.lit(1)).alias("cohort_users"))
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .join(co, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("cohort_date").orderBy("day_offset")
+    cum = F.sum("cents").over(w)
+    return daily.join(F.broadcast(sizes), "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "cohort_users",
+        cum.cast("long").alias("cum_cents"),
+        F.round(F.lit(10.0) * cum / F.col("cohort_users"))
+        .cast("long")
+        .alias("ltv_per_user_milli"),
+    )

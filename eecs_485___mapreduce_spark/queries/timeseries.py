@@ -628,3 +628,56 @@ def islands_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("len").cast("long").alias("longest_streak_days"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+# ------------------------------------------- seasonality profile
+
+
+@register(
+    "events_dow_hour_profile",
+    tags=("agg", "datetime", "timeseries"),
+    oracle="""
+    WITH g AS (
+      SELECT dayofweek(ts) AS dow, hour(ts) AS hod, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+    SELECT g.dow, g.hod, CAST(g.n AS BIGINT) AS n_events, g.sum_cents,
+           CAST(ROUND(1000000.0 * g.n / tot.t) AS BIGINT) AS share_micro
+    FROM g CROSS JOIN tot
+    """,
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap: event count, value, and traffic
+    share per (day-of-week, hour-of-day) cell — the 7x24 profile that
+    capacity planning and anomaly baselines normalize against.
+
+    Determinism: DuckDB ``dayofweek`` is 0=Sunday..6; Spark
+    ``dayofweek`` is 1=Sunday..7 — the Spark side subtracts 1 so both
+    engines emit the same encoding. Counts/cents exact; the share is
+    one micro rounding against the broadcast total.
+
+    Scale (100 TB): one partial+final agg on a <=168-cell key; the
+    scalar total broadcasts back. Constant-size output at any volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        F.col("n").cast("long").alias("n_events"),
+        "sum_cents",
+        F.round(F.lit(1_000_000.0) * F.col("n") / F.col("t"))
+        .cast("long")
+        .alias("share_micro"),
+    )

@@ -174,6 +174,8 @@ EDGE_EVENT_QUERIES = [
     "fano_burstiness_by_type",
     "hazard_view_to_purchase",
     "abtest_conversion_ztest",
+    "cohort_ltv_curve",
+    "events_dow_hour_profile",
 ]
 
 
