@@ -5,6 +5,7 @@ part-file contract (R files, overwrite)."""
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
@@ -339,3 +340,45 @@ def test_zorder_layout_bounds_both_columns(spark, tmp_path):
     )
     assert z_bw < 0.5 * s_bw, (z_bw, s_bw)
     assert z_bw < 0.35 * dom_b, (z_bw, dom_b)
+
+
+def test_tailtext_streaming_source_exactly_once_across_restarts(spark, tmp_path):
+    """The custom Python streaming source must honor its offset
+    contract: an availableNow drain emits every line of every file
+    exactly once; files added later are picked up by a restart from
+    the same checkpoint WITHOUT re-emitting already-committed files."""
+    from eecs_485___mapreduce_spark.sources import TailTextDataSource
+
+    spark.dataSource.register(TailTextDataSource)
+    src = tmp_path / "logs"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("tailtext")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.txt").write_text("alpha\nbeta\n")
+    (src / "b.txt").write_text("gamma\n")
+    drain()
+    got1 = sorted(r.value for r in spark.read.parquet(sink).collect())
+    assert got1 == ["alpha", "beta", "gamma"]
+
+    (src / "c.txt").write_text("delta\nepsilon\n")
+    drain()  # restart: only c.txt is new
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r.value for r in rows) == [
+        "alpha", "beta", "delta", "epsilon", "gamma",
+    ]
+    # provenance column survives the stream
+    assert {os.path.basename(r.file) for r in rows} == {"a.txt", "b.txt", "c.txt"}
