@@ -996,3 +996,62 @@ def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fano_milli"),
     )
+
+
+# ------------------------------------------------ rate-limit audit
+
+BOT_RATE_TOPK = 20
+
+
+@register(
+    "bot_rate_audit",
+    tags=("agg", "timeseries", "topk"),
+    oracle=f"""
+    WITH per_min AS (
+      SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(c) AS BIGINT) AS max_per_min,
+             COUNT(*) AS n_active_minutes,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(ROUND(1000.0 * SUM(c) / COUNT(*)) AS BIGINT)
+               AS events_per_min_milli
+      FROM per_min GROUP BY user_id
+    )
+    SELECT * FROM per_user
+    ORDER BY max_per_min DESC, user_id
+    LIMIT {BOT_RATE_TOPK}
+    """,
+)
+def bot_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/rate-limit audit: the top-{k} users by peak per-minute
+    event rate, with their active-minute count and mean in-activity
+    rate — the burst profile a bot screen thresholds on (a human's
+    max_per_min is small; a scraper's is its request loop).
+
+    Determinism: per-minute counts are exact (timestamp truncation is
+    identical cross-engine); the top-k tiebreaks on user_id; the mean
+    rate is one milli rounding.
+
+    Scale (100 TB): the stream collapses to (user, minute) counts —
+    one partial+final agg — then to one row per user; top-k plans
+    TakeOrdered. This is the same rollup the streaming anomaly
+    detector keeps as state, here as the batch forensic view.
+    """.format(k=BOT_RATE_TOPK)
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_min = events.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.max("c").cast("long").alias("max_per_min"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.round(F.lit(1000.0) * F.sum("c") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("events_per_min_milli"),
+    )
+    return per_user.orderBy(F.col("max_per_min").desc(), "user_id").limit(
+        BOT_RATE_TOPK
+    )

@@ -176,6 +176,7 @@ EDGE_EVENT_QUERIES = [
     "abtest_conversion_ztest",
     "cohort_ltv_curve",
     "events_dow_hour_profile",
+    "bot_rate_audit",
 ]
 
 
