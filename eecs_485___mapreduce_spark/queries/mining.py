@@ -1962,3 +1962,95 @@ def abtest_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z_milli"),
         F.round(srm).cast("long").alias("srm_chi2_milli"),
     )
+
+
+# ------------------------------------------- price index numbers
+
+
+@register(
+    "laspeyres_price_index_monthly",
+    tags=("agg", "join", "stats", "datetime"),
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, cents AS cents0, qty AS qty0
+      FROM pm WHERE m = (SELECT MIN(m) FROM pm)
+    ),
+    terms AS (
+      SELECT pm.m,
+             CAST(ROUND(1000000.0 * pm.cents / pm.qty) AS BIGINT)
+               * base.qty0 AS w_cur,
+             CAST(ROUND(1000000.0 * base.cents0 / base.qty0) AS BIGINT)
+               * base.qty0 AS w_base
+      FROM pm JOIN base USING (l_partkey)
+      WHERE pm.qty > 0 AND base.qty0 > 0
+    )
+    SELECT m AS month,
+           COUNT(*) AS n_parts,
+           CAST(ROUND(1000.0 * SUM(w_cur) / SUM(w_base)) AS BIGINT)
+             AS laspeyres_milli
+    FROM terms GROUP BY m
+    """,
+)
+def laspeyres_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by ship month: how the price level of the
+    base-month basket moves, holding base-month quantities fixed —
+    index-number analytics (the CPI construction), a family distinct
+    from plain aggregation because it joins every period against a
+    fixed base period.
+
+    Determinism: unit values (cents/qty per part-month) are quantized
+    to integer micro-units immediately after the one exact-integer
+    division, so the basket sums are order-free BIGINT arithmetic;
+    the index is one final milli rounding. Parts absent in a month
+    simply drop from that month's basket (standard matched-sample
+    index).
+
+    Scale (100 TB): the fact stream collapses to (part, month) unit
+    values first (one partial+final agg); the base-month relation is
+    |parts| rows and joins per month on the part key (AQE broadcasts
+    it when small — billion-part baskets shuffle-join on the same
+    key). Output is |months| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey", F.to_date(F.date_trunc("month", "l_shipdate")).alias("m")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+        F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"),
+    )
+    pm = scoped_persist(("laspeyres.pm", sf_dir), pm)
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(m0))
+        .where(F.col("m") == F.col("m0"))
+        .select(
+            "l_partkey",
+            F.col("cents").alias("cents0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    uv = F.round(F.lit(1_000_000.0) * F.col("cents") / F.col("qty")).cast("long")
+    uv0 = F.round(F.lit(1_000_000.0) * F.col("cents0") / F.col("qty0")).cast("long")
+    terms = (
+        pm.join(base, "l_partkey")
+        .where((F.col("qty") > 0) & (F.col("qty0") > 0))
+        .select(
+            "m",
+            (uv * F.col("qty0")).alias("w_cur"),
+            (uv0 * F.col("qty0")).alias("w_base"),
+        )
+    )
+    return terms.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.lit(1000.0) * F.sum("w_cur") / F.sum("w_base"))
+        .cast("long")
+        .alias("laspeyres_milli"),
+    )
