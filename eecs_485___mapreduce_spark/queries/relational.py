@@ -724,3 +724,76 @@ def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.max("r.event_id").cast("long").alias("max_event_id"),
     )
+
+
+# ------------------------------------- hierarchical revenue shares
+
+
+@register(
+    "revenue_share_region_nation",
+    tags=("join", "window", "agg"),
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name, cents,
+           CAST(ROUND(1000000.0 * cents
+                 / SUM(cents) OVER (PARTITION BY r_name)) AS BIGINT)
+             AS share_of_region_micro,
+           CAST(ROUND(1000000.0 * cents
+                 / SUM(cents) OVER ()) AS BIGINT) AS share_of_total_micro
+    FROM rev
+    """,
+)
+def revenue_share_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels: each nation's
+    revenue as a share of its region and of the world — the
+    ratio-to-report windows every drill-down dashboard computes.
+
+    Determinism: exact integer cents collapsed per (region, nation)
+    BEFORE any window; both shares are single micro roundings over
+    BIGINT window sums.
+
+    Scale (100 TB): the fact stream pays one partial+final agg on a
+    |regions| x |nations| key (dims broadcast into the join); both
+    percent-of-parent windows then run over that constant-size rollup
+    — a window over raw orders would be the classic mistake here.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.round(F.lit(1_000_000.0) * F.col("cents") / F.sum("cents").over(wr))
+        .cast("long")
+        .alias("share_of_region_micro"),
+        F.round(F.lit(1_000_000.0) * F.col("cents") / F.sum("cents").over(wall))
+        .cast("long")
+        .alias("share_of_total_micro"),
+    )

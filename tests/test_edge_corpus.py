@@ -409,7 +409,7 @@ EDGE_STAR_QUERIES = [
     "order_cadence_gaps", "equidepth_buckets_orders",
     "integrity_checksum_orders", "dq_constraints_orders",
     "trimmed_mean_price_by_status", "trending_parts_7d",
-    "laspeyres_price_index_monthly",
+    "laspeyres_price_index_monthly", "revenue_share_region_nation",
 ]
 
 
