@@ -2054,3 +2054,106 @@ def laspeyres_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("laspeyres_milli"),
     )
+
+
+# --------------------------------------- mix-shift decomposition
+
+MIX_YEAR_BASE = 1995
+MIX_YEAR_CURR = 1996
+
+
+@register(
+    "mix_shift_avg_order_value",
+    tags=("agg", "stats", "datetime"),
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority AS pri,
+             year(o_orderdate) AS y,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE year(o_orderdate) IN ({MIX_YEAR_BASE}, {MIX_YEAR_CURR})
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT y, CAST(SUM(n) AS BIGINT) AS tn FROM per GROUP BY y
+    ),
+    wide AS (
+      SELECT b.pri,
+             b.n AS n0, b.cents AS c0, t0.tn AS tn0,
+             c.n AS n1, c.cents AS c1, t1.tn AS tn1
+      FROM per b
+      JOIN per c ON c.pri = b.pri AND c.y = {MIX_YEAR_CURR}
+      JOIN tot t0 ON t0.y = {MIX_YEAR_BASE}
+      JOIN tot t1 ON t1.y = {MIX_YEAR_CURR}
+      WHERE b.y = {MIX_YEAR_BASE}
+    )
+    SELECT pri,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(ROUND(1000.0 * (1.0 * c1 / n1 - 1.0 * c0 / n0)
+                 * (1.0 * n0 / tn0)) AS BIGINT) AS rate_effect_milli,
+           CAST(ROUND(1000.0 * (1.0 * n1 / tn1 - 1.0 * n0 / tn0)
+                 * (1.0 * c0 / n0)) AS BIGINT) AS mix_effect_milli,
+           CAST(ROUND(1000.0 * (1.0 * c1 / n1 - 1.0 * c0 / n0)
+                 * (1.0 * n1 / tn1 - 1.0 * n0 / tn0)) AS BIGINT)
+             AS interaction_milli
+    FROM wide
+    """,
+)
+def mix_shift_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of the average order value change
+    between {y0} and {y1}, per priority class: rate effect (the class
+    got pricier, at base weight), mix effect (the class grew/shrank,
+    at base rate), and the interaction — the Oaxaca-style attribution
+    every "why did our average move" analysis runs.
+
+    Determinism: every effect cell is ONE fixed double expression over
+    six exact integers (counts, cents, totals), rounded once to
+    milli-cents. Classes absent in either year drop (matched-sample
+    convention, as in the price index).
+
+    Scale (100 TB): one partial+final agg on the (priority, year) key,
+    two broadcast scalar totals, then constant-size arithmetic —
+    nothing after the first shuffle exceeds |classes| rows.
+    """.format(y0=MIX_YEAR_BASE, y1=MIX_YEAR_CURR)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(MIX_YEAR_BASE, MIX_YEAR_CURR)
+    )
+    per = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.year("o_orderdate").alias("y")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    per = scoped_persist(("mixshift.per", sf_dir), per)
+    tot = per.groupBy("y").agg(F.sum("n").cast("long").alias("tn"))
+    b = per.where(F.col("y") == MIX_YEAR_BASE).select(
+        "pri", F.col("n").alias("n0"), F.col("cents").alias("c0")
+    )
+    c = per.where(F.col("y") == MIX_YEAR_CURR).select(
+        F.col("pri").alias("pri1"), F.col("n").alias("n1"), F.col("cents").alias("c1")
+    )
+    t0 = tot.where(F.col("y") == MIX_YEAR_BASE).select(F.col("tn").alias("tn0"))
+    t1 = tot.where(F.col("y") == MIX_YEAR_CURR).select(F.col("tn").alias("tn1"))
+    wide = (
+        b.join(c, b.pri == c.pri1)
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    r0 = F.lit(1.0) * F.col("c0") / F.col("n0")
+    r1 = F.lit(1.0) * F.col("c1") / F.col("n1")
+    w0 = F.lit(1.0) * F.col("n0") / F.col("tn0")
+    w1 = F.lit(1.0) * F.col("n1") / F.col("tn1")
+    return wide.select(
+        "pri",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(F.lit(1000.0) * (r1 - r0) * w0).cast("long").alias("rate_effect_milli"),
+        F.round(F.lit(1000.0) * (w1 - w0) * r0).cast("long").alias("mix_effect_milli"),
+        F.round(F.lit(1000.0) * (r1 - r0) * (w1 - w0))
+        .cast("long")
+        .alias("interaction_milli"),
+    )
