@@ -654,3 +654,90 @@ def catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ------------------------------------------ twin-invoice screen
+
+TWIN_MAX_DAY_GAP = 3
+
+
+@register(
+    "twin_invoice_screen",
+    tags=("audit", "join", "datetime"),
+    oracle=f"""
+    SELECT a.o_orderkey AS orderkey_a,
+           b.o_orderkey AS orderkey_b,
+           a.o_custkey AS custkey,
+           CAST(ROUND(a.o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(abs(datediff('day', CAST(a.o_orderdate AS DATE),
+                             CAST(b.o_orderdate AS DATE))) AS BIGINT)
+             AS day_gap
+    FROM orders a
+    JOIN orders b
+      ON b.o_custkey = a.o_custkey
+     AND CAST(ROUND(b.o_totalprice * 100) AS BIGINT)
+         = CAST(ROUND(a.o_totalprice * 100) AS BIGINT)
+     AND b.o_orderkey > a.o_orderkey
+    WHERE abs(datediff('day', CAST(a.o_orderdate AS DATE),
+                       CAST(b.o_orderdate AS DATE))) <= {TWIN_MAX_DAY_GAP}
+    """,
+)
+def twin_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice fraud screen: pairs of orders from the SAME
+    customer for the SAME exact amount within {d} days of each other —
+    the classic double-billing / replayed-submission audit.
+
+    Determinism: the blocking key is exact (custkey, integer cents);
+    the day gap is exact date arithmetic; orderkey_a < orderkey_b
+    canonicalizes each pair once.
+
+    Scale (100 TB): a BLOCKED self-join — the equi-key
+    (custkey, cents) does the heavy lifting, so candidate pairs are
+    proportional to per-block occupancy (almost always 0 or 1 extra
+    row), never orders²; the date predicate filters post-match. Same
+    no-all-pairs discipline as the dedup family
+    (tests/test_plans.py::test_no_cartesian_products pattern).
+    The synthetic corpus's continuous prices make real twins
+    vanishingly rare (0 rows at every SF — matching the oracle's 0),
+    so the nonzero semantics are pinned on a planted fixture:
+    tests/test_audit.py::test_twin_invoice_screen_finds_planted_twins.
+
+    Scale note continues in :func:`twin_pairs`.
+    """.format(d=TWIN_MAX_DAY_GAP)
+    return twin_pairs(load_table(spark, sf_dir, "orders"))
+
+
+def twin_pairs(orders: DataFrame) -> DataFrame:
+    """The blocked self-join body of twin_invoice_screen over any
+    orders-shaped relation (factored out so the fixture test can run
+    the SAME engine code over planted twins)."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a = orders.select(
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("cents"),
+        F.to_date("o_orderdate").alias("da"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_custkey").alias("custkey_b"),
+        cents.alias("cents_b"),
+        F.to_date("o_orderdate").alias("db"),
+    )
+    gap = F.abs(F.datediff("da", "db"))
+    return (
+        a.join(
+            b,
+            (F.col("custkey_b") == F.col("custkey"))
+            & (F.col("cents_b") == F.col("cents"))
+            & (F.col("orderkey_b") > F.col("orderkey_a")),
+        )
+        .where(gap <= TWIN_MAX_DAY_GAP)
+        .select(
+            "orderkey_a",
+            "orderkey_b",
+            "custkey",
+            "cents",
+            gap.cast("long").alias("day_gap"),
+        )
+    )

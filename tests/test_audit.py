@@ -113,3 +113,39 @@ def test_survivorship_conserves_documents(spark):
     for r in rows:
         assert r.n_survivors + r.n_dropped == r.n_docs, r
         assert r.n_survivors >= 1
+
+
+def test_twin_invoice_screen_finds_planted_twins(spark):
+    """The corpus's continuous prices yield 0 twins at every SF, so
+    the oracle row only certifies the zero; THIS pins the nonzero
+    semantics: planted twins match, and each decoy class (other
+    customer, other amount, too-far dates) does not."""
+    import datetime
+
+    from eecs_485___mapreduce_spark.queries.audit import twin_pairs
+
+    d = datetime.datetime
+    rows = [
+        # twin pair: same customer, same cents, 2 days apart
+        (1, 7, "O", 100.00, d(1995, 1, 1), "1-URGENT"),
+        (2, 7, "O", 100.00, d(1995, 1, 3), "1-URGENT"),
+        # decoy: same amount+dates, DIFFERENT customer
+        (3, 8, "O", 100.00, d(1995, 1, 2), "1-URGENT"),
+        # decoy: same customer+dates, different cents (off by one)
+        (4, 7, "O", 100.01, d(1995, 1, 2), "1-URGENT"),
+        # decoy: same customer+amount, 4 days apart (> gap)
+        (5, 7, "O", 100.00, d(1995, 1, 7), "1-URGENT"),
+        # second twin pair at gap boundary (exactly 3 days)
+        (6, 9, "F", 55.55, d(1996, 6, 1), "5-LOW"),
+        (7, 9, "F", 55.55, d(1996, 6, 4), "5-LOW"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = sorted(
+        (r.orderkey_a, r.orderkey_b, r.custkey, r.cents, r.day_gap)
+        for r in twin_pairs(orders).collect()
+    )
+    assert got == [(1, 2, 7, 10000, 2), (6, 7, 9, 5555, 3)]

@@ -411,6 +411,7 @@ EDGE_STAR_QUERIES = [
     "trimmed_mean_price_by_status", "trending_parts_7d",
     "laspeyres_price_index_monthly", "revenue_share_region_nation",
     "mix_shift_avg_order_value",
+    "twin_invoice_screen",
 ]
 
 
