@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     similarity,
     text,
     timeseries,
+    tokenizer,
     tpch,
     udfs,
 )
