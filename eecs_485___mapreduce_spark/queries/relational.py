@@ -797,3 +797,87 @@ def revenue_share_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_of_total_micro"),
     )
+
+
+# ------------------------------------------------ global total-order sort
+
+
+@register(
+    "global_sort_orders",
+    tags=("sort", "layout"),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           ROW_NUMBER() OVER (
+             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey
+           ) AS global_rank
+    FROM orders
+    """,
+)
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order sort with exact global rank — the TeraSort pattern.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` funnels the whole
+    relation through ONE partition; this implementation keeps the rank
+    computation fully parallel:
+
+    1. ``repartitionByRange`` range-partitions on the sort key
+       (sampled boundaries — Spark's TeraSort primitive), pinned with
+       a scoped persist so both consumers below see ONE boundary
+       sampling.
+    2. Per-partition counts (a constant-size aggregate, one row per
+       partition) are turned into exclusive prefix offsets; the window
+       that does this runs over at most `#partitions` rows.
+    3. Each row's global rank = partition offset (broadcast-joined on
+       partition id) + its row_number WITHIN its range partition — a
+       window partitioned by partition id, so every partition ranks in
+       parallel.
+
+    Correctness does not depend on where the sampled boundaries fall
+    (any range-consistent split yields the same offset+local ranks);
+    the persist only guarantees the two branches observe the SAME
+    split. Ties are impossible: (price_cents DESC, o_orderkey ASC) is
+    a total order over the primary key.
+
+    Scale (100 TB): one range shuffle + one pid-keyed window shuffle;
+    the offset relation is |partitions| rows, broadcast. This is the
+    sort every ORDER-BY-heavy export and the packed-shard /
+    Z-order writers (sinks.py) build on.
+
+    Reference parity: the reference sorts each partition's lines in
+    memory before reduce (mapreduce/worker/__main__.py sort step,
+    SURVEY.md section 2.A row 5) but has no global order across
+    partitions; this supplies the missing total order.
+    """
+    from ..functions import scoped_persist
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    ranged = orders.repartitionByRange(
+        32, F.desc("price_cents"), F.asc("o_orderkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = scoped_persist(("global_sort_orders", sf_dir), ranged)
+
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # Exclusive prefix sum over <= 32 rows: constant-size, single tiny
+    # partition by construction — not a data-scale window.
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+
+    local_w = Window.partitionBy("_pid").orderBy(
+        F.desc("price_cents"), F.asc("o_orderkey")
+    )
+    return (
+        ranged.withColumn("_local", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "o_orderkey",
+            "price_cents",
+            (F.col("_off") + F.col("_local")).alias("global_rank"),
+        )
+    )

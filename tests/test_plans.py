@@ -468,3 +468,17 @@ def test_pit_join_is_keyed_not_cartesian(spark):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
+
+
+def test_global_sort_is_range_partitioned_not_single_window(spark):
+    """Total-order sort must scale: the rank must come from a range
+    shuffle plus per-partition windows keyed on partition id — never
+    from one `ORDER BY` window over the whole relation. The offsets
+    prefix-sum window is over <=32 rows (one per partition), which is
+    the only unpartitioned window allowed here."""
+    from eecs_485___mapreduce_spark.queries.relational import global_sort_orders
+
+    plan = physical_plan(global_sort_orders(spark, SF_SMALL))
+    low = plan.lower()
+    assert "rangepartitioning" in low, plan
+    assert "hashpartitioning(_pid" in low, plan
