@@ -727,3 +727,75 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_dropped"
         ),
     )
+
+
+# ------------------------------------------- semantic dedup (SemDeDup)
+
+
+SEMDEDUP_THRESHOLD = 0.30  # near-dup regime of this corpus (max ~0.47)
+
+
+@register(
+    "dedup_semantic_cells",
+    tags=("dedup", "vector", "iterative"),
+    oracle=None,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the engine's
+    deterministic distributed k-means, then WITHIN each learned cell
+    drop every vector whose cosine to some lower-id cell-mate reaches
+    the threshold. Output one row per valid vector:
+    (vec_id, cell, kept, dup_of) — dup_of is the smallest lower-id
+    witness, NULL for kept rows.
+
+    Deterministic semantics (pinned in tests/test_similarity.py):
+    - kept rows are PAIRWISE dissimilar within a cell (if x<y were both
+      kept with sim >= theta, y's witness x would have dropped it);
+    - every dropped row names a lower-id same-cell witness with
+      sim >= theta (the minimum such id — an exact aggregate).
+
+    No oracle: the cell assignment is iterative (k-means), not
+    ANSI-SQL-expressible; the two invariants above plus the Lloyd
+    invariants stand in.
+
+    Scale (100 TB): the only corpus-size shuffles are k-means' one
+    (cell, dim) update per iteration and the self-equi-join ON CELL —
+    pair work is the sum of per-cell squares (the no-all-pairs rule,
+    plan-asserted with the rest of the dedup family). k is chosen so
+    cells hold ~sqrt(n) members; hot cells split under AQE skew
+    handling. This is the published SemDeDup recipe: k-means IS the
+    blocking structure.
+    """
+    from .similarity import kmeans_fit
+
+    assign = kmeans_fit(spark, sf_dir).select("vec_id", "cell")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
+    m = (
+        emb.select("vec_id", as_double_array("embedding").alias("v"))
+        .join(assign, "vec_id")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), F.col("a.vec_id").alias("w"), sim.alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.min("w").alias("dup_of"))
+    )
+    return (
+        m.join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

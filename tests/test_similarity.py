@@ -148,3 +148,70 @@ def test_ivf_kmeans_recall(spark):
     assert set(approx) == set(exact)
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.3, f"mean recall too low: {recalls}"
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup decision rule, verified exhaustively at sf0.001:
+    (1) kept rows are pairwise dissimilar within every cell,
+    (2) every dropped row's dup_of is a lower-id same-cell member with
+        similarity >= threshold (and is the SMALLEST such witness),
+    (3) the partition is total: every valid vector appears exactly once.
+    """
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.functions import (
+        as_double_array,
+        cosine,
+        valid_vector,
+    )
+    from eecs_485___mapreduce_spark.queries.dedup import (
+        SEMDEDUP_THRESHOLD,
+        dedup_semantic_cells,
+    )
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    out = dedup_semantic_cells(spark, SF_SMALL)
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
+    n_valid = emb.count()
+    rows = out.collect()
+    assert len(rows) == n_valid
+    assert len({r.vec_id for r in rows}) == n_valid
+    dropped = [r for r in rows if not r.kept]
+    assert dropped, "threshold should drop at least one vector at sf0.001"
+    assert all(r.dup_of is not None and r.dup_of < r.vec_id for r in dropped)
+    assert all(r.dup_of is None for r in rows if r.kept)
+
+    vecs = {
+        r.vec_id: r.v
+        for r in emb.select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ).collect()
+    }
+    import math
+
+    def cos(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        nx = math.sqrt(sum(a * a for a in x))
+        ny = math.sqrt(sum(b * b for b in y))
+        return round(d / (nx * ny), 6)
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        kept = sorted((r.vec_id for r in members if r.kept))
+        for i, x in enumerate(kept):
+            for y in kept[i + 1 :]:
+                assert cos(vecs[x], vecs[y]) < SEMDEDUP_THRESHOLD, (cell, x, y)
+        ids = sorted(r.vec_id for r in members)
+        for r in members:
+            if r.kept:
+                continue
+            witnesses = [
+                w
+                for w in ids
+                if w < r.vec_id and cos(vecs[w], vecs[r.vec_id]) >= SEMDEDUP_THRESHOLD
+            ]
+            assert witnesses and min(witnesses) == r.dup_of, (cell, r)
