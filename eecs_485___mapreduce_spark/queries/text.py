@@ -779,3 +779,84 @@ def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f1_milli"),
     )
+
+
+# ------------------------------------------ unicode / encoding hygiene
+
+# Shared char-class patterns — identical literal strings compiled by
+# BOTH engines (Java regex and RE2 agree on \xNN escapes and literal
+# code points inside a class; the edge-divergent constructs \b and
+# {m,n} are deliberately absent). The zero-width class embeds the
+# actual code points.
+UNICODE_NONASCII = r"[^\x00-\x7f]"
+UNICODE_CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+UNICODE_ZEROWIDTH = "[​‌‍﻿]"
+
+
+@register(
+    "text_unicode_hygiene",
+    tags=("text", "quality", "agg"),
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{UNICODE_NONASCII}')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_ascii_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{UNICODE_NONASCII}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{UNICODE_CTRL}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_docs,
+           CAST(SUM(CASE WHEN contains(text, chr(65533))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{UNICODE_ZEROWIDTH}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zerowidth_docs,
+           CAST(SUM(strlen(text) - length(text)) AS BIGINT)
+             AS utf8_overhead_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene census per source: ASCII purity, control
+    characters, U+FFFD replacement chars (the tombstone of a broken
+    decode upstream), zero-width characters (invisible tokens that
+    poison dedup keys and tokenizers), and total UTF-8 multibyte
+    overhead.
+
+    This corpus is pure ASCII, so the defect counters are zero here by
+    construction — tests/test_text_operators.py pins NONZERO counts
+    per class cross-engine on a unicode fixture (the same discipline
+    as the PII audit's nonzero fixture), so Java-regex vs RE2
+    divergence cannot hide behind a clean corpus.
+
+    Scale: scan-side predicates into one partial+final aggregate onto
+    |sources| groups — the q1 shape; all counters exact BIGINTs.
+    """
+    return _hygiene_census(load_table(spark, sf_dir, "documents"))
+
+
+def _hygiene_census(docs: DataFrame) -> DataFrame:
+    """The census aggregate over any (source, text) relation — split
+    out so the nonzero unicode fixture test runs the EXACT production
+    expressions."""
+    nonascii = F.col("text").rlike(UNICODE_NONASCII)
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag(~nonascii).alias("n_ascii_docs"),
+            flag(nonascii).alias("n_nonascii_docs"),
+            flag(F.col("text").rlike(UNICODE_CTRL)).alias("n_ctrl_docs"),
+            flag(F.col("text").contains(F.lit("�"))).alias(
+                "n_replacement_docs"
+            ),
+            flag(F.col("text").rlike(UNICODE_ZEROWIDTH)).alias(
+                "n_zerowidth_docs"
+            ),
+            F.sum(F.octet_length("text") - F.length("text")).alias(
+                "utf8_overhead_bytes"
+            ),
+        )
+        .orderBy("source")
+    )

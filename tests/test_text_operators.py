@@ -136,3 +136,49 @@ def test_chunk_windows_boundary_semantics(spark):
             assert r.n_tokens == want_len, (doc_id, cid)
             assert r.first_tok == f"t{doc_id}x{start}"
             assert r.last_tok == f"t{doc_id}x{start + want_len - 1}"
+
+
+def test_unicode_hygiene_nonzero_fixture_matches_duckdb(spark):
+    """The corpus is pure ASCII, so the production census's defect
+    counters are zero there — this fixture forces NONZERO counts in
+    every class and pins Spark (Java regex) == DuckDB (RE2) on the
+    exact same patterns, so engine divergence cannot hide behind a
+    clean corpus (same discipline as the PII nonzero fixture)."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.queries.text import _hygiene_census
+
+    rows = [
+        ("s1", "plain ascii text"),
+        ("s1", "café au lait"),                 # non-ascii, 2-byte
+        ("s1", "bad byte � here"),              # replacement char
+        ("s2", "tab\tok but bell\x07 inside"),       # control char
+        ("s2", "zero​width joined‍"),      # zero-width
+        ("s2", "emoji \U0001f600 and CJK 中文"),  # 3/4-byte
+        ("s2", "\x1b[31mansi colored\x1b[0m"),       # ESC control
+    ]
+    sdf = _hygiene_census(
+        spark.createDataFrame(rows, "source string, text string")
+    )
+    got = {r["source"]: r.asDict() for r in sdf.collect()}
+    assert got["s1"]["n_nonascii_docs"] == 2
+    assert got["s1"]["n_replacement_docs"] == 1
+    assert got["s2"]["n_ctrl_docs"] == 2
+    assert got["s2"]["n_zerowidth_docs"] == 1
+    assert got["s2"]["utf8_overhead_bytes"] > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(source VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from eecs_485___mapreduce_spark.registry import all_queries
+
+    oracle = all_queries()["text_unicode_hygiene"].oracle
+    o_cols = None
+    res = con.execute(oracle)
+    o_cols = [d[0] for d in res.description]
+    want = {r[o_cols.index("source")]: dict(zip(o_cols, r)) for r in res.fetchall()}
+    for src, s_row in got.items():
+        for k, v in s_row.items():
+            assert want[src][k] == v, (src, k, v, want[src][k])
