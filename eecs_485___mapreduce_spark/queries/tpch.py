@@ -740,38 +740,60 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewed, then clicked strictly after their first view, then
     purchased strictly after that first qualifying click.
 
-    Scale: each stage reduces to a per-user scalar BEFORE the next
-    stage's join, so every join input is one row per user (the heavy
-    events→stage joins shuffle on user_id, the same key throughout —
-    AQE reuses the exchange). Per-stage event-type filters push to the
-    parquet scan. Three tiny crossJoins assemble the scalar report row.
+    Scale: ONE shuffle total. The three stage timestamps are chained
+    per-user window minima over the same hashpartitioning(user_id)
+    exchange (unordered windows only require the partitioning, so the
+    three Window nodes share it), the per-user reduction reuses that
+    same partitioning (no new exchange), and the final scalar agg is a
+    constant-size partial+final. The previous join-per-stage form
+    recomputed the events scan for every stage reference (~6 scans);
+    this is 1 scan. The event-type IN filter pushes to the parquet
+    scan.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        views.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(
-            purchases.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
         )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("v_ts").alias("v_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("v_ts").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)).alias(
+            "n_view_click"
+        ),
+        F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias(
+            "n_view_click_purchase"
+        ),
     )
 
 

@@ -131,9 +131,11 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # Round-4 rotation queue: everything registered AFTER the round-3
 # window was frozen (quality module, BFS, RRF, cadence, bitmap, TWA,
 # checksum, rolling distinct, equi-depth, UDTF, audio headers, PCA,
-# PSI, and the remaining mining/graph tail) has sf0.01 coverage via
-# tools/driver_mimic.py + tests this round; promote those names into
-# DRIVER_ORDER_FIRST next round so each earns a driver row.
+# PSI, the remaining mining/graph tail, and round 3's additions:
+# bpe_learn_merges, bpe_apply_corpus, global_sort_orders,
+# text_unicode_hygiene, dedup_semantic_cells) has sf0.01 AND sf0.1
+# coverage via tools/driver_mimic.py + tests this round; promote those
+# names into DRIVER_ORDER_FIRST next round so each earns a driver row.
 
 
 def all_queries() -> dict[str, Query]:

@@ -482,3 +482,18 @@ def test_global_sort_is_range_partitioned_not_single_window(spark):
     low = plan.lower()
     assert "rangepartitioning" in low, plan
     assert "hashpartitioning(_pid" in low, plan
+
+
+def test_funnel_single_scan_single_data_shuffle(spark):
+    """The funnel's three stage minima chain per-user windows over ONE
+    hashpartitioning(user_id) exchange and ONE events scan — the
+    join-per-stage form this replaced re-scanned events per stage
+    reference. The only other exchange is the constant-size final
+    scalar aggregate."""
+    from eecs_485___mapreduce_spark.queries.tpch import funnel_view_click_purchase
+
+    plan = physical_plan(funnel_view_click_purchase(spark, SF_SMALL))
+    tree = plan[: plan.index("(1)")]  # tree section only, not node details
+    assert tree.count("Scan parquet") == 1, plan
+    assert tree.count("Window") == 3, plan
+    assert plan.lower().count("hashpartitioning(user_id") == 1, plan
