@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import shingles, tokens
+from ..functions import md5_long_sql, shingles, tokens
 from ..registry import register
 from ..sources import load_table
 
@@ -471,4 +471,94 @@ def pipeline_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("exact_dedup", kept))
         .unionByName(stage("decontaminated", clean))
         .unionByName(n_packs.select(F.lit("packs").alias("stage"), "n"))
+    )
+
+
+# --------------------------------- right-to-be-forgotten cascade audit
+
+
+RTBF_SAMPLE_MOD = 37  # deterministic erasure cohort: md5(user) % 37 == 0
+
+
+@register(
+    "rtbf_delete_audit",
+    tags=("pipeline", "join", "audit"),
+    oracle=f"""
+    WITH erased AS (
+      SELECT c_custkey AS user_key FROM customer
+      WHERE {{h}} % {RTBF_SAMPLE_MOD} = 0
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+      WHERE user_id IN (SELECT user_key FROM erased)
+    ),
+    ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT user_key FROM erased)
+    ),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+    )
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM erased
+    UNION ALL SELECT 'events', n FROM ev
+    UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM ords
+    UNION ALL SELECT 'lineitem', n FROM li
+    ORDER BY tbl
+    """.format(h=md5_long_sql("'rtbf:' || CAST(c_custkey AS VARCHAR)")),
+)
+def rtbf_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for a deterministic erasure
+    cohort (md5-sampled customers, no RNG), count every row each
+    downstream table would lose — events directly keyed by user, and
+    the TWO-HOP cascade orders -> lineitem (lineitems have no customer
+    key; their erasure set is defined through the order FK).
+
+    This is the dry-run half of a GDPR/CCPA delete pipeline: the same
+    semi-join spine, executed as LEFT ANTI joins against the erasure
+    set, produces the retained tables.
+
+    Scale (100 TB): the erasure cohort is a projection of the customer
+    dim; each count is ONE semi-join (Spark plans LeftSemi) keyed on
+    the FK — the lineitem hop semi-joins against the erased ORDER
+    KEYS (itself a semi-join output), so no fact table is ever joined
+    to more than a key set. Erased-key sets broadcast when small;
+    at larger cohorts they degrade gracefully to shuffled semi-joins
+    on the FK. Output is a 4-row census.
+    """
+    from ..functions import md5_long
+
+    cust = load_table(spark, sf_dir, "customer")
+    erased = cust.select(F.col("c_custkey").alias("user_key")).where(
+        F.pmod(
+            md5_long(F.concat(F.lit("rtbf:"), F.col("c_custkey").cast("string"))),
+            F.lit(RTBF_SAMPLE_MOD),
+        )
+        == 0
+    )
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    ev_n = events.join(
+        erased, events.user_id == erased.user_key, "left_semi"
+    )
+    ords = orders.join(
+        erased, orders.o_custkey == erased.user_key, "left_semi"
+    ).select("o_orderkey")
+    li_n = lineitem.join(
+        ords, lineitem.l_orderkey == ords.o_orderkey, "left_semi"
+    )
+
+    def census(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("tbl"), "n_rows"
+        )
+
+    return (
+        census("customer", erased)
+        .unionByName(census("events", ev_n))
+        .unionByName(census("orders", ords))
+        .unionByName(census("lineitem", li_n))
+        .orderBy("tbl")
     )
