@@ -69,3 +69,79 @@ def test_merged_pair_count_matches_occurrences(spark):
     cur = _state(spark, [("aa", 3), ("baa", 4)])
     r = _best_pair(cur).collect()[0]
     assert (r.pr, r.cnt) == ("a a", 7)
+
+
+# ---------------------- property: Spark BPE == pure-Python reference
+
+
+def _ref_bpe(words: dict[str, int], k: int):
+    """Reference BPE (Sennrich et al. 2016, greedy leftmost
+    non-overlapping merge, count DESC / pair ASC tie-break) in plain
+    Python — the independent model the distributed operator must match."""
+    toks = {w: list(w) for w in words}
+    merges = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((a, b, cnt))
+        for w, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    return merges, toks
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.dictionaries(
+    keys=st.text(alphabet="abcd", min_size=2, max_size=8),
+    values=st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_WORDS)
+def test_bpe_matches_python_reference(spark, words):
+    """Three distributed merge iterations must reproduce the reference
+    implementation exactly: same rules in the same order with the same
+    counts, and the same final tokenization of every word."""
+    k = 3
+    want_merges, want_toks = _ref_bpe(words, k)
+    cur = _state(spark, list(words.items()))
+    got_merges = []
+    for _ in range(k):
+        best = _best_pair(cur)
+        row = best.collect()
+        if not row:
+            break
+        (pr, cnt) = row[0].pr, row[0].cnt
+        a, b = pr.split(" ")
+        got_merges.append((a, b, cnt))
+        cur = _merge_step(cur, best)
+    assert got_merges == want_merges
+    got_toks = {
+        r.word: r.s for r in cur.select("word", "s").collect()
+    }
+    for w, t in want_toks.items():
+        assert got_toks[w] == "".join(f"({x})" for x in t), (w, t, got_toks[w])
