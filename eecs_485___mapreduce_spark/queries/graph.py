@@ -285,3 +285,72 @@ def approx_users_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
     )
     return typed.unionByName(merged)
+
+
+# ---------------------- native recursive CTE (Spark 4 UnionLoop)
+
+
+# The SAME ANSI text runs on both engines: a linked-list walk over each
+# customer's date-ordered order chain. The successor relation is
+# precomputed with LEAD (one window over custkey), so the recursion is
+# LINEAR — total recursive rows == |orders|, depth == max orders per
+# customer — the shape that keeps native recursion safe at any scale
+# (an unconstrained graph recursion under UNION ALL semantics diverges
+# on cycles; Spark 4 rejects UNION inside recursive CTEs).
+_ORDER_CHAIN_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT o_orderkey,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_key,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    walk(o_orderkey, next_key, depth) AS (
+      SELECT o_orderkey, next_key, 1 FROM edges WHERE rn = 1
+      UNION ALL
+      SELECT e.o_orderkey, e.next_key, w.depth + 1
+      FROM walk w JOIN edges e ON e.o_orderkey = w.next_key
+    )
+    SELECT depth,
+           COUNT(*) AS n_customers,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM walk
+    GROUP BY depth
+    ORDER BY depth
+"""
+
+
+@register(
+    "order_chain_recursive_cte",
+    tags=("graph", "iterative", "sql"),
+    oracle=_ORDER_CHAIN_SQL,
+)
+def order_chain_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-chain walk through Spark 4's NATIVE recursive
+    CTE (``WITH RECURSIVE`` -> UnionLoop execution): depth d counts the
+    customers with at least d orders, with an exact key checksum per
+    depth. The identical SQL string is the DuckDB oracle, pinning the
+    recursive-CTE semantics cross-engine — the engine's unrolled-CTE
+    iteratives (PageRank/BFS) now have a native-recursion counterpart.
+
+    Scale (100 TB): the successor edge is ONE window over
+    hashpartitioning(o_custkey); the recursion is linear (each row has
+    at most one successor), so total recursive work is |orders| rows
+    across max-chain-length iterations, each iteration an equi-join of
+    the live frontier against the edge relation. Guard rails for
+    deeper data: ``spark.sql.cteRecursionLevelLimit`` (default 100
+    levels) and ``spark.sql.cteRecursionRowLimit`` (default 1e6 rows)
+    — raise both knobs for clusters where customers exceed 100 orders
+    or chains exceed the row budget; the depth census output stays
+    |max-depth| rows regardless.
+
+    Reference parity: none possible — the reference's two-phase
+    map/reduce cannot iterate at all (SURVEY.md section 3); this is
+    the declarative end of the committed iterative family.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_ORDER_CHAIN_SQL)
