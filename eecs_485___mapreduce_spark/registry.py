@@ -133,7 +133,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # checksum, rolling distinct, equi-depth, UDTF, audio headers, PCA,
 # PSI, the remaining mining/graph tail, and round 3's additions:
 # bpe_learn_merges, bpe_apply_corpus, global_sort_orders,
-# text_unicode_hygiene, dedup_semantic_cells) has sf0.01 AND sf0.1
+# text_unicode_hygiene, dedup_semantic_cells, rtbf_delete_audit,
+# order_chain_recursive_cte) has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
 

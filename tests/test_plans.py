@@ -497,3 +497,28 @@ def test_funnel_single_scan_single_data_shuffle(spark):
     assert tree.count("Scan parquet") == 1, plan
     assert tree.count("Window") == 3, plan
     assert plan.lower().count("hashpartitioning(user_id") == 1, plan
+
+
+def test_rtbf_cascade_is_semi_joins_no_cartesian(spark):
+    """Every RTBF hop must plan as a LeftSemi join on its FK (never an
+    inner join materializing matches, never a cartesian): erased users
+    -> events, erased users -> orders, erased orderkeys -> lineitem."""
+    from eecs_485___mapreduce_spark.queries.pipeline import rtbf_delete_audit
+
+    plan = physical_plan(rtbf_delete_audit(spark, SF_SMALL))
+    assert plan.count("Cartesian") == 0, plan
+    tree = plan[: plan.index("(1)")]
+    # 4 semi joins in the tree: events, orders, and the lineitem hop
+    # (whose build side re-plans the orders semi join).
+    assert tree.count("LeftSemi") == 4, plan
+    assert "Join Inner" not in tree, plan
+
+
+def test_order_chain_plans_native_union_loop(spark):
+    """The recursive-CTE walk must execute through Spark 4's native
+    UnionLoop operator (true recursion), not an unrolled union."""
+    from eecs_485___mapreduce_spark.queries.graph import order_chain_recursive_cte
+
+    plan = physical_plan(order_chain_recursive_cte(spark, SF_SMALL))
+    assert "UnionLoop" in plan, plan
+    assert "UnionLoopRef" in plan, plan
