@@ -493,7 +493,7 @@ def test_funnel_single_scan_single_data_shuffle(spark):
     from eecs_485___mapreduce_spark.queries.tpch import funnel_view_click_purchase
 
     plan = physical_plan(funnel_view_click_purchase(spark, SF_SMALL))
-    tree = plan[: plan.index("(1)")]  # tree section only, not node details
+    tree = plan.split("\n\n", 1)[0]  # tree section only, not node details
     assert tree.count("Scan parquet") == 1, plan
     assert tree.count("Window") == 3, plan
     assert plan.lower().count("hashpartitioning(user_id") == 1, plan
@@ -507,7 +507,7 @@ def test_rtbf_cascade_is_semi_joins_no_cartesian(spark):
 
     plan = physical_plan(rtbf_delete_audit(spark, SF_SMALL))
     assert plan.count("Cartesian") == 0, plan
-    tree = plan[: plan.index("(1)")]
+    tree = plan.split("\n\n", 1)[0]
     # 4 semi joins in the tree: events, orders, and the lineitem hop
     # (whose build side re-plans the orders semi join).
     assert tree.count("LeftSemi") == 4, plan
