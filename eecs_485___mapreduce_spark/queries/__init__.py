@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     reference,
     relational,
     similarity,
+    temporal,
     text,
     timeseries,
     tokenizer,

@@ -1,0 +1,115 @@
+"""Hand-computed fixture semantics for the temporal-analytics family
+(queries/temporal.py): event-sequence regex counts, CUSUM changepoint
+location, and ACF edge behavior (constant series, perfect
+alternation). The sf0.001/sf0.01 oracle comparisons live in
+test_queries_oracle.py / the driver; these pin the MATH on inputs
+small enough to verify by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from eecs_485___mapreduce_spark.queries.temporal import (
+    acf_hourly_events,
+    cusum_changepoint_daily,
+    event_seq_regex,
+)
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    return d
+
+
+def _ts(minute: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+def test_event_seq_regex_hand_computed(spark, tmp_path):
+    # user 1: v c p v p  -> "vcpvp": v[^p]*p matches "vcp" then "vp" (2)
+    # user 2: e v c p c c c c -> "evcpcccc": e[vcs]*p = "evcp" (1),
+    #         v[^p]*p = "vcp" (1), ccc+ = "cccc" (1)
+    seq1 = ["view", "click", "purchase", "view", "purchase"]
+    seq2 = ["error", "view", "click", "purchase", "click", "click", "click", "click"]
+    rows = [
+        (i, _ts(i), 1, t, 1.0, "{}") for i, t in enumerate(seq1)
+    ] + [
+        (100 + i, _ts(i, hour=1), 2, t, 1.0, "{}") for i, t in enumerate(seq2)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r["pattern"]: (r["n_matches"], r["n_users"])
+        for r in event_seq_regex(spark, d).collect()
+    }
+    assert got == {
+        "view_to_purchase": (3, 2),
+        "click_streak": (1, 1),
+        "error_then_buy": (1, 1),
+    }
+
+
+def test_cusum_changepoint_hand_computed(spark, tmp_path):
+    # Daily counts [1, 1, 1, 5, 5]: total=13, n=5, cum=[1,2,3,8,13]
+    # C_k = 5*cum - k*13 = [-8, -16, -24, -12, 0] -> argmax |C| at
+    # day 3 (the last low-regime day, the classic CUSUM peak right at
+    # the level shift), value 24.
+    counts = [1, 1, 1, 5, 5]
+    rows = []
+    oid = 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            oid += 1
+            rows.append(
+                (oid, 1, "O", 10.0, dt.datetime(2024, 1, day), "1-URGENT")
+            )
+    d = str(tmp_path / "orders_fix")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    [r] = cusum_changepoint_daily(spark, d).collect()
+    assert r["cp_day"] == dt.datetime(2024, 1, 3)
+    assert r["cusum_scaled"] == 24
+    assert r["n_days"] == 5
+    assert r["total_orders"] == 13
+
+
+def test_acf_constant_series_is_null_not_error(spark, tmp_path):
+    # One event every hour -> dense x is constant 1 -> zero variance:
+    # the NULLIF guard must yield NULL, never a division error/inf.
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i), 1, "view", 1.0, "{}") for i in range(6)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = acf_hourly_events(spark, d).collect()
+    lag1 = [r for r in out if r["lag"] == 1]
+    assert lag1 and all(r["acf"] is None for r in lag1)
+
+
+def test_acf_perfect_alternation_is_minus_one(spark, tmp_path):
+    # Two events at even hours 0,2,4,6; odd hours are MISSING from the
+    # raw stream -> the dense spine must restore them as zeros, giving
+    # x=[2,0,2,0,2,0,2] and an exact lag-1 ACF of -1.0. (A sparse
+    # series would splice the evens together and report +nothing.)
+    rows = []
+    eid = 0
+    for h in (0, 2, 4, 6):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, h, eid % 60), 1, "view", 1.0, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    out = acf_hourly_events(spark, d).collect()
+    by_lag = {r["lag"]: r for r in out}
+    assert by_lag[1]["acf"] == -1.0
+    assert by_lag[1]["n_pairs"] == 6
+    # span is 7 hours -> no lag-24 pairs -> that group must be absent
+    assert 24 not in by_lag
