@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     mlprep,
     multimodal,
     pipeline,
+    privacy,
     quality,
     reference,
     relational,

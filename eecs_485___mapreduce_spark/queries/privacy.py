@@ -1,0 +1,208 @@
+"""Privacy-engineering operators: deterministic pseudonymization with
+a referential-consistency census, a k-anonymity risk audit, and an
+l-diversity audit over quasi-identifier groups.
+
+A training-data pipeline that handles user data needs these alongside
+PII scrubbing (queries/pipeline.py) and right-to-be-forgotten
+cascades (rtbf_delete_audit): replace natural keys with surrogate
+keys WITHOUT breaking joins, then measure how re-identifiable the
+remaining quasi-identifiers leave each row (k-anonymity) and how much
+the sensitive attribute still varies inside each group (l-diversity).
+
+Shared discipline: surrogate keys come from the package's cross-engine
+md5_long (the same 60-bit hash the dedup family uses), every census is
+a scan-side projection into a bounded agg, and all outputs are
+integers so the DuckDB oracle matches value-for-value.
+
+Reference parity: none of this exists in the reference (wordcount +
+grep only); extends SURVEY.md section 2.B's training-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, md5_long_sql
+from ..registry import register
+from ..sources import load_table, load_tables
+
+# ------------------------------------------------- pseudonymization
+
+# Domain-separated surrogate key: hashing 'cust:<id>' rather than the
+# bare id means customer 7 and supplier 7 can never collide into the
+# same pseudonym space.
+_SK_PREFIX = "cust:"
+
+
+def _surrogate(c: Column) -> Column:
+    return md5_long(F.concat(F.lit(_SK_PREFIX), c.cast("string")))
+
+
+_SK_SQL = md5_long_sql(f"'{_SK_PREFIX}' || CAST({{c}} AS VARCHAR)")
+
+
+@register(
+    "pseudonymize_linkage",
+    tags=("privacy", "join", "agg"),
+    oracle=f"""
+    WITH pc AS (
+      SELECT c_nationkey,
+             {_SK_SQL.format(c="c_custkey")} AS sk
+      FROM customer
+    ),
+    po AS (
+      SELECT sk, COUNT(*) AS n_orders FROM (
+        SELECT {_SK_SQL.format(c="o_custkey")} AS sk
+        FROM orders
+      ) GROUP BY sk
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT pc.sk) AS n_distinct_sk,
+           CAST(SUM(COALESCE(po.n_orders, 0)) AS BIGINT) AS n_orders_linked
+    FROM pc LEFT JOIN po ON po.sk = pc.sk
+    GROUP BY c_nationkey
+    """,
+)
+def pseudonymize_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymize the customer key on BOTH sides of the
+    customer->orders relationship with the same deterministic
+    surrogate (md5 of a domain-separated string), then prove the
+    linkage survives: per nation, customers, distinct surrogates
+    (collisions show up as n_distinct_sk < n_customers), and orders
+    still reachable through the surrogate join.
+
+    Scale: the surrogate is a pure hash — no lookup table to build,
+    distribute, or protect; re-keying 100 TB is a map-only pass. The
+    census joins the per-surrogate order counts (one shuffle on the
+    60-bit key, same cost as the natural-key join) onto the customer
+    side, then collapses to a |nations|-row report.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    pc = t["customer"].select(
+        "c_nationkey", _surrogate(F.col("c_custkey")).alias("sk")
+    )
+    po = (
+        t["orders"]
+        .select(_surrogate(F.col("o_custkey")).alias("sk"))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        pc.join(po, "sk", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("sk").alias("n_distinct_sk"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).alias("n_orders_linked"),
+        )
+    )
+
+
+# ------------------------------------------------- k-anonymity audit
+
+_KA_BANDS_SQL = """
+    CASE WHEN k = 1 THEN 'k=1 unique'
+         WHEN k < 5 THEN '2<=k<5'
+         WHEN k < 20 THEN '5<=k<20'
+         ELSE 'k>=20' END
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    tags=("privacy", "agg"),
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS k
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT {_KA_BANDS_SQL} AS risk_band,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows
+    FROM groups
+    GROUP BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the quasi-identifier tuple
+    (nation, market segment, account-balance kilo-band): how many
+    rows sit in groups of size 1 (fully re-identifiable), 2-4, 5-19,
+    and >=20. The release decision ("suppress or generalize every
+    k<5 group") reads straight off this report.
+
+    Scale: one shuffle on the QI tuple builds the group sizes
+    (map-side partial agg), then a 4-row band census — the fact
+    stream never leaves the scan stage unaggregated. Banding
+    thresholds are integer comparisons on exact counts.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    band = (
+        F.when(F.col("k") == 1, "k=1 unique")
+        .when(F.col("k") < 5, "2<=k<5")
+        .when(F.col("k") < 20, "5<=k<20")
+        .otherwise("k>=20")
+    )
+    return groups.groupBy(band.alias("risk_band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+    )
+
+
+# ------------------------------------------------- l-diversity audit
+
+
+@register(
+    "l_diversity_audit",
+    tags=("privacy", "join", "agg"),
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(DISTINCT o_orderpriority) AS l,
+             COUNT(*) AS n_orders
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT l,
+           COUNT(*) AS n_groups,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM groups GROUP BY l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census: for each quasi-identifier group
+    (nation, market segment), how many DISTINCT values of the
+    sensitive attribute (order priority) appear — a group that is
+    k-anonymous but shows a single priority still leaks it to anyone
+    who can place a customer in the group. Report = distribution of
+    l over groups.
+
+    Scale: fact side joins the broadcast-size customer projection
+    (AQE broadcasts the dim), one shuffle on the QI tuple with a
+    distinct-aggregate expansion, then a <=|priorities|-row census.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    joined = t["orders"].join(
+        t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    groups = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.countDistinct("o_orderpriority").alias("l"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return groups.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_orders").alias("n_orders"),
+    )
