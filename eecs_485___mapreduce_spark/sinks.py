@@ -291,3 +291,62 @@ def write_zorder_parquet(
     out.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(
         output_dir
     )
+
+
+def _parquet_layout(spark, directory: str) -> tuple[int, int]:
+    """(file_count, total_bytes) of a parquet directory, via the Hadoop
+    FileSystem API — the same listing the scan planner uses, so it
+    works on any Hadoop-supported filesystem (local, HDFS, object
+    stores), not just the local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    n_files = 0
+    n_bytes = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden staging files
+        n_files += 1
+        n_bytes += f.getLen()
+    return n_files, n_bytes
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """OPTIMIZE-style small-file compaction: rewrite a parquet
+    directory into ceil(total_bytes / target_bytes) evenly-sized
+    files. The operational fix for the classic 100 TB failure mode
+    where streaming micro-batches / over-partitioned writers leave
+    millions of KB-sized files and every scan drowns in open() calls
+    and footer reads.
+
+    Mechanics: one FileSystem listing prices the source layout (no
+    data read), then ONE shuffle (round-robin ``repartition`` — even
+    output sizes regardless of input skew) rewrites the data. Readers
+    keep working against ``src_dir`` until the rewrite completes, then
+    swap — the write is all-or-nothing per directory, so a crashed
+    compaction leaves the source untouched.
+
+    Returns a stats dict so callers (and tests) can assert the
+    compaction actually compacted:
+    ``{src_files, src_bytes, dst_files, dst_bytes, rows}``.
+    """
+    src_files, src_bytes = _parquet_layout(spark, src_dir)
+    n_out = max(1, -(-src_bytes // max(1, target_bytes)))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
+    dst_files, dst_bytes = _parquet_layout(spark, dst_dir)
+    return {
+        "src_files": src_files,
+        "src_bytes": src_bytes,
+        "dst_files": dst_files,
+        "dst_bytes": dst_bytes,
+        "rows": spark.read.parquet(dst_dir).count(),
+    }

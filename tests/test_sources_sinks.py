@@ -382,3 +382,33 @@ def test_tailtext_streaming_source_exactly_once_across_restarts(spark, tmp_path)
     ]
     # provenance column survives the stream
     assert {os.path.basename(r.file) for r in rows} == {"a.txt", "b.txt", "c.txt"}
+
+
+def test_compact_parquet_binpacks_small_files(spark, tmp_path):
+    from eecs_485___mapreduce_spark.sinks import _parquet_layout, compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, SF_SMALL, "orders")
+    # simulate the streaming-writer pathology: 64 tiny files
+    orders.repartition(64).write.parquet(src)
+    src_files, src_bytes = _parquet_layout(spark, src)
+    assert src_files == 64
+
+    # bin-pack to ~4 target-sized files
+    stats = compact_parquet(spark, src, dst, target_bytes=-(-src_bytes // 4))
+    assert stats["src_files"] == 64
+    assert stats["dst_files"] <= 8  # ceil(bytes/target)=4 data files (+0 hidden)
+    assert stats["dst_files"] < src_files / 4
+    assert stats["rows"] == orders.count()
+
+    # content survives byte-for-byte (same rows, both directions)
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+    # degenerate target: everything fits one file
+    one = str(tmp_path / "one")
+    stats1 = compact_parquet(spark, src, one, target_bytes=src_bytes * 10)
+    assert stats1["dst_files"] == 1
