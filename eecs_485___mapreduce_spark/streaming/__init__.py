@@ -18,6 +18,7 @@ from .events import (  # noqa: F401
     hourly_rollup_stream,
     read_events_stream,
     purchase_click_join_stream,
+    purchase_click_left_join_stream,
     rolling_distinct_stream,
     run_stream_to_memory,
     sessionize_stream,

@@ -136,6 +136,51 @@ def purchase_click_join_stream(
     ).select("p_event_id", "p_user", "p_ts", "c_ts")
 
 
+def purchase_click_left_join_stream(
+    events: DataFrame, watermark: str = "10 minutes", window: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits, paired with
+    its preceding-window clicks when they exist and null-padded when
+    they don't — the conversion-attribution shape where "purchase with
+    no prior click" is itself the signal.
+
+    Outer semantics under watermarking: a matched purchase emits as
+    matches arrive, but an UNMATCHED purchase can only emit once the
+    watermark has passed its whole candidate window (before that, a
+    matching click could still arrive). Spark holds the row in join
+    state until then and emits it null-padded on a later (possibly
+    no-data) micro-batch — so unmatched results trail the stream by
+    watermark + window, which is the correctness price of outer
+    results on unbounded inputs. Under an ``availableNow`` drain the
+    watermark also lags ONE batch (it advances at batch end), so the
+    final data batch's unmatched purchases are still in state when the
+    drain stops — on a continuous trigger they emit on the next
+    micro-batch. State stays bounded by exactly the same time-bound
+    predicate as the inner variant.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select("p_event_id", "p_user", "p_ts", "c_ts")
+
+
 # ------------------------------------------------------------------
 # Custom stateful operator: streaming sessionization
 

@@ -475,3 +475,66 @@ def test_rolling_distinct_stream_equals_batch(spark, tmp_path):
         for r in rolling_7d_distinct_users(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark):
+    """LEFT OUTER stream-stream join: matched purchases must equal the
+    batch inner join; unmatched purchases must surface null-padded —
+    at least every purchase old enough that the final watermark
+    provably closed its candidate window (newer unmatched rows MAY
+    legitimately still sit in state when an availableNow drain ends)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming import purchase_click_left_join_stream
+
+    stream = read_events_stream(spark, SF_SMALL)
+    joined = purchase_click_left_join_stream(stream)
+    run_stream_to_memory(joined, "ssleft_test", output_mode="append")
+    rows = spark.sql("SELECT p_event_id, p_user, p_ts, c_ts FROM ssleft_test").collect()
+    got_matched = {tuple(r) for r in rows if r["c_ts"] is not None}
+    got_null = {r["p_event_id"] for r in rows if r["c_ts"] is None}
+
+    ev = load_table(spark, SF_SMALL, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    want_matched = {
+        tuple(r) for r in p.join(c, cond).select("p_event_id", "p_user", "p_ts", "c_ts").collect()
+    }
+    assert got_matched == want_matched
+
+    want_null_all = {
+        r["p_event_id"]
+        for r in p.join(c, cond, "left_anti").select("p_event_id").collect()
+    }
+    # no false unmatched: every null-padded purchase is batch-unmatched
+    assert got_null <= want_null_all
+    # completeness for provably-closed windows. The watermark advances
+    # at BATCH END and availableNow runs no final flush batch, so the
+    # last data batch's unmatched purchases legitimately stay in state;
+    # a generous cutoff (a day behind stream end) is robust to however
+    # the source splits batches while still covering 29 of 30 days.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=24)
+    want_null_closed = {
+        r["p_event_id"]
+        for r in p.join(c, cond, "left_anti")
+        .filter(F.col("p_ts") < F.lit(cutoff))
+        .select("p_event_id")
+        .collect()
+    }
+    assert want_null_closed <= got_null
+    assert got_null  # fixture produces clickless purchases
