@@ -389,3 +389,99 @@ def decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_decile", "to_decile")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# ------------------------------------------- sweep-line concurrency
+
+
+@register(
+    "peak_open_orders",
+    tags=("window", "datetime", "orders"),
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderdate AS open_ts, x.close_ts
+      FROM orders o
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+            FROM lineitem GROUP BY 1) x
+        ON x.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+      SELECT ts, CAST(SUM(d) AS BIGINT) AS d
+      FROM (SELECT open_ts AS ts, 1 AS d FROM iv
+            UNION ALL
+            SELECT close_ts AS ts, -1 AS d FROM iv)
+      GROUP BY ts
+    ),
+    walk AS (
+      SELECT ts, CAST(SUM(d) OVER (ORDER BY ts) AS BIGINT) AS c
+      FROM deltas
+    ),
+    ranked AS (
+      SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS yr, ts, c,
+             ROW_NUMBER() OVER (PARTITION BY EXTRACT(year FROM ts)
+                                ORDER BY c DESC, ts) AS rn
+      FROM walk
+    )
+    SELECT yr, c AS peak_open, ts AS peak_at
+    FROM ranked WHERE rn = 1
+    """,
+)
+def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many orders were "in
+    flight" (placed but not yet fully shipped) at once, per year —
+    peak value and the first instant it was reached. The classic
+    +1/-1 endpoint walk: c(t) = #opens<=t - #closes<=t, with closes
+    processed end-exclusively by netting both endpoint kinds per
+    DISTINCT timestamp before the running sum (so equal-timestamp
+    ordering can never change any observed prefix value).
+
+    Scale: the interval relation is one shuffle (per-order max
+    shipdate) joined to orders; endpoints collapse to <=2 rows per
+    distinct timestamp. The running sum does NOT use a global window:
+    each year's walk runs in its own partition seeded with a carry-in
+    offset (the summed deltas of all prior years, a |years|-row
+    relation cumulated and joined back) — the same
+    offsets-not-global-sort pattern as global_sort_orders, so the
+    sweep parallelizes across however the calendar is bucketed. The
+    oracle uses the plain global window; the carry-in algebra is
+    exactly equal.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    closes = lineitem.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    iv = orders.join(closes, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderdate").alias("open_ts"), "close_ts"
+    )
+    deltas = (
+        iv.select(F.col("open_ts").alias("ts"), F.lit(1).alias("d"))
+        .unionAll(iv.select(F.col("close_ts").alias("ts"), F.lit(-1).alias("d")))
+        .groupBy("ts")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("yr", F.year("ts"))
+    )
+    per_year = deltas.groupBy("yr").agg(F.sum("d").alias("year_total"))
+    w_years = (
+        Window.orderBy("yr").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per_year.select(
+        "yr", (F.sum("year_total").over(w_years) - F.col("year_total")).alias("carry_in")
+    )
+    w_in_year = (
+        Window.partitionBy("yr")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = deltas.join(F.broadcast(offsets), "yr").select(
+        "yr", "ts", (F.col("carry_in") + F.sum("d").over(w_in_year)).alias("c")
+    )
+    ranked = walk.select(
+        "yr",
+        "ts",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy(F.col("c").desc(), F.col("ts")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "yr", F.col("c").alias("peak_open"), F.col("ts").alias("peak_at")
+    )
