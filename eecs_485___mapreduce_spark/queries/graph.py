@@ -354,3 +354,118 @@ def order_chain_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(_ORDER_CHAIN_SQL)
+
+
+# -------------------------------------- weighted single-source paths
+
+SSSP_ROUNDS = 4
+
+# Co-order multiplicity -> integer edge length: frequently co-ordered
+# parts are "close". Shared literal between the Spark plan and the
+# oracle so neither engine re-derives it.
+_SSSP_WEIGHT_SQL = "CASE WHEN m >= 3 THEN 1 WHEN m = 2 THEN 5 ELSE 10 END"
+
+
+def _sssp_oracle() -> str:
+    sql = f"""
+    WITH ppo AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    pc AS (SELECT u, v, COUNT(*) AS m FROM ppo GROUP BY u, v),
+    wts AS (SELECT u, v, {_SSSP_WEIGHT_SQL} AS w FROM pc),
+    sym AS (SELECT u AS src, v AS dst, w FROM wts
+            UNION ALL SELECT v, u, w FROM wts),
+    d0 AS (SELECT MIN(u) AS node, 0 AS dist FROM wts)"""
+    for i in range(1, SSSP_ROUNDS + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT s.dst AS node, d.dist + s.w AS dist
+        FROM sym s JOIN d{i - 1} d ON s.src = d.node
+      ) GROUP BY node
+    )"""
+    sql += "\n" + "\n    UNION ALL ".join(
+        f"SELECT {i} AS hop, COUNT(*) AS n_reached, "
+        f"CAST(SUM(dist) AS BIGINT) AS sum_dist, "
+        f"CAST(MAX(dist) AS BIGINT) AS max_dist FROM d{i}"
+        for i in range(SSSP_ROUNDS + 1)
+    )
+    return sql
+
+
+@register(
+    "sssp_weighted_coorder",
+    tags=("graph", "iterative", "join"),
+    oracle=_sssp_oracle(),
+)
+def sssp_weighted_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford) over the
+    part co-order graph, edge length from co-order multiplicity
+    (tighter ties are shorter), {rounds} relaxation rounds from the
+    lowest-numbered part; census per round = (nodes reached, exact
+    total and max distance). Where BFS (bfs_hops_part_coorder) counts
+    hops, this relaxes WEIGHTED distances — a node's dist can keep
+    falling after first discovery through a cheaper longer route.
+
+    Determinism: weights and distances are integers; each round's
+    relation is an exact per-node MIN, so the census is order-free.
+
+    Scale (100 TB): textbook distributed Bellman-Ford. The weighted
+    edge relation derives from the SAME persisted multiplicity
+    aggregation as the triangle/BFS kernels (one pair-stream shuffle
+    for the whole family); each round is ONE equi-join of the current
+    distance vector against the edges plus ONE min-agg — cost tracks
+    |edges touched by the frontier|, never |V|^2. AQE broadcasts the
+    early (tiny) distance vectors automatically, the billion-node-safe
+    default (same rationale as the PageRank hop join). The fixed
+    {rounds}-round unroll keeps the plan static; an
+    iterate-to-convergence variant would localCheckpoint each round
+    like dedup_clusters.
+
+    Reference parity: none (the reference cannot iterate); committed
+    graph family, SURVEY.md section 2.B.
+    """.format(rounds=SSSP_ROUNDS)
+    from .mining import coorder_pair_counts
+
+    counts = coorder_pair_counts(spark, sf_dir)
+    wts = counts.select(
+        "u",
+        "v",
+        F.when(F.col("m") >= 3, 1)
+        .when(F.col("m") == 2, 5)
+        .otherwise(10)
+        .cast("bigint")
+        .alias("w"),
+    )
+    sym = scoped_persist(
+        ("sssp.sym", sf_dir),
+        wts.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionByName(
+            wts.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        ),
+    )
+    dist = wts.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+
+    def census(d: DataFrame, hop: int) -> DataFrame:
+        return d.agg(
+            F.lit(hop).alias("hop"),
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("sum_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+
+    out = census(dist, 0)
+    for i in range(1, SSSP_ROUNDS + 1):
+        cand = sym.join(dist, sym.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        out = out.unionByName(census(dist, i))
+    return out

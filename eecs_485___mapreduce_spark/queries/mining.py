@@ -157,16 +157,15 @@ def regr_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_TOPK = 10
 
 
-def coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected edges (u < v) of the part co-order graph —
-    parts are adjacent when some order contains both. Shared (and
-    scope-persisted once) by the triangle kernel here and BFS
-    (queries/graph.py).
+def _order_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order part pairs (u < v), one row per (order, pair), parts
+    deduped WITHIN each order — the pre-aggregation stream behind both
+    the distinct edge set (coorder_pairs) and the edge multiplicities
+    (coorder_pair_counts).
 
     Built WITHOUT a self-join: one groupBy(l_orderkey) collects each
     order's part set and emits its C(lines,2) pairs array-side (lines
-    per order <= 7 in TPC-H shape, so the fan-out is bounded), then
-    one distinct across orders.
+    per order <= 7 in TPC-H shape, so the fan-out is bounded).
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     parts_per_order = li.groupBy("l_orderkey").agg(
@@ -185,12 +184,36 @@ def coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("prs")
     )
-    pairs = (
-        pair_arrays.select(F.explode("prs").alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .distinct()
+    return pair_arrays.select(F.explode("prs").alias("p")).select(
+        F.col("p.u").alias("u"), F.col("p.v").alias("v")
     )
+
+
+def coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (u < v) of the part co-order graph —
+    parts are adjacent when some order contains both. Shared (and
+    scope-persisted once) by the triangle kernel here, BFS, and the
+    weighted-SSSP operator (queries/graph.py).
+
+    Derived as a projection of the persisted edge-multiplicity
+    relation, so the whole co-order family (edges, counts, weights)
+    pays ONE aggregation over the per-order pair stream — not one
+    distinct + one count over two separate scans."""
+    pairs = coorder_pair_counts(spark, sf_dir).select("u", "v")
     return scoped_persist(("triangle_pairs", sf_dir), pairs)
+
+
+def coorder_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge multiplicities of the co-order graph: (u, v, m) where m =
+    number of distinct orders containing both parts — one count agg
+    over the same per-order pair stream (scope-persisted for the
+    consumers that also need the distinct edges)."""
+    return scoped_persist(
+        ("coorder_pair_counts", sf_dir),
+        _order_pair_stream(spark, sf_dir)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m")),
+    )
 
 
 _EDGES_SQL = """
