@@ -522,3 +522,50 @@ def test_order_chain_plans_native_union_loop(spark):
     plan = physical_plan(order_chain_recursive_cte(spark, SF_SMALL))
     assert "UnionLoop" in plan, plan
     assert "UnionLoopRef" in plan, plan
+
+
+def test_temporal_family_plans(spark):
+    """Scale shapes of the temporal module: the CUSUM and sweep-line
+    argmaxes plan as WindowGroupLimit (running top-1 per partition,
+    no per-partition sort materialized); no query in the family plans
+    a cartesian product (the ACF spine join is a broadcast of a
+    calendar-bounded relation)."""
+    from eecs_485___mapreduce_spark.queries.temporal import (
+        acf_hourly_events,
+        cusum_changepoint_daily,
+        decile_transition_matrix,
+        event_seq_regex,
+        peak_open_orders,
+    )
+
+    for q in (
+        acf_hourly_events,
+        cusum_changepoint_daily,
+        decile_transition_matrix,
+        event_seq_regex,
+        peak_open_orders,
+    ):
+        assert_no_cartesian(q(spark, SF_SMALL))
+    assert "WindowGroupLimit" in physical_plan(cusum_changepoint_daily(spark, SF_SMALL))
+    assert "WindowGroupLimit" in physical_plan(peak_open_orders(spark, SF_SMALL))
+
+
+def test_privacy_family_plans(spark):
+    """Privacy family: every query is equi-join + bounded agg — no
+    cartesian anywhere; the l-diversity dim join broadcasts."""
+    from eecs_485___mapreduce_spark.queries.privacy import (
+        k_anonymity_audit,
+        l_diversity_audit,
+        pseudonymize_linkage,
+    )
+
+    for q in (pseudonymize_linkage, k_anonymity_audit, l_diversity_audit):
+        assert_no_cartesian(q(spark, SF_SMALL))
+
+
+def test_sssp_is_equijoin_only(spark):
+    """Bellman-Ford rounds must relax via equi-joins on the node key —
+    a cartesian in any round would be |V| x |V| at scale."""
+    from eecs_485___mapreduce_spark.queries.graph import sssp_weighted_coorder
+
+    assert_no_cartesian(sssp_weighted_coorder(spark, SF_SMALL))
