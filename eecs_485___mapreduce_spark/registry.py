@@ -134,7 +134,11 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # PSI, the remaining mining/graph tail, and round 3's additions:
 # bpe_learn_merges, bpe_apply_corpus, global_sort_orders,
 # text_unicode_hygiene, dedup_semantic_cells, rtbf_delete_audit,
-# order_chain_recursive_cte) has sf0.01 AND sf0.1
+# order_chain_recursive_cte, the temporal module (acf_hourly_events,
+# cusum_changepoint_daily, event_seq_regex, decile_transition_matrix,
+# peak_open_orders), the privacy module (pseudonymize_linkage,
+# k_anonymity_audit, l_diversity_audit), and sssp_weighted_coorder)
+# has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
 
