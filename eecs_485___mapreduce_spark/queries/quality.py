@@ -1055,3 +1055,237 @@ def bot_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.orderBy(F.col("max_per_min").desc(), "user_id").limit(
         BOT_RATE_TOPK
     )
+
+
+# ------------------------------------------ Theil inequality decomposition
+
+
+@register(
+    "theil_decomposition_revenue",
+    tags=("stats", "agg", "join"),
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT c.c_nationkey, cr.o_custkey, cr.r
+      FROM cr JOIN customer c ON c.c_custkey = cr.o_custkey
+    ),
+    nat AS (
+      SELECT c_nationkey, SUM(r) AS tg, COUNT(*) AS ng FROM j GROUP BY 1
+    ),
+    tot AS (SELECT SUM(tg) AS t, CAST(SUM(ng) AS BIGINT) AS n FROM nat),
+    within_terms AS (
+      SELECT j.c_nationkey,
+             CAST(ROUND(1000000000.0
+                   * (CAST(j.r AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                   * ln(CAST(j.r AS DOUBLE) * nat.ng / CAST(nat.tg AS DOUBLE)))
+                  AS BIGINT) AS w_nano
+      FROM j JOIN nat ON nat.c_nationkey = j.c_nationkey, tot
+    ),
+    within AS (
+      SELECT c_nationkey, CAST(SUM(w_nano) AS BIGINT) AS within_nano
+      FROM within_terms GROUP BY 1
+    )
+    SELECT nat.c_nationkey,
+           CAST(nat.ng AS BIGINT) AS n_customers,
+           CAST(ROUND(1000000000.0
+                 * (CAST(nat.tg AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                 * ln((CAST(nat.tg AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                      * (tot.n / CAST(nat.ng AS DOUBLE))))
+                AS BIGINT) AS between_nano,
+           within.within_nano
+    FROM nat JOIN within USING (c_nationkey), tot
+    """,
+)
+def theil_decomposition_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue by nation:
+    per nation, the BETWEEN-group term (tg/T)*ln((tg/T)/(ng/N)) and
+    the summed WITHIN-group contributions (r_i/T)*ln(r_i*ng/tg) —
+    total inequality = sum(between) + sum(within), the additive
+    decomposition Gini famously lacks (and why national statistics
+    offices report Theil next to it; gini_revenue_by_nation above).
+
+    Determinism: revenue collapses to exact decimals first; each log
+    term is ONE double expression evaluated identically by both
+    engines from identical exact inputs, quantized to nano-units
+    before the order-free BIGINT sum (the package's LLR/entropy
+    pattern).
+
+    Scale: fact stream -> per-customer collapse (one shuffle), dim
+    join, |nations|-row group relation; the global scalars broadcast
+    back via a 1-row cross join. Nothing larger than the customer
+    dimension is ever windowed or re-scanned.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    j = cr.join(
+        customer.select("c_custkey", "c_nationkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select("c_nationkey", "o_custkey", "r")
+    nat = j.groupBy("c_nationkey").agg(
+        F.sum("r").alias("tg"), F.count(F.lit(1)).alias("ng")
+    )
+    tot = nat.agg(F.sum("tg").alias("t"), F.sum("ng").alias("n"))
+    rd, td = F.col("r").cast("double"), F.col("t").cast("double")
+    tgd = F.col("tg").cast("double")
+    within = (
+        j.join(nat, "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            F.round(
+                F.lit(1000000000.0)
+                * (rd / td)
+                * F.log(rd * F.col("ng") / tgd)
+            )
+            .cast("bigint")
+            .alias("w_nano"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("w_nano").alias("within_nano"))
+    )
+    share = tgd / td
+    return (
+        nat.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            F.col("ng").alias("n_customers"),
+            F.round(
+                F.lit(1000000000.0)
+                * share
+                * F.log(share * (F.col("n") / F.col("ng").cast("double")))
+            )
+            .cast("bigint")
+            .alias("between_nano"),
+        )
+        .join(within, "c_nationkey")
+    )
+
+
+# --------------------------------------------- KMV distinct sketch
+
+KMV_K = 256
+# 52-bit hashes (13 md5 hex digits): chosen so the estimator numerator
+# (K-1) * 2^52 still fits BIGINT exactly — both engines then evaluate
+# the SAME exact integer floor-division, with no double rounding and
+# no int128 promotion asymmetry (Spark has no HUGEINT; 255 * 2^60
+# would silently wrap). 52 bits is collision-free in practice for any
+# per-group distinct count the sketch is useful at (k=256 accuracy
+# breaks down long before 2^26 birthday territory).
+KMV_DOMAIN = 1 << 52
+_KMV_NUMER = (KMV_K - 1) * KMV_DOMAIN
+
+
+@register(
+    "approx_users_kmv_mergeable",
+    tags=("sketch", "agg", "events"),
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM uh
+    ),
+    kept AS (SELECT event_type, h, rn FROM ranked WHERE rn <= {KMV_K}),
+    per_type AS (
+      SELECT event_type AS scope,
+             (SELECT COUNT(*) FROM uh u WHERE u.event_type = k.event_type)
+               AS n_exact,
+             COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM kept k GROUP BY event_type
+    ),
+    merged_ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM kept)
+    ),
+    merged AS (
+      SELECT '__all__' AS scope,
+             (SELECT COUNT(DISTINCT h) FROM uh) AS n_exact,
+             COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM merged_ranked WHERE rn <= {KMV_K}
+    ),
+    both_scopes AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged)
+    SELECT scope, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                ELSE {_KMV_NUMER} // kth END AS BIGINT)
+             AS kmv_estimate
+    FROM both_scopes
+    """,
+)
+def approx_users_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type plus
+    the MERGED all-types sketch built only from the per-type sketches
+    — the mergeable-sketch contract (union = re-minimize the union of
+    kept hashes; never re-scan raw data), with estimate
+    (k-1) * domain / kth_min_hash in exact integer division.
+
+    Unlike the HLL entry (approx_users_hll_mergeable, rows-only:
+    Spark's HLL bytes aren't reproducible in SQL), KMV is built from
+    the package's cross-engine md5 hash, so BOTH the sketch and its
+    estimate are deterministic and fully value-hash oracle-checked —
+    a sketch whose driver row is as strong as any exact query's.
+
+    Scale: one shuffle dedups (type, hash); the k-smallest selection
+    is a WindowGroupLimit running top-k per type (no per-type sort
+    materializes); the merge touches <= |types| * k rows. Exact
+    distinct counts ride the same shuffled relation for the
+    accuracy-vs-exact columns.
+    """
+    events = load_table(spark, sf_dir, "events")
+    uh = (
+        events.select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))), 1, 13
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = uh.select("event_type", "h", F.row_number().over(w).alias("rn"))
+    kept = ranked.filter(F.col("rn") <= KMV_K)
+    exact = uh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_type = (
+        kept.groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+        .join(exact, "event_type")
+        .select(F.col("event_type").alias("scope"), "n_exact", "n_kept", "kth")
+    )
+    merged_pool = kept.select("h").distinct()
+    wm = Window.orderBy("h")
+    merged = (
+        merged_pool.select("h", F.row_number().over(wm).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+        .crossJoin(
+            F.broadcast(
+                uh.select("h").distinct().agg(F.count(F.lit(1)).alias("n_exact"))
+            )
+        )
+        .select(F.lit("__all__").alias("scope"), "n_exact", "n_kept", "kth")
+    )
+    both = per_type.unionByName(merged)
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"{_KMV_NUMER}L div kth")
+    )
+    return both.select(
+        "scope",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        est.cast("bigint").alias("kmv_estimate"),
+    )

@@ -860,3 +860,75 @@ def _hygiene_census(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ readability census
+
+
+@register(
+    "text_readability",
+    tags=("text", "agg", "string"),
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\S+')) AS words,
+             len(regexp_extract_all(text, '[.!?]+')) AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS words,
+             CAST(SUM(sentences) AS BIGINT) AS sentences,
+             CAST(SUM(syllables) AS BIGINT) AS syllables
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           ROUND(206.835
+                 - 1.015 * (words / CAST(NULLIF(sentences, 0) AS DOUBLE))
+                 - 84.6 * (syllables / CAST(NULLIF(words, 0) AS DOUBLE)),
+                 4) AS flesch
+    FROM agg
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source from three exact corpus counts —
+    words (non-space runs), sentence ends ([.!?]+ runs), and the
+    standard vowel-group syllable approximation. The score that gates
+    "too hard / too easy" buckets in readability-stratified sampling.
+
+    Determinism: all three counts are BIGINT sums of per-doc regexp
+    counts (character classes only — identical in Java regex and
+    RE2); the score is one double expression from identical integers,
+    rounded at 4 dp, NULLIF-guarded for sentence-free or empty
+    corpora on both engines.
+
+    Scale: scan-side regexp counting in codegen -> partial agg on the
+    tiny source key; nothing but the counters shuffles (the q1
+    shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count("text", F.lit(r"\S+")).alias("words"),
+        F.regexp_count("text", F.lit(r"[.!?]+")).alias("sentences"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("sentences").alias("sentences"),
+        F.sum("syllables").alias("syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words") / F.nullif(F.col("sentences"), F.lit(0)).cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables") / F.nullif(F.col("words"), F.lit(0)).cast("double")),
+        4,
+    )
+    return agg.select(
+        "source", "n_docs", "words", "sentences", "syllables", flesch.alias("flesch")
+    )

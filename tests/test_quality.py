@@ -291,3 +291,51 @@ def test_equidepth_buckets_partition_the_table(spark):
     ideal = n / EQUIDEPTH_BUCKETS
     for r in rows:
         assert 0.8 * ideal <= r.n_orders <= 1.2 * ideal, r
+
+
+def test_theil_decomposition_identity(spark):
+    """sum(between) + sum(within) must equal the directly-computed
+    total Theil-T index (within quantization slack: one nano-unit per
+    summed term)."""
+    import math
+
+    from eecs_485___mapreduce_spark.queries.quality import (
+        theil_decomposition_revenue,
+    )
+
+    out = theil_decomposition_revenue(spark, SF_SMALL).collect()
+    got = sum(r["between_nano"] + r["within_nano"] for r in out) / 1e9
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    revs = [
+        float(r["r"])
+        for r in orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+        .collect()
+    ]
+    t = sum(revs)
+    n = len(revs)
+    want = sum((x / t) * math.log(x * n / t) for x in revs)
+    n_terms = n + 2 * len(out)
+    assert abs(got - want) <= n_terms * 1e-9 + 1e-6
+    assert want > 0  # revenue is unequal; Theil must see it
+
+
+def test_kmv_estimate_accuracy_and_small_group_exactness(spark):
+    """KMV contract: scopes with fewer than K distinct users report the
+    EXACT count; saturated scopes estimate within the standard
+    ~1/sqrt(K) relative-error envelope (3 sigma)."""
+    from eecs_485___mapreduce_spark.queries.quality import (
+        KMV_K,
+        approx_users_kmv_mergeable,
+    )
+
+    rows = approx_users_kmv_mergeable(spark, SF_SMALL).collect()
+    assert {r["scope"] for r in rows} >= {"__all__"}
+    tol = 3.0 / (KMV_K ** 0.5)  # ~18.75% at K=256
+    for r in rows:
+        if r["n_exact"] < KMV_K:
+            assert r["kmv_estimate"] == r["n_exact"], r
+        else:
+            rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
+            assert rel <= tol, (r, rel)
