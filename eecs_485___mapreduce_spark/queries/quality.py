@@ -1189,7 +1189,7 @@ _KMV_NUMER = (KMV_K - 1) * KMV_DOMAIN
       SELECT DISTINCT event_type,
              CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 13))
                   AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, h,
@@ -1199,10 +1199,10 @@ _KMV_NUMER = (KMV_K - 1) * KMV_DOMAIN
     kept AS (SELECT event_type, h, rn FROM ranked WHERE rn <= {KMV_K}),
     per_type AS (
       SELECT event_type AS scope,
-             (SELECT COUNT(*) FROM uh u WHERE u.event_type = k.event_type)
-               AS n_exact,
-             COUNT(*) AS n_kept, MAX(h) AS kth
-      FROM kept k GROUP BY event_type
+             COUNT(*) AS n_exact,
+             SUM(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS n_kept,
+             MAX(CASE WHEN rn <= {KMV_K} THEN h END) AS kth
+      FROM ranked GROUP BY event_type
     ),
     merged_ranked AS (
       SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
@@ -1242,8 +1242,12 @@ def approx_users_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy-vs-exact columns.
     """
     events = load_table(spark, sf_dir, "events")
+    # NULL users hash to NULL, and the engines disagree on NULL sort
+    # placement (Spark NULLS FIRST vs DuckDB NULLS LAST) — they are
+    # not users, so they are excluded on BOTH sides.
     uh = (
-        events.select(
+        events.filter(F.col("user_id").isNotNull())
+        .select(
             "event_type",
             F.conv(
                 F.substring(
@@ -1260,12 +1264,13 @@ def approx_users_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("h")
     ranked = uh.select("event_type", "h", F.row_number().over(w).alias("rn"))
     kept = ranked.filter(F.col("rn") <= KMV_K)
-    exact = uh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
-    per_type = (
-        kept.groupBy(F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
-        .join(exact, "event_type")
-        .select(F.col("event_type").alias("scope"), "n_exact", "n_kept", "kth")
+    # ONE grouped pass yields sketch and exact side by side — a join
+    # on event_type here would silently drop a NULL-type scope (NULL
+    # never equi-joins), which the oracle's correlated count keeps.
+    per_type = ranked.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("rn") <= KMV_K, 1).otherwise(0)).alias("n_kept"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("kth"),
     )
     merged_pool = kept.select("h").distinct()
     wm = Window.orderBy("h")

@@ -57,6 +57,10 @@ EDGE_QUERIES = [
     "multimodal_audio_headers",
     "ks_doclen_by_source",
     "chi2_source_lang",
+    # continuation additions (document-shaped): empty/whitespace/
+    # sentence-free docs must flow through the readability counts and
+    # NULLIF guards identically
+    "text_readability",
     # round-3 UDTF (document-shaped): empty/whitespace-only text must
     # yield zero sentences; explicit whitespace class strips \t\n
     "udtf_split_sentences",
@@ -168,6 +172,14 @@ EDGE_EVENT_QUERIES = [
     "bitmap_user_activity_days",
     "time_weighted_value_per_user",
     "rolling_7d_distinct_users",
+    # continuation additions (event-shaped): NULL event_type forms its
+    # own dense-spine series that can never equi-join its rollup rows
+    # (NULL != NULL on both engines); NULL users are excluded from the
+    # KMV sketch on both sides; the sequence string skips NULL
+    # initials in both array_join and string_agg
+    "acf_hourly_events",
+    "event_seq_regex",
+    "approx_users_kmv_mergeable",
     "pit_join_event_states",
     "xml_roundtrip_events",
     "islands_user_activity_streaks",
