@@ -424,6 +424,19 @@ EDGE_STAR_QUERIES = [
     "laspeyres_price_index_monthly", "revenue_share_region_nation",
     "mix_shift_avg_order_value",
     "twin_invoice_screen",
+    # continuation additions (star-shaped): dangling order custkeys
+    # flow through the pseudonymized linkage exactly like the natural
+    # join; single-day priorities give a 1-point CUSUM walk; years
+    # with no customer overlap yield an empty transition matrix
+    # without erroring; the SSSP census is exact on the tiny graph
+    "cusum_changepoint_daily",
+    "peak_open_orders",
+    "decile_transition_matrix",
+    "theil_decomposition_revenue",
+    "pseudonymize_linkage",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "sssp_weighted_coorder",
 ]
 
 
