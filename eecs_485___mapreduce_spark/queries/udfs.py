@@ -14,6 +14,8 @@ One query per UDF shape:
 - scalar ``pandas_udf``  (Series -> Series)         — vectorized map
 - ``applyInPandas``      (grouped DataFrame -> DF)  — the reduce analog
 - ``mapInPandas``        (batch iterator -> batches) — the map analog
+- cogrouped ``applyInPandas`` (two grouped DFs -> DF) — the two-input
+  reducer the reference's single-sorted-stream pipe cannot express
 
 Every output column is an integer so the DuckDB oracle compare is
 exact (no float summation-order concerns at the Python boundary).
@@ -260,4 +262,93 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
         "FROM _udtf_docs d, LATERAL split_sentences(d.text) s"
+    )
+
+
+# ------------------------------------- cogrouped applyInPandas
+
+
+@register(
+    "udf_cogroup_merge_arrow",
+    tags=("udf", "events", "join"),
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL),
+    p AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    users AS (SELECT user_id FROM c UNION SELECT user_id FROM p),
+    cagg AS (SELECT user_id, COUNT(*) AS n_clicks FROM c GROUP BY 1),
+    pagg AS (SELECT user_id, COUNT(*) AS n_purchases,
+                    MIN(ts) AS first_p FROM p GROUP BY 1),
+    before AS (
+      SELECT c.user_id, COUNT(*) AS n_before
+      FROM c JOIN pagg ON pagg.user_id = c.user_id
+      WHERE c.ts < pagg.first_p GROUP BY c.user_id
+    )
+    SELECT u.user_id,
+           COALESCE(cagg.n_clicks, 0) AS n_clicks,
+           COALESCE(pagg.n_purchases, 0) AS n_purchases,
+           COALESCE(before.n_before, 0) AS clicks_before_first_purchase
+    FROM users u
+    LEFT JOIN cagg USING (user_id)
+    LEFT JOIN pagg USING (user_id)
+    LEFT JOIN before USING (user_id)
+    """,
+)
+def udf_cogroup_merge_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the fourth pandas-UDF shape
+    (``groupBy().cogroup()``: two relations, grouped on the same key,
+    handed to Python as a pair of per-key pandas frames): each user's
+    click and purchase histories arrive side by side, and the merge
+    counts both streams plus the clicks that precede the first
+    purchase. This is the custom two-input reducer the exec-pipe
+    contract cannot express (the reference pipes exactly ONE sorted
+    stream per reduce task, mapreduce/worker/__main__.py:185-194).
+
+    Determinism: outputs are integer counts over exact timestamp
+    comparisons — no float, no ordering sensitivity. NULL users are
+    excluded on both sides (cogroup would give them a key group;
+    the oracle's joins would not).
+
+    Scale: cogroup shuffles each side ONCE on user_id (identical to a
+    shuffle join) and streams Arrow batches per key; per-key state is
+    the user's own history, the same bound as sessionization. The
+    equivalent built-in plan (two filtered aggs + outer join) is
+    preferred where it suffices — this entry exists because "custom
+    merge logic over two aligned histories" is the shape that
+    genuinely needs Python.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "ts", "event_type"
+    )
+    clicks = base.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = base.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_clicks", LongType()),
+            StructField("n_purchases", LongType()),
+            StructField("clicks_before_first_purchase", LongType()),
+        ]
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_before = 0
+        if len(right) and len(left):
+            n_before = int((left["ts"] < right["ts"].min()).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "clicks_before_first_purchase": [n_before],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, schema=out_schema)
     )
