@@ -16,6 +16,7 @@ One query per UDF shape:
 - ``mapInPandas``        (batch iterator -> batches) — the map analog
 - cogrouped ``applyInPandas`` (two grouped DFs -> DF) — the two-input
   reducer the reference's single-sorted-stream pipe cannot express
+- GROUPED_AGG ``pandas_udf`` (Series -> scalar)     — custom aggregate
 
 Every output column is an integer so the DuckDB oracle compare is
 exact (no float summation-order concerns at the Python boundary).
@@ -351,4 +352,68 @@ def udf_cogroup_merge_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.groupBy("user_id")
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(merge, schema=out_schema)
+    )
+
+
+# ----------------------------------------- grouped-agg pandas UDAF
+
+
+@register(
+    "udf_grouped_mad_arrow",
+    tags=("udf", "events", "stats"),
+    oracle="""
+    WITH m AS (
+      SELECT event_type, MEDIAN(value) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(1000000 * MEDIAN(ABS(e.value - m.med))) AS BIGINT)
+             AS mad_micro
+    FROM events e JOIN m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def udf_grouped_mad_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF — the fifth pandas-UDF shape (a whole
+    group's column arrives as one pandas Series; one scalar returns):
+    median absolute deviation of event value per type, floored to
+    micro-units. MAD is the UDAF poster child: it needs the full
+    group in memory twice (median of deviations from the median), so
+    it cannot be expressed as an algebraic partial aggregate —
+    exactly when you reach for a custom aggregate instead of built-in
+    F.* functions.
+
+    Determinism: both engines interpolate even-count medians as the
+    mean of the two middle doubles, and the floor-to-integer makes
+    the compare exact (floor, not round: the engines' half-away vs
+    banker's rounding disagree at .5 boundaries; floor never does).
+
+    Scale: one shuffle on event_type; per-group state is the group's
+    value vector — bounded for census-sized groups like these. For
+    hot unbounded keys, the approx_percentiles_price sketch path is
+    the fallback; this entry exists for the exact-MAD contract.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def mad_micro(v: pd.Series) -> int:
+        v = v.dropna()
+        if not len(v):
+            return None
+        med = v.median()
+        return int(np.floor(1_000_000 * (v - med).abs().median()))
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second tiny UDAF rather than F.count.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        n_rows("value").alias("n_events"),
+        mad_micro("value").alias("mad_micro"),
     )
