@@ -710,3 +710,111 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("eigenvalue", 3).alias("eigenvalue"),
         )
     )
+
+
+# ------------------------------------- contiguous block formation
+
+BLOCK_TOKENS = 512
+
+
+@register(
+    "blocks_contiguous_stream",
+    tags=("pipeline", "window", "hash"),
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\\S+')) AS n_tok,
+             {md5_long_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard,
+             {md5_long_sql("'order:' || CAST(doc_id AS VARCHAR)")}
+               AS order_key
+      FROM documents
+    ),
+    walk AS (
+      SELECT shard, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY order_key
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
+      FROM assigned
+    ),
+    flagged AS (
+      SELECT shard, n_tok, cum,
+             CASE WHEN n_tok > 0
+                  AND (cum - n_tok) // {BLOCK_TOKENS}
+                      <> (cum - 1) // {BLOCK_TOKENS}
+                  THEN 1 ELSE 0 END AS crossing
+      FROM walk
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + {BLOCK_TOKENS} - 1) // {BLOCK_TOKENS} AS BIGINT)
+             AS n_blocks,
+           CAST(SUM(crossing) AS BIGINT) AS n_crossing_docs,
+           CAST((SUM(n_tok) + {BLOCK_TOKENS} - 1) // {BLOCK_TOKENS}
+                * {BLOCK_TOKENS} - SUM(n_tok) AS BIGINT) AS tail_waste
+    FROM flagged GROUP BY shard
+    """,
+)
+def blocks_contiguous_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style contiguous block formation census: documents are laid
+    end-to-end in the deterministic epoch order (the shard/order hash
+    pair from shuffle_shard_assignment above) and cut into fixed
+    {block}-token training blocks; per shard, how many blocks result,
+    how many documents straddle a block boundary (the attention-mask /
+    document-causal-masking cost), and the tokens wasted padding the
+    final partial block. The third classic dataset-formatting mode
+    next to sliding-window chunking (text_chunk_windows) and
+    greedy packing (pack_sequences_greedy).
+
+    Determinism: token counts are integer regexp counts; the stream
+    position is an exact windowed cumsum keyed by the unique md5 order
+    key. Boundary indices stay non-negative, so truncating (Spark
+    ``div``) and flooring (DuckDB ``/`` on integers) division agree —
+    the crossing test is guarded to n_tok > 0 precisely so the
+    ``cum - 1`` never goes negative where the engines' integer
+    divisions diverge.
+
+    Scale: one scan-side projection (two md5s + one regexp count in
+    codegen), one shuffle on shard, a per-shard window walk (the
+    epoch-writer order), and a |shards|-row census. The cumsum is per
+    shard — the global stream never serializes through one partition.
+    """.format(block=BLOCK_TOKENS)
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).alias("n_tok"),
+        F.pmod(
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(N_SHARDS),
+        ).alias("shard"),
+        md5_long(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
+            "order_key"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("order_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = assigned.select(
+        "shard", "n_tok", F.sum("n_tok").over(w).cast("bigint").alias("cum")
+    )
+    crossing = F.when(
+        (F.col("n_tok") > 0)
+        & (
+            F.expr(f"(cum - n_tok) div {BLOCK_TOKENS}")
+            != F.expr(f"(cum - 1) div {BLOCK_TOKENS}")
+        ),
+        1,
+    ).otherwise(0)
+    flagged = walk.select("shard", "n_tok", crossing.alias("crossing"))
+    total = F.sum("n_tok")
+    n_blocks = F.expr(f"(sum(n_tok) + {BLOCK_TOKENS - 1}) div {BLOCK_TOKENS}")
+    return flagged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        n_blocks.cast("bigint").alias("n_blocks"),
+        F.sum("crossing").cast("bigint").alias("n_crossing_docs"),
+        (n_blocks * BLOCK_TOKENS - total).cast("bigint").alias("tail_waste"),
+    )
