@@ -681,3 +681,88 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_micro"),
     )
+
+
+# ------------------------------------- dynamic-gap sessionization
+
+# Per-event-type inactivity gap: errors close fast, everything else
+# gets the standard half hour. Shared by the batch query, its oracle,
+# and the streaming twin (streaming/events.py).
+DYNGAP_ERROR_S = 300
+DYNGAP_DEFAULT_S = 1800
+
+_DYNGAP_SQL = (
+    f"CASE WHEN event_type = 'error' THEN INTERVAL {DYNGAP_ERROR_S} SECOND "
+    f"ELSE INTERVAL {DYNGAP_DEFAULT_S} SECOND END"
+)
+
+
+@register(
+    "events_session_dynamic_gap",
+    tags=("window", "datetime", "streaming-batch"),
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             ts + {_DYNGAP_SQL} AS ev_end,
+             MAX(ts + {_DYNGAP_SQL}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_end
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_type, ev_end,
+             SUM(CASE WHEN prev_max_end IS NULL OR ts < prev_max_end
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ev_end) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: ``session_window`` with a PER-EVENT
+    gap expression — an error event holds its session open only 5
+    minutes while ordinary activity gets 30 — the adaptive-timeout
+    semantics static-gap sessionizers (events_session_window above)
+    cannot express.
+
+    Merge semantics pinned by the oracle: each event spans
+    [ts, ts + gap(event)); windows merge while they overlap, so a new
+    session starts exactly when ts >= the running max of all previous
+    events' ends (NOT just the previous event's — a long-gap event
+    can bridge across a short-gap one). The oracle replays that rule
+    as a running-max island detection over (ts, event_id) order.
+
+    Scale: one shuffle on user_id, sorted per-partition merge — the
+    same cost as the static-gap operator; the gap expression is a
+    row-local CASE in codegen.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit(f"{DYNGAP_ERROR_S} seconds")
+    ).otherwise(F.lit(f"{DYNGAP_DEFAULT_S} seconds"))
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "n_errors",
+        )
+    )

@@ -15,6 +15,7 @@ from .sinks import (  # noqa: F401
 )
 from .events import (  # noqa: F401
     dedup_events_stream,
+    dynamic_session_stream,
     hourly_rollup_stream,
     read_events_stream,
     purchase_click_join_stream,

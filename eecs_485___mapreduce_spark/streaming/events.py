@@ -181,6 +181,37 @@ def purchase_click_left_join_stream(
     ).select("p_event_id", "p_user", "p_ts", "c_ts")
 
 
+def dynamic_session_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of events_session_dynamic_gap
+    (queries/timeseries.py): ``session_window`` with a per-event gap
+    expression under a watermark — state per (user, open session),
+    closed and emitted once the watermark passes the session's dynamic
+    end. The gap CASE is shared with the batch query so the twins
+    cannot drift."""
+    from ..queries.timeseries import DYNGAP_DEFAULT_S, DYNGAP_ERROR_S
+
+    gap = F.when(
+        F.col("event_type") == "error", F.lit(f"{DYNGAP_ERROR_S} seconds")
+    ).otherwise(F.lit(f"{DYNGAP_DEFAULT_S} seconds"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "n_errors",
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # Custom stateful operator: streaming sessionization
 

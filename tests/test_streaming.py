@@ -538,3 +538,31 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark):
     }
     assert want_null_closed <= got_null
     assert got_null  # fixture produces clickless purchases
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark):
+    """The dynamic-gap sessionizer must produce identical sessions in
+    streaming (complete drain) and batch — including sessions whose
+    length was set by a short-gap error event."""
+    from eecs_485___mapreduce_spark.queries.timeseries import (
+        events_session_dynamic_gap,
+    )
+    from eecs_485___mapreduce_spark.streaming import dynamic_session_stream
+
+    stream = read_events_stream(spark, SF_SMALL)
+    sess = dynamic_session_stream(stream)
+    run_stream_to_memory(sess, "dynsess_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM dynsess_test")
+    want = events_session_dynamic_gap(spark, SF_SMALL)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
+        [tuple(r) for r in want.collect()], want.columns
+    )
+    # the dynamic gap must actually bite: some all-error session is
+    # shorter than the default gap would ever allow
+    short = [
+        r
+        for r in want.collect()
+        if (r["session_end"] - r["session_start"]).total_seconds() < 1800
+    ]
+    assert short
