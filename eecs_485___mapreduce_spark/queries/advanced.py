@@ -535,3 +535,53 @@ def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p").cast("double").alias("total"),
         )
     )
+
+
+# -------------------------------------------- parameterized SQL
+
+PARAM_PRICE_FLOOR = 150_000.0
+PARAM_STATUSES = ("O", "F")
+
+
+@register(
+    "param_sql_high_value_orders",
+    tags=("agg", "sql"),
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_totalprice >= {PARAM_PRICE_FLOOR}
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    """,
+)
+def param_sql_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PARAMETERIZED SQL (``spark.sql(query, args=...)``):
+    the filter threshold and status list bind as named parameters, not
+    string interpolation — the injection-safe API a SQL surface needs
+    before anyone templates user input into it. The oracle pins the
+    identical literals, so parameter binding provably changes nothing
+    about the result.
+
+    Scale: Catalyst folds the bound parameters into the plan exactly
+    as literals — both predicates push to the parquet scan, then one
+    partial+final agg on the 3-value status key.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM orders
+        WHERE o_totalprice >= :floor
+          AND array_contains(:statuses, o_orderstatus)
+        GROUP BY o_orderstatus
+        """,
+        args={"floor": PARAM_PRICE_FLOOR, "statuses": list(PARAM_STATUSES)},
+    )
