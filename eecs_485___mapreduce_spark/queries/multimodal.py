@@ -204,3 +204,160 @@ def multimodal_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_audio_headers(with_audio_payload(docs)).orderBy("doc_id")
+
+
+# --------------------------------------- perceptual-hash near-dup
+
+# dHash geometry: a 7x9 fake-grayscale grid gives 7x8 = 56 gradient
+# bits — deliberately under 63 so the packed hash stays positive in
+# BIGINT on both engines. Docs come in planted families of 4 (same
+# base image, variants 1-3 bump ONE pixel), so every family is a
+# near-dup cluster the banded join must find.
+PHASH_ROWS = 7
+PHASH_COLS = 9
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 14  # 4 x 14 = 56
+PHASH_HAM_MAX = 4
+
+
+@register(
+    "multimodal_phash_neardup",
+    tags=("multimodal", "udf", "dedup", "hash"),
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS var
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, r, c,
+             (CAST(('0x' || substr(md5('px:' || base || ':' || r || ':' || c),
+                                   1, 13)) AS BIGINT) % 256
+              + CASE WHEN var > 0 AND r = var - 1 AND c = var
+                     THEN 40 ELSE 0 END) % 256 AS p
+      FROM g,
+           generate_series(0, {PHASH_ROWS - 1}) s1(r),
+           generate_series(0, {PHASH_COLS - 1}) s2(c)
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.p < b.p THEN 1 ELSE 0 END
+                      << (a.r * {PHASH_COLS - 1} + a.c)) AS BIGINT) AS dhash
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+      GROUP BY a.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, dhash, s.b AS band_idx,
+             (dhash >> (s.b * {PHASH_BAND_BITS}))
+               & {(1 << PHASH_BAND_BITS) - 1} AS band_val
+      FROM bits, generate_series(0, {PHASH_BANDS - 1}) s(b)
+    ),
+    cand AS (
+      SELECT DISTINCT u.doc_id AS doc_a, v.doc_id AS doc_b,
+             u.dhash AS ha, v.dhash AS hb
+      FROM bands u JOIN bands v
+        ON v.band_idx = u.band_idx AND v.band_val = u.band_val
+       AND u.doc_id < v.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_MAX}
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image detection, end to end: a
+    difference hash (dHash — each bit is the sign of a horizontal
+    gradient on a downsampled grayscale grid) computed in PYTHON over
+    Arrow batches (the real decode->hash plumbing; the grid itself is
+    the deterministic md5 fake, since pixel decode is the documented
+    container-limitation stub), then a banded equi-join on
+    {bands} x {bits}-bit hash bands (a Hamming-ball LSH: any pair
+    within distance {ham} collides on >=1 band by pigeonhole) and an
+    exact bit_count(xor) verify. Never all-pairs — the same
+    candidates-by-bucket discipline as the SimHash text family.
+
+    The oracle replays the ENTIRE pipeline arithmetically (same md5
+    grid, same gradient bits, same bands) so the driver value-hash
+    certifies the Python path bit-for-bit — the strongest check a
+    Python-side multimodal operator can get. Planted variant families
+    (4 docs per base image, one bumped pixel each) guarantee nonzero
+    output: a pixel bump flips at most 2 gradient bits, so family
+    pairs sit within Hamming {ham}.
+
+    Scale: hashing is per-partition Python with O(batch) memory; the
+    join shuffles (band, 14-bit value) ints with candidates
+    proportional to bucket occupancy; verify is one integer xor per
+    candidate.
+    """.format(bands=PHASH_BANDS, bits=PHASH_BAND_BITS, ham=PHASH_HAM_MAX)
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("dhash", LongType())]
+    )
+
+    def dhash_batches(it):  # noqa: ANN001
+        def pixel(base: int, var: int, r: int, c: int) -> int:
+            h = hashlib.md5(f"px:{base}:{r}:{c}".encode()).hexdigest()
+            p = int(h[:13], 16) % 256
+            if var > 0 and r == var - 1 and c == var:
+                p = (p + 40) % 256
+            return p
+
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base, var = doc_id // 4, doc_id % 4
+                grid = [
+                    [pixel(base, var, r, c) for c in range(PHASH_COLS)]
+                    for r in range(PHASH_ROWS)
+                ]
+                h = 0
+                for r in range(PHASH_ROWS):
+                    for c in range(PHASH_COLS - 1):
+                        if grid[r][c] < grid[r][c + 1]:
+                            h |= 1 << (r * (PHASH_COLS - 1) + c)
+                out.append((doc_id, h))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(dhash_batches, schema=schema)
+
+    band_rows = None
+    for b in range(PHASH_BANDS):
+        part = hashes.select(
+            "doc_id",
+            "dhash",
+            F.lit(b).alias("band_idx"),
+            (
+                F.shiftright(F.col("dhash"), b * PHASH_BAND_BITS)
+                % F.lit(1 << PHASH_BAND_BITS)
+            ).alias("band_val"),
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+
+    u = band_rows.alias("u")
+    v = band_rows.alias("v")
+    cand = (
+        u.join(
+            v,
+            (F.col("u.band_idx") == F.col("v.band_idx"))
+            & (F.col("u.band_val") == F.col("v.band_val"))
+            & (F.col("u.doc_id") < F.col("v.doc_id")),
+        )
+        .select(
+            F.col("u.doc_id").alias("doc_a"),
+            F.col("v.doc_id").alias("doc_b"),
+            F.col("u.dhash").alias("ha"),
+            F.col("v.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= PHASH_HAM_MAX).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    )
