@@ -137,7 +137,12 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # order_chain_recursive_cte, the temporal module (acf_hourly_events,
 # cusum_changepoint_daily, event_seq_regex, decile_transition_matrix,
 # peak_open_orders), the privacy module (pseudonymize_linkage,
-# k_anonymity_audit, l_diversity_audit), and sssp_weighted_coorder)
+# k_anonymity_audit, l_diversity_audit), sssp_weighted_coorder,
+# theil_decomposition_revenue, approx_users_kmv_mergeable,
+# text_readability, udf_cogroup_merge_arrow, udf_grouped_mad_arrow,
+# udf_arrow_scalar_bucket, blocks_contiguous_stream,
+# events_session_dynamic_gap, param_sql_high_value_orders, and
+# multimodal_phash_neardup)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
