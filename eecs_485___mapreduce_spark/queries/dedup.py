@@ -799,3 +799,78 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+# ------------------------------------------- LSH banding recall audit
+
+
+def _lsh_recall_oracle() -> str:
+    from ..registry import REGISTRY
+
+    truth_sql = REGISTRY["dedup_ngram_jaccard"].oracle
+    found_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b, jaccard
+      FROM ({truth_sql}) WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+    ),
+    found AS (SELECT doc_a, doc_b FROM ({found_sql})),
+    marked AS (
+      SELECT t.jaccard,
+             CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN found f
+        ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    )
+    SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS j_bucket,
+           COUNT(*) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_found,
+           CAST(ROUND(1000000.0 * SUM(hit) / COUNT(*)) AS BIGINT)
+             AS recall_micro
+    FROM marked GROUP BY 1
+    """
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    tags=("dedup", "audit", "join"),
+    oracle=_lsh_recall_oracle(),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of the MinHash banding: ground truth = the EXACT
+    n-gram-Jaccard pairs at the MinHash verify threshold (>= 0.5),
+    probe = the banded MinHash pipeline's verified output; report
+    recall per Jaccard decile bucket. Because the banded candidates
+    are exactly verified, precision is 1.0 by construction — banding
+    can only MISS pairs, and this census shows exactly where (recall
+    should approach 1 as jaccard -> 1; the band-collision probability
+    1-(1-j^2)^4 is the analytic curve it tracks).
+
+    This is the audit a 100 TB dedup deployment runs on a sampled
+    partition before trusting the banded path corpus-wide.
+
+    Scale: both pair relations derive from the SAME scope-persisted
+    shingle relation (one tokenize pass for the whole family); the
+    audit join is on the (doc_a, doc_b) key pair — census output is
+    <= 5 rows. The exact-truth side is the expensive leg (inverted
+    index with skew), which is why the audit is a sampled-partition
+    tool at scale, not a per-run gate.
+    """
+    truth = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD
+    )
+    found = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = truth.join(found, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
+    return marked.groupBy(bucket.alias("j_bucket")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("hit").cast("bigint").alias("n_found"),
+        F.round(F.lit(1000000.0) * F.sum("hit") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
