@@ -874,3 +874,78 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_micro"),
     )
+
+
+# ----------------------------------------------- novelty census
+
+
+@register(
+    "text_novelty_census",
+    tags=("text", "dedup", "agg"),
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM e GROUP BY s),
+    per_doc AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM e JOIN first_seen f ON f.s = e.s
+      GROUP BY e.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+           CAST(ROUND(1000000.0 * SUM(p.n_novel) / SUM(p.n_sh)) AS BIGINT)
+             AS novelty_micro
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def text_novelty_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: for each source, the fraction of its
+    3-gram shingles seen for the FIRST time (no lower-doc_id document
+    contains them) — the marginal-diversity signal that tells a
+    data-mixing pipeline when a source has stopped contributing new
+    content and is only re-serving boilerplate (novelty -> 0 as
+    duplication accumulates).
+
+    Semantics: "first" is ownership by minimum doc_id — a total order,
+    so every shingle has exactly one owning document and the novel
+    counts are partition-independent.
+
+    Scale: rides the SAME scope-persisted shingle relation as the
+    whole dedup family (zero extra tokenize passes); first-seen is one
+    shuffle on the shingle key (min-agg — the inverted-index shape,
+    map-side combinable), re-joined on the shingle key, then a
+    |sources|-row census. Hot boilerplate shingles skew the key like
+    every inverted index here; AQE skew splitting is the standing
+    mitigation.
+    """
+    t = _shingle_relation(spark, sf_dir)
+    e = t.select("doc_id", F.explode("sh").alias("s"))
+    first_seen = e.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        e.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.lit(1000000.0) * F.sum("n_novel") / F.sum("n_sh"))
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
