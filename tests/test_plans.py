@@ -569,3 +569,16 @@ def test_sssp_is_equijoin_only(spark):
     from eecs_485___mapreduce_spark.queries.graph import sssp_weighted_coorder
 
     assert_no_cartesian(sssp_weighted_coorder(spark, SF_SMALL))
+
+
+def test_registry_wide_no_cartesian(spark):
+    """EVERY registered query must plan without a CartesianProduct —
+    the one plan property with no legitimate exception in this engine
+    (intentional tiny cross joins all broadcast, so they surface as
+    BroadcastNestedLoopJoin, never CartesianProduct). Registry-wide so
+    a new query can't regress it unnoticed."""
+    from eecs_485___mapreduce_spark.registry import all_queries
+
+    for name, q in all_queries().items():
+        plan = physical_plan(q.fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
