@@ -412,3 +412,21 @@ def test_compact_parquet_binpacks_small_files(spark, tmp_path):
     one = str(tmp_path / "one")
     stats1 = compact_parquet(spark, src, one, target_bytes=src_bytes * 10)
     assert stats1["dst_files"] == 1
+
+
+def test_parquet_codec_matrix_roundtrip(spark, tmp_path):
+    """Every compression codec a mixed-vintage lake will contain must
+    write and read back value-identical (readers see codec per row
+    group, so a table can mix them freely)."""
+    df = _sample(spark)
+    want = sorted(tuple(r) for r in df.collect())
+    for codec in ("snappy", "gzip", "zstd", "lz4", "none"):
+        p = str(tmp_path / f"codec_{codec}")
+        df.write.option("compression", codec).parquet(p)
+        got = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+        assert got == want, codec
+    # a directory MIXING codecs still reads as one table
+    mixed = str(tmp_path / "mixed")
+    df.write.option("compression", "zstd").parquet(mixed)
+    df.write.mode("append").option("compression", "gzip").parquet(mixed)
+    assert spark.read.parquet(mixed).count() == 2 * df.count()
