@@ -996,3 +996,100 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ltv_per_user_milli"),
     )
+
+
+# ------------------------------------- per-source token budgeting
+
+
+@register(
+    "source_token_budget_trim",
+    tags=("pipeline", "sampling", "window"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\\S+')) AS n_tok,
+             {md5_long_sql("'trim:' || CAST(doc_id AS VARCHAR)")} AS ord_key
+      FROM documents
+    ),
+    totals AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total
+               FROM d GROUP BY source),
+    cap AS (SELECT MIN(total) AS budget FROM totals),
+    walk AS (
+      SELECT d.source, d.n_tok,
+             CAST(SUM(d.n_tok) OVER (PARTITION BY d.source ORDER BY d.ord_key
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM d
+    )
+    SELECT w.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN w.cum <= cap.budget THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN w.cum <= cap.budget THEN w.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           cap.budget AS budget,
+           CAST(ROUND(1000000.0
+                 * SUM(CASE WHEN w.cum <= cap.budget THEN w.n_tok ELSE 0 END)
+                 / cap.budget) AS BIGINT) AS utilization_micro
+    FROM walk w, cap
+    GROUP BY w.source, cap.budget
+    """,
+)
+def source_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-representation source capping: every source gets the SAME
+    token budget (the smallest source's total — the water level at
+    which no source needs upsampling), and documents are admitted in
+    deterministic hash order until their running token total would
+    stay under it. The census reports what survives per source — the
+    mixing-table input for "don't let the biggest crawl drown the
+    curated sources".
+
+    Determinism: admission order is the pure md5 order key (the same
+    reproducible-epoch trick as shuffle_shard_assignment), the running
+    total is an exact windowed cumsum, and the keep rule `cum <=
+    budget` depends only on those integers — identical under re-runs,
+    backfills, and any partitioning.
+
+    Scale: one scan-side projection (token count + hash), one shuffle
+    on source for the per-source walk (the epoch-writer order), a
+    |sources|-row totals relation whose MIN broadcasts back as a
+    1-row cap. Nothing global-windows; nothing re-scans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(r"\S+")).alias("n_tok"),
+        md5_long(F.concat(F.lit("trim:"), F.col("doc_id").cast("string"))).alias(
+            "ord_key"
+        ),
+    )
+    totals = d.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("total"))
+    cap = totals.agg(F.min("total").alias("budget"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = d.select(
+        "source", "n_tok", F.sum("n_tok").over(w).cast("bigint").alias("cum")
+    )
+    kept_tok = F.sum(F.when(F.col("cum") <= F.col("budget"), F.col("n_tok")).otherwise(0))
+    return (
+        walk.crossJoin(F.broadcast(cap))
+        .groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cum") <= F.col("budget"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            kept_tok.cast("bigint").alias("tokens_kept"),
+            F.round(F.lit(1000000.0) * kept_tok / F.col("budget"))
+            .cast("bigint")
+            .alias("utilization_micro"),
+        )
+        .select(
+            "source", "n_docs", "n_docs_kept", "tokens_kept", "budget",
+            "utilization_micro",
+        )
+    )
