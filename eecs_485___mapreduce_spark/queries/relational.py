@@ -881,3 +881,53 @@ def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_off") + F.col("_local")).alias("global_rank"),
         )
     )
+
+
+# ----------------------------------------------- ISO week calendar
+
+
+@register(
+    "orders_iso_week_profile",
+    tags=("datetime", "agg"),
+    oracle="""
+    SELECT CAST(isoyear(o_orderdate) AS INTEGER) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def orders_iso_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly order profile on the ISO-8601 calendar — with the ISO
+    YEAR, not the calendar year. The distinction is the classic
+    year-boundary bug: 1996-12-30 belongs to ISO week 1 of ISO year
+    1997, and grouping by calendar year instead silently splits that
+    week into two phantom rows. Spark's EXTRACT(YEAROFWEEK) and
+    DuckDB's isoyear() pin the same ISO semantics cross-engine (both
+    follow ISO 8601: week 1 = the week containing the first
+    Thursday).
+
+    Scale: pushdown-filtered scan, two codegen date functions, one
+    shuffle on the ~104-key week grid — the q1 shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.expr("EXTRACT(YEAROFWEEK FROM o_orderdate)")
+            .cast("int")
+            .alias("iso_year"),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
