@@ -485,3 +485,100 @@ def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select(
         "yr", F.col("c").alias("peak_open"), F.col("ts").alias("peak_at")
     )
+
+
+# ------------------------------------------ Lindley backlog walk
+
+
+@register(
+    "backlog_lindley_daily",
+    tags=("window", "datetime", "stats"),
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+             CAST(COUNT(*) AS BIGINT) AS placed
+      FROM orders GROUP BY 1, 2
+    ),
+    rate AS (
+      SELECT o_orderpriority,
+             CAST(SUM(placed) // COUNT(*) AS BIGINT) AS c
+      FROM daily GROUP BY 1
+    ),
+    cums AS (
+      SELECT daily.o_orderpriority, d, rate.c,
+             CAST(SUM(placed - rate.c) OVER (
+               PARTITION BY daily.o_orderpriority ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM daily JOIN rate USING (o_orderpriority)
+    ),
+    walk AS (
+      SELECT o_orderpriority, d, c, cum,
+             CAST(MIN(cum) OVER (
+               PARTITION BY o_orderpriority ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS prefix_min
+      FROM cums
+    ),
+    b AS (
+      SELECT o_orderpriority, d, c,
+             cum - LEAST(prefix_min, 0) AS backlog
+      FROM walk
+    )
+    SELECT o_orderpriority,
+           MAX(c) AS service_rate,
+           CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+           CAST(SUM(CASE WHEN backlog > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS days_with_backlog,
+           COUNT(*) AS n_days
+    FROM b GROUP BY o_orderpriority
+    """,
+)
+def backlog_lindley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queueing backlog reconstruction per order priority: daily order
+    inflow against a constant service rate c (the priority's exact
+    mean daily placements, floored), evolving by the Lindley
+    recursion B_d = max(0, B_{d-1} + placed_d - c). The recursion is
+    NONLINEAR (the max clamps at empty queue), which normally forces
+    row-at-a-time state — but its closed form
+    B_k = cum_k - min(0, min_{j<=k} cum_j) (cum = running sum of the
+    net flow) turns it into two stacked window aggregates, fully
+    distributed and exact in BIGINT.
+
+    Scale: orders collapse to a calendar-bounded (priority x day)
+    rollup first; the walk is a per-priority window pass (a running
+    sum and a running min of it); the census is 5 rows. The closed
+    form is the general template for max(0, state + x) recursions
+    (queue depth, battery charge, credit balance) at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("placed"))
+    rate = daily.groupBy("o_orderpriority").agg(
+        F.expr("sum(placed) div count(*)").alias("c")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        daily.join(rate, "o_orderpriority")
+        .withColumn("cum", F.sum(F.col("placed") - F.col("c")).over(w))
+        .withColumn("prefix_min", F.min("cum").over(w))
+    )
+    b = walk.select(
+        "o_orderpriority",
+        "c",
+        (F.col("cum") - F.least(F.col("prefix_min"), F.lit(0))).alias("backlog"),
+    )
+    return b.groupBy("o_orderpriority").agg(
+        F.max("c").alias("service_rate"),
+        F.max("backlog").cast("bigint").alias("peak_backlog"),
+        F.sum(F.when(F.col("backlog") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("days_with_backlog"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

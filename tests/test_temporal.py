@@ -113,3 +113,37 @@ def test_acf_perfect_alternation_is_minus_one(spark, tmp_path):
     assert by_lag[1]["n_pairs"] == 6
     # span is 7 hours -> no lag-24 pairs -> that group must be absent
     assert 24 not in by_lag
+
+
+def test_backlog_lindley_matches_direct_recursion(spark, tmp_path):
+    """The prefix-min closed form must equal the direct (sequential)
+    Lindley recursion B_d = max(0, B_{d-1} + placed_d - c) — including
+    the clamp-at-zero days the linear cumsum alone would get wrong."""
+    from eecs_485___mapreduce_spark.queries.temporal import backlog_lindley_daily
+
+    counts = [1, 1, 5, 1, 8, 1, 1]
+    rows = []
+    oid = 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            oid += 1
+            rows.append((oid, 1, "O", 10.0, dt.datetime(2024, 2, day), "1-URGENT"))
+    d = str(tmp_path / "orders_lindley")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+    c = sum(counts) // len(counts)
+    b, peak, busy = 0, 0, 0
+    for n in counts:
+        b = max(0, b + n - c)
+        peak = max(peak, b)
+        busy += 1 if b > 0 else 0
+
+    [r] = backlog_lindley_daily(spark, d).collect()
+    assert r["service_rate"] == c
+    assert r["peak_backlog"] == peak
+    assert r["days_with_backlog"] == busy
+    assert r["n_days"] == len(counts)
