@@ -141,8 +141,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # theil_decomposition_revenue, approx_users_kmv_mergeable,
 # text_readability, udf_cogroup_merge_arrow, udf_grouped_mad_arrow,
 # udf_arrow_scalar_bucket, blocks_contiguous_stream,
-# events_session_dynamic_gap, param_sql_high_value_orders, and
-# multimodal_phash_neardup)
+# events_session_dynamic_gap, param_sql_high_value_orders,
+# multimodal_phash_neardup, dedup_lsh_recall_audit,
+# text_novelty_census, source_token_budget_trim,
+# orders_iso_week_profile, and backlog_lindley_daily)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
