@@ -884,7 +884,8 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "agg"),
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    e AS (SELECT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM t)
+          WHERE s IS NOT NULL AND s <> ''),
     first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM e GROUP BY s),
     per_doc AS (
       SELECT e.doc_id,
@@ -924,7 +925,13 @@ def text_novelty_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation.
     """
     t = _shingle_relation(spark, sf_dir)
-    e = t.select("doc_id", F.explode("sh").alias("s"))
+    # Token-free documents degenerate to a single empty shingle —
+    # rendered '' by Spark's array_join but NULL by DuckDB's
+    # array_to_string — so the census excludes them on BOTH sides
+    # (they carry no content to be novel about).
+    e = t.select("doc_id", F.explode("sh").alias("s")).filter(
+        F.col("s").isNotNull() & (F.col("s") != "")
+    )
     first_seen = e.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         e.join(first_seen, "s")

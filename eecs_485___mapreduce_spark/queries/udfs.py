@@ -372,7 +372,7 @@ def udf_cogroup_merge_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(FLOOR(1000000 * MEDIAN(ABS(e.value - m.med))) AS BIGINT)
              AS mad_micro
-    FROM events e JOIN m ON m.event_type = e.event_type
+    FROM events e JOIN m ON m.event_type IS NOT DISTINCT FROM e.event_type
     GROUP BY e.event_type
     """,
 )

@@ -61,6 +61,11 @@ EDGE_QUERIES = [
     # sentence-free docs must flow through the readability counts and
     # NULLIF guards identically
     "text_readability",
+    "text_novelty_census",
+    "blocks_contiguous_stream",
+    "source_token_budget_trim",
+    "udf_arrow_scalar_bucket",
+    "multimodal_phash_neardup",
     # round-3 UDTF (document-shaped): empty/whitespace-only text must
     # yield zero sentences; explicit whitespace class strips \t\n
     "udtf_split_sentences",
@@ -180,6 +185,9 @@ EDGE_EVENT_QUERIES = [
     "acf_hourly_events",
     "event_seq_regex",
     "approx_users_kmv_mergeable",
+    "udf_cogroup_merge_arrow",
+    "udf_grouped_mad_arrow",
+    "events_session_dynamic_gap",
     "pit_join_event_states",
     "xml_roundtrip_events",
     "islands_user_activity_streaks",
@@ -431,6 +439,9 @@ EDGE_STAR_QUERIES = [
     # without erroring; the SSSP census is exact on the tiny graph
     "cusum_changepoint_daily",
     "peak_open_orders",
+    "backlog_lindley_daily",
+    "orders_iso_week_profile",
+    "param_sql_high_value_orders",
     "decile_transition_matrix",
     "theil_decomposition_revenue",
     "pseudonymize_linkage",
