@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     multimodal,
     pipeline,
     privacy,
+    pruning,
     quality,
     reference,
     relational,

@@ -144,7 +144,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # events_session_dynamic_gap, param_sql_high_value_orders,
 # multimodal_phash_neardup, dedup_lsh_recall_audit,
 # text_novelty_census, source_token_budget_trim,
-# orders_iso_week_profile, and backlog_lindley_daily)
+# orders_iso_week_profile, backlog_lindley_daily,
+# bloom_semi_join_orders, bitmap_audience_overlap, and
+# heavy_hitters_tokens)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.

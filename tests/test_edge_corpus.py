@@ -66,6 +66,9 @@ EDGE_QUERIES = [
     "source_token_budget_trim",
     "udf_arrow_scalar_bucket",
     "multimodal_phash_neardup",
+    # tiny vocabulary -> every token is a sketch candidate; the exact
+    # recount filter must agree with the full-count oracle
+    "heavy_hitters_tokens",
     # round-3 UDTF (document-shaped): empty/whitespace-only text must
     # yield zero sentences; explicit whitespace class strips \t\n
     "udtf_split_sentences",
@@ -177,6 +180,9 @@ EDGE_EVENT_QUERIES = [
     "bitmap_user_activity_days",
     "time_weighted_value_per_user",
     "rolling_7d_distinct_users",
+    # NULL user_id is filtered before the bitmap construct on both
+    # engines; days with views but no purchases hit the COALESCE path
+    "bitmap_audience_overlap",
     # continuation additions (event-shaped): NULL event_type forms its
     # own dense-spine series that can never equi-join its rollup rows
     # (NULL != NULL on both engines); NULL users are excluded from the
@@ -448,6 +454,9 @@ EDGE_STAR_QUERIES = [
     "k_anonymity_audit",
     "l_diversity_audit",
     "sssp_weighted_coorder",
+    # no customer clears the 9000 balance gate -> empty key set, empty
+    # bloom map, empty verified result on both engines
+    "bloom_semi_join_orders",
 ]
 
 
