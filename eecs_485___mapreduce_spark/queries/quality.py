@@ -1294,3 +1294,122 @@ def approx_users_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         est.cast("bigint").alias("kmv_estimate"),
     )
+
+
+# ------------------------------------------ DDSketch-style log buckets
+
+# Relative-accuracy quantile sketch in the DDSketch family (Masson,
+# Rim & Lee, VLDB 2019): values hash to logarithmic buckets, bucket
+# counts are mergeable by plain addition, and any quantile is answered
+# from the cumulative bucket histogram with a bounded RELATIVE error.
+# Instead of gamma-log buckets (whose floor(log_gamma(x)) is float and
+# can flip at bucket edges between engines), buckets here are
+# base-2-with-3-subdivision: exponent = bit length of the integer cent
+# value (exact via length(bin(x)) in BOTH engines), sub-bucket = the
+# next 3 bits. Bucket width / bucket floor <= 1/8, so the midpoint
+# estimate has <= ~6.7% relative error — and every op is integer.
+_DDSKETCH_PCTS = (50, 90, 99)
+_DDSKETCH_PCTS_SQL = ", ".join(f"({p})" for p in _DDSKETCH_PCTS)
+
+
+@register(
+    "ddsketch_price_quantiles",
+    tags=("agg", "stats", "sketch", "window"),
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice >= 0.01
+    ),
+    b AS (
+      SELECT CASE WHEN length(bin(cents)) <= 3 THEN cents
+                  ELSE length(bin(cents)) * 8
+                       + (cents >> (length(bin(cents)) - 4)) - 8
+             END AS bucket_id
+      FROM v
+    ),
+    h AS (SELECT bucket_id, COUNT(*) AS bucket_n FROM b GROUP BY 1),
+    c AS (
+      SELECT bucket_id, bucket_n,
+             CAST(SUM(bucket_n) OVER (ORDER BY bucket_id) AS BIGINT) AS cum_n
+      FROM h
+    ),
+    tot AS (SELECT CAST(SUM(bucket_n) AS BIGINT) AS total_n FROM h),
+    pcts(pct) AS (VALUES {_DDSKETCH_PCTS_SQL}),
+    hit AS (
+      SELECT p.pct, c.bucket_id, c.bucket_n, c.cum_n, t.total_n,
+             ROW_NUMBER() OVER (PARTITION BY p.pct ORDER BY c.bucket_id) AS rk
+      FROM pcts p CROSS JOIN tot t
+      JOIN c ON c.cum_n >= (p.pct * t.total_n + 99) // 100
+    )
+    SELECT CAST(pct AS BIGINT) AS pct, bucket_id, bucket_n, cum_n, total_n,
+           CASE WHEN bucket_id < 8 THEN bucket_id
+                ELSE (8 + bucket_id % 8) << (bucket_id // 8 - 4)
+           END AS lo_cents,
+           CASE WHEN bucket_id < 8 THEN bucket_id
+                ELSE ((9 + bucket_id % 8) << (bucket_id // 8 - 4)) - 1
+           END AS hi_cents
+    FROM hit WHERE rk = 1
+    """,
+)
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style relative-accuracy quantiles (p50/p90/p99) of
+    order totals from a mergeable log-bucket histogram.
+
+    Bucketing: cents -> exponent e = bit length (exact integer via
+    ``length(bin(cents))``), sub-bucket = next 3 bits, so bucket_id =
+    8e + sub with width/floor <= 1/8 (<= ~6.7% midpoint relative
+    error, the DDSketch guarantee shape); cents < 8 get exact
+    singleton buckets. The quantile answer is the first bucket whose
+    cumulative count reaches ceil(p * total / 100) — every comparison
+    is integer, so the DuckDB oracle matches bit-for-bit.
+
+    Determinism: no log()/pow() anywhere — bit length and shifts only.
+
+    Scale (100 TB): the sketch is ONE partial+final aggregation on a
+    few-hundred-value key (bucket ids for 64-bit cents max out at
+    8*64+7 = 519); the cumulative walk and percentile probe run on
+    that constant-size histogram. Counts merge by addition, so
+    per-partition / per-day sketches roll up without rescanning —
+    the same mergeability contract as the HLL/KMV/CMS entries.
+
+    Reference parity: none (sketch family beyond wordcount/grep,
+    mapreduce/__init__.py); SURVEY.md section 2.B sketch row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = orders.where(F.col("o_totalprice") >= 0.01).select(cents.alias("cents"))
+    e = F.length(F.bin("cents"))
+    bucket = (
+        F.when(e <= 3, F.col("cents"))
+        .otherwise(e * 8 + F.expr("shiftright(cents, length(bin(cents)) - 4)") - 8)
+        .cast("long")
+    )
+    h = v.select(bucket.alias("bucket_id")).groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    # The histogram is constant-size; the cumulative window over it is
+    # a single tiny task, not a data-scale sort.
+    wc = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "bucket_id", "bucket_n", F.sum("bucket_n").over(wc).cast("long").alias("cum_n")
+    )
+    tot = h.agg(F.sum("bucket_n").cast("long").alias("total_n"))
+    pcts = spark.createDataFrame([(p,) for p in _DDSKETCH_PCTS], "pct long")
+    target = (F.col("pct") * F.col("total_n") + 99) / F.lit(100)
+    wk = Window.partitionBy("pct").orderBy("bucket_id")
+    lo = F.when(F.col("bucket_id") < 8, F.col("bucket_id")).otherwise(
+        F.expr("shiftleft(8 + bucket_id % 8, cast(bucket_id / 8 as int) - 4)")
+    )
+    hi = F.when(F.col("bucket_id") < 8, F.col("bucket_id")).otherwise(
+        F.expr("shiftleft(9 + bucket_id % 8, cast(bucket_id / 8 as int) - 4) - 1")
+    )
+    return (
+        pcts.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c), F.col("cum_n") >= F.floor(target))
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .select(
+            "pct", "bucket_id", "bucket_n", "cum_n", "total_n",
+            lo.cast("long").alias("lo_cents"), hi.cast("long").alias("hi_cents"),
+        )
+    )

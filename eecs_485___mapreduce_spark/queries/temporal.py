@@ -582,3 +582,109 @@ def backlog_lindley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_with_backlog"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# ------------------------------------------- interval union coverage
+
+_COVER_WINDOW_S = 900  # each event opens a 15-minute activity interval
+
+
+@register(
+    "interval_union_coverage",
+    tags=("datetime", "window", "events"),
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + {_COVER_WINDOW_S} AS e
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_island) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, island_id, MAX(e) - MIN(s) AS covered
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(covered) AS BIGINT) AS covered_s,
+           CAST(MAX(covered) AS BIGINT) AS longest_covered_s
+    FROM spans GROUP BY 1
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping per-user activity intervals: every
+    event opens a 15-minute interval; the answer per user is how many
+    distinct seconds the UNION of those intervals covers, in how many
+    disjoint islands, and the longest island — the interval-set-algebra
+    sibling of ``peak_open_orders`` (which measures concurrency, not
+    coverage) and the billing/uptime/engagement-minutes primitive.
+
+    Algorithm: classic single-pass sweep — an interval starts a new
+    island iff its start exceeds the running max end of all earlier
+    intervals (ROWS ... 1 PRECEDING running max); islands are numbered
+    by a running sum of the flag; union length = sum over islands of
+    (max end - min start). Epoch-second integers end to end, unique
+    event_id as the deterministic tie-break, so the DuckDB oracle
+    matches exactly.
+
+    Scale (100 TB): one shuffle on user_id, then two sequential
+    window passes and one grouped agg INSIDE each user partition — no
+    self-join (the naive interval-overlap formulation is O(n^2) per
+    user). Output is user-count-bounded. Skewed users stay single-
+    partition by semantics; a hot user would be handled by splitting
+    on (user_id, day) with boundary stitching, the documented pattern
+    for the sessionization family.
+
+    Reference parity: none (events analytics beyond wordcount/grep);
+    SURVEY.md section 2.B window/time-series family.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    s = F.unix_timestamp("ts")
+    iv = ev.select(
+        "user_id", "event_id", s.alias("s"), (s + _COVER_WINDOW_S).alias("e")
+    )
+    order = [F.col("s"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e", "event_id",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(w_run).cast("long").alias("island_id"),
+    )
+    spans = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered").cast("long").alias("covered_s"),
+        F.max("covered").cast("long").alias("longest_covered_s"),
+    )
