@@ -1093,3 +1093,92 @@ def source_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "utilization_micro",
         )
     )
+
+
+# -------------------------------------- largest-remainder apportionment
+
+_APPORTION_BUDGET = 1_000_000  # global token budget to allocate
+_TOKS_SQL = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+
+
+@register(
+    "budget_apportion_sources",
+    tags=("pipeline", "agg", "window"),
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source),
+    base AS (
+      SELECT s.source, s.n_tokens,
+             (s.n_tokens * {_APPORTION_BUDGET}) // t.total AS base_alloc,
+             (s.n_tokens * {_APPORTION_BUDGET}) % t.total  AS remainder
+      FROM per_source s CROSS JOIN tot t
+    ),
+    short AS (
+      SELECT CAST({_APPORTION_BUDGET} - SUM(base_alloc) AS BIGINT) AS n_extra
+      FROM base
+    ),
+    ranked AS (
+      SELECT b.source, b.n_tokens, b.base_alloc, x.n_extra,
+             ROW_NUMBER() OVER (ORDER BY b.remainder DESC, b.source) AS rk
+      FROM base b CROSS JOIN short x
+    )
+    SELECT source, n_tokens, base_alloc,
+           base_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS alloc_tokens
+    FROM ranked
+    """,
+)
+def budget_apportion_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed global
+    token budget across document sources: each source gets
+    floor(budget * share), and the leftover seats go to the largest
+    fractional remainders (source name as the deterministic
+    tie-break) — so the integer allocations sum EXACTLY to the budget,
+    which proportional-rounding pipelines (mixture sampling quotas,
+    shard budgets) silently get wrong when they round independently.
+
+    Determinism: everything is BIGINT — remainders are exact modular
+    arithmetic, never floats. n_tokens * budget fits 2^63 up to ~9e12
+    corpus tokens per source at this budget; a 100 TB corpus with
+    bigger products would widen the intermediate to DECIMAL(38,0) (the
+    package's dec() discipline) without changing the shape.
+
+    Scale (100 TB): one partial+final agg keyed by source for the
+    token census; apportionment itself runs on the source-count-
+    bounded result (a few rows), so the window sort is constant-size.
+    Composes with source_mixture_weights (temperature-scaled shares)
+    and source_token_budget_trim (per-source trims) as the final
+    exact-integer allocation step.
+
+    Reference parity: none (beyond wordcount/grep); SURVEY.md
+    section 2.B training-pipeline row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("long").alias("total"))
+    base = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"n_tokens * {_APPORTION_BUDGET} div total").alias("base_alloc"),
+        ((F.col("n_tokens") * _APPORTION_BUDGET) % F.col("total")).alias("remainder"),
+    )
+    short = base.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("base_alloc")).cast("long").alias("n_extra")
+    )
+    wr = Window.orderBy(F.col("remainder").desc(), "source")
+    ranked = base.crossJoin(F.broadcast(short)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "base_alloc",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+    )

@@ -206,3 +206,104 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n_orders").alias("n_orders"),
     )
+
+
+# ------------------------------------- differential privacy (geometric)
+
+# Two-sided geometric mechanism (Ghosh-Roughgarden-Sundararajan, the
+# discrete analogue of Laplace; epsilon-DP for sensitivity-1 counts):
+# P(noise = k) ∝ alpha^|k| with alpha = exp(-epsilon). Sampling is
+# derandomized the way every stochastic operator here is (k-means
+# seeds, stratified sampling): a 32-bit hash of the scope key is
+# looked up in a CUMULATIVE-CDF threshold table precomputed ONCE in
+# Python and embedded as the same integer literals in both plans —
+# neither engine ever evaluates exp()/ln(), so the cross-engine float
+# risk is gone by construction, and re-running the query yields the
+# SAME noise per scope (the "sticky noise" everyone needs so repeated
+# queries can't average the noise away).
+_DP_EPS_MILLI = 500  # epsilon = 0.5
+_DP_MAX_K = 32
+_DP_SCALE = 1 << 32
+
+
+def _dp_thresholds() -> list[tuple[int, int, int]]:
+    import math
+
+    alpha = math.exp(-_DP_EPS_MILLI / 1000.0)
+    ks = list(range(-_DP_MAX_K, _DP_MAX_K + 1))
+    weights = [alpha ** abs(k) for k in ks]
+    total = sum(weights)
+    rows, lo, acc = [], 0, 0.0
+    for k in ks:
+        acc += weights[ks.index(k)] / total
+        hi = _DP_SCALE if k == _DP_MAX_K else min(_DP_SCALE, round(acc * _DP_SCALE))
+        rows.append((k, lo, hi))
+        lo = hi
+    return rows
+
+
+_DP_ROWS = _dp_thresholds()
+_DP_VALUES_SQL = ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in _DP_ROWS)
+
+
+@register(
+    "dp_noisy_event_counts",
+    tags=("privacy", "agg", "sketch"),
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type AS scope, COUNT(*) AS n_true
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    noise(k, lo, hi) AS (VALUES {_DP_VALUES_SQL}),
+    u AS (
+      SELECT scope, n_true,
+             {md5_long_sql("'dp:' || scope")} % {_DP_SCALE} AS u32
+      FROM counts
+    )
+    SELECT u.scope, u.n_true, CAST(n.k AS BIGINT) AS noise,
+           u.n_true + n.k AS n_noisy,
+           CAST({_DP_EPS_MILLI} AS BIGINT) AS eps_milli
+    FROM u JOIN noise n ON u.u32 >= n.lo AND u.u32 < n.hi
+    """,
+)
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-differentially-private event-type counts via the
+    two-sided geometric mechanism with DETERMINISTIC (sticky) noise:
+    each scope's noise is fixed by a 32-bit hash of the scope key
+    looked up in a precomputed integer CDF table, so the same query
+    always returns the same noisy answer — re-query averaging cannot
+    strip the protection — and the DuckDB oracle matches exactly
+    because both engines only compare integers (exp() runs once, in
+    Python, at import).
+
+    Scale (100 TB): one partial+final count agg on event_type; the
+    65-row threshold table is a broadcast literal and the range lookup
+    a broadcast nested loop over the handful of scope rows. Adding
+    per-(type, day) scopes keeps the same shape — noise lookup stays
+    a constant-size broadcast.
+
+    Reference parity: none (privacy family beyond wordcount/grep,
+    mapreduce/__init__.py); SURVEY.md section 2.B training-pipeline row.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    counts = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    noise = spark.createDataFrame(_DP_ROWS, "k long, lo long, hi long")
+    u32 = F.pmod(
+        md5_long(F.concat(F.lit("dp:"), F.col("scope"))), F.lit(_DP_SCALE)
+    ).alias("u32")
+    u = counts.select("scope", "n_true", u32)
+    return (
+        u.join(
+            F.broadcast(noise),
+            (F.col("u32") >= F.col("lo")) & (F.col("u32") < F.col("hi")),
+        )
+        .select(
+            "scope",
+            "n_true",
+            F.col("k").cast("long").alias("noise"),
+            (F.col("n_true") + F.col("k")).alias("n_noisy"),
+            F.lit(_DP_EPS_MILLI).cast("long").alias("eps_milli"),
+        )
+    )
