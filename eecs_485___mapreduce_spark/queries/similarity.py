@@ -541,3 +541,183 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "sim", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# --------------------------------------- PQ-ADC (product quantization)
+
+PQ_M = 8                   # subspaces
+PQ_SUBDIM = _DIM // PQ_M   # dims per subspace
+PQ_K = 16                  # centroids per subspace codebook
+PQ_ITERS = 2               # Lloyd refinement passes per subspace
+PQ_SHORTLIST = 150         # ADC candidates kept for exact re-rank
+
+
+def _pq_subvectors(vecs: DataFrame, id_col: str, sv_alias: str) -> DataFrame:
+    """Explode unit-normalized vectors into (id, sub, subvector) rows.
+
+    Normalizing FIRST makes squared-L2 ADC ranking equivalent to
+    cosine ranking (||a-b||^2 = 2 - 2*cos for unit vectors), so the
+    PQ path and the brute-force baseline order candidates by the same
+    geometry."""
+    norm = l2_norm(F.col("v"))
+    unit = F.transform(F.col("v"), lambda x: x / norm)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.struct(
+            m.cast("int").alias("sub"),
+            F.slice(F.col("u"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        ),
+    )
+    return (
+        vecs.select(F.col(id_col), unit.alias("u"))
+        .select(id_col, F.explode(subs).alias("x"))
+        .select(id_col, F.col("x.sub").alias("sub"), F.col("x.sv").alias(sv_alias))
+    )
+
+
+def _pq_d2(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_fit_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks (PQ_K centroids each, md5-seeded
+    deterministic Lloyd, PQ_ITERS passes) and encode every corpus
+    vector as PQ_M 4-bit codes. Returns (codebook, codes):
+    codebook = (sub, cell, cvec), codes = (vec_id, sub, code).
+
+    Scale: all PQ_M sub-quantizers train in the SAME distributed
+    passes (the sub id is just another key column, not a Python
+    loop over subspaces); the codebook is PQ_M x PQ_K x PQ_SUBDIM
+    (~4 KB) and broadcasts; each Lloyd pass is one broadcast argmin
+    over the exploded corpus plus one (sub, cell, pos)-keyed mean
+    shuffle. Codes are 8 x 4 bits per vector — a 64x compression of
+    the 64-dim float corpus, which is what lets a 100 TB embedding
+    corpus fit hot in executor memory for the ADC scan."""
+    from ..functions import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
+    vecs = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).localCheckpoint()
+    subs = _pq_subvectors(vecs, "vec_id", "sv").localCheckpoint()
+
+    hkey = md5_long(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    seed_ids = (
+        vecs.select(hkey.alias("hkey"), "vec_id")
+        .orderBy("hkey", "vec_id")
+        .limit(PQ_K)
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy("hkey", "vec_id")) - 1
+        )
+        .select("vec_id", "cell")
+    )
+    book = (
+        subs.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub", "cell", F.col("sv").alias("cvec"))
+        .localCheckpoint()
+    )
+
+    assign = None
+    for _ in range(PQ_ITERS):
+        joined = subs.join(F.broadcast(book), "sub")
+        wmin = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("d2"), F.col("cell")
+        )
+        assign = (
+            joined.select(
+                "vec_id", "sub", "sv", "cell",
+                _pq_d2(F.col("sv"), F.col("cvec")).alias("d2"),
+            )
+            .withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        book = (
+            assign.select("sub", "cell", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
+            .select(
+                "sub", "cell", F.transform("s", lambda x: x["cval"]).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    codes = assign.select("vec_id", "sub", F.col("cell").alias("code"))
+    return book, codes
+
+
+@register(
+    "similarity_topk_pq",
+    tags=("similarity", "vector", "approx", "iterative"),
+    oracle=None,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze & Schmid, TPAMI 2011) and exact re-rank: corpus
+    vectors are stored only as PQ_M 4-bit codes; each query builds a
+    PQ_M x PQ_K lookup table of exact subspace distances to every
+    centroid; candidate distance is then a pure TABLE LOOKUP SUM —
+    the ADC scan never touches a corpus float. The PQ_SHORTLIST best
+    ADC candidates are re-ranked with exact cosine, which recovers
+    most of the recall the 4-bit codes give up.
+
+    No oracle (iterative training + approximate by construction);
+    tests/test_similarity.py asserts recall@10 against brute force
+    and that the output is exact-cosine-consistent on the shortlist.
+
+    Scale (100 TB): the codebook broadcasts (~4 KB); the per-query
+    LUT relation is n_queries x PQ_M x PQ_K rows (bounded, broadcast);
+    the ADC scan is an equi-join of the 4-bit code corpus against the
+    broadcast LUT on (sub, code) followed by a map-side-combined
+    (qid, nid) sum — one shuffle of Q x N x M/combine rows, no
+    corpus-float I/O, no cartesian (plan-pinned like LSH/IVF). The
+    exact re-rank touches PQ_SHORTLIST x n_queries vectors only.
+    """
+    book, codes = pq_fit_encode(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
+    vecs = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    q_subs = _pq_subvectors(
+        vecs.filter(F.col("vec_id") < N_QUERIES), "vec_id", "qsv"
+    ).withColumnRenamed("vec_id", "qid")
+
+    lut = q_subs.join(F.broadcast(book), "sub").select(
+        "qid", "sub", F.col("cell").alias("code"),
+        _pq_d2(F.col("qsv"), F.col("cvec")).alias("pd2"),
+    )
+    adc = (
+        codes.withColumnRenamed("vec_id", "nid")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum("pd2").alias("adc_d2"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("adc_d2"), "nid")
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("qid", "nid")
+    )
+
+    q_vecs = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qe")
+    )
+    c_vecs = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("ce"))
+    sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    return (
+        shortlist.join(c_vecs, "nid")
+        .join(F.broadcast(q_vecs), "qid")
+        .select("qid", "nid", sim.alias("sim"))
+        .select("qid", "nid", "sim", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -146,7 +146,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # text_novelty_census, source_token_budget_trim,
 # orders_iso_week_profile, backlog_lindley_daily,
 # bloom_semi_join_orders, bitmap_audience_overlap, and
-# heavy_hitters_tokens)
+# heavy_hitters_tokens, ddsketch_price_quantiles,
+# interval_union_coverage, dp_noisy_event_counts,
+# budget_apportion_sources, and similarity_topk_pq)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
