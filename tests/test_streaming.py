@@ -566,3 +566,34 @@ def test_dynamic_gap_session_stream_equals_batch(spark):
         if (r["session_end"] - r["session_start"]).total_seconds() < 1800
     ]
     assert short
+
+
+def test_hourly_rollup_on_rocksdb_state_store_equals_batch(spark):
+    """Same watermarked rollup, RocksDB state store provider: at 100 TB
+    the stateful operators' keyspace (users, sessions, windows) cannot
+    live on the executor HEAP — RocksDB spills state to local disk
+    with bounded memory, which is the production configuration for
+    large-state streaming. The engine's operators must be
+    provider-agnostic: identical results under the default HDFS-backed
+    provider (every other test) and under RocksDB (this one)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, SF_SMALL)
+        rollup = hourly_rollup_stream(stream)
+        run_stream_to_memory(rollup, "rollup_rocksdb_test", output_mode="complete")
+        got = spark.sql("SELECT * FROM rollup_rocksdb_test")
+        want = events_hourly(spark, SF_SMALL)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
+            [tuple(r) for r in want.collect()], want.columns
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
