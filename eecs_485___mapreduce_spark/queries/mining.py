@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import scoped_persist, tokens
+from ..functions import md5_long_sql, scoped_persist, tokens
 from ..registry import register
 from ..sources import load_table, load_tables
 from .dedup import _SHINGLES, _shingle_relation
@@ -2179,4 +2179,165 @@ def mix_shift_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1000.0) * (r1 - r0) * (w1 - w0))
         .cast("long")
         .alias("interaction_milli"),
+    )
+
+
+# ------------------------------------------- Poisson bootstrap CI
+
+# Distributed bootstrap the way it's actually run at scale (Chamandy
+# et al., "Estimating Uncertainty for Massive Data Streams", Google
+# 2012): instead of resampling n rows WITH replacement (which needs
+# global coordination), every row independently receives a
+# Poisson(1) weight per replicate — the weight sum over a replicate
+# then behaves like a bootstrap resample. Weights are derandomized
+# with the package's integer-CDF trick (see dp_noisy_event_counts):
+# a 32-bit hash of (replicate, row key) is compared against
+# Python-precomputed cumulative thresholds of the Poisson(1) pmf, so
+# both engines only compare integers and the "randomness" is
+# reproducible row-for-row.
+_BOOT_B = 32            # replicates
+_BOOT_MAX_W = 4         # pmf truncated here; tail mass folds into 4
+_BOOT_SCALE = 1 << 32
+
+
+def _poisson1_thresholds() -> list[tuple[int, int, int]]:
+    import math
+
+    pmf = [math.exp(-1.0) / math.factorial(k) for k in range(_BOOT_MAX_W)]
+    pmf.append(1.0 - sum(pmf))  # truncate: P(w >= MAX) lumped at MAX
+    rows, lo, acc = [], 0, 0.0
+    for w, p in enumerate(pmf):
+        acc += p
+        hi = _BOOT_SCALE if w == _BOOT_MAX_W else min(_BOOT_SCALE, round(acc * _BOOT_SCALE))
+        rows.append((w, lo, hi))
+        lo = hi
+    return rows
+
+
+_BOOT_ROWS = _poisson1_thresholds()
+_BOOT_W_SQL = ", ".join(f"({w}, {lo}, {hi})" for w, lo, hi in _BOOT_ROWS)
+_BOOT_CI_LO_RK = 2      # 2nd smallest of 32 replicate means
+_BOOT_CI_HI_RK = _BOOT_B - 1  # 2nd largest
+
+
+@register(
+    "bootstrap_ci_order_value",
+    tags=("stats", "agg", "sketch"),
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    reps(b) AS (SELECT unnest(generate_series(0, {_BOOT_B - 1}))),
+    wts(w, lo, hi) AS (VALUES {_BOOT_W_SQL}),
+    weighted AS (
+      SELECT r.b, v.cents, wt.w
+      FROM v CROSS JOIN reps r
+      JOIN wts wt
+        ON ({md5_long_sql("'boot:' || CAST(r.b AS VARCHAR) || ':' || CAST(v.o_orderkey AS VARCHAR)")})
+           % {_BOOT_SCALE} >= wt.lo
+       AND ({md5_long_sql("'boot:' || CAST(r.b AS VARCHAR) || ':' || CAST(v.o_orderkey AS VARCHAR)")})
+           % {_BOOT_SCALE} < wt.hi
+    ),
+    rep_means AS (
+      SELECT b,
+             round(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+               AS rep_mean_cents
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT rep_mean_cents,
+             ROW_NUMBER() OVER (ORDER BY rep_mean_cents, b) AS rk
+      FROM rep_means
+    ),
+    point AS (
+      SELECT round(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6) AS mean_cents,
+             COUNT(*) AS n_rows
+      FROM v
+    )
+    SELECT p.mean_cents, p.n_rows,
+           lo.rep_mean_cents AS ci_lo_cents,
+           hi.rep_mean_cents AS ci_hi_cents,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM point p
+    CROSS JOIN (SELECT rep_mean_cents FROM ranked WHERE rk = {_BOOT_CI_LO_RK}) lo
+    CROSS JOIN (SELECT rep_mean_cents FROM ranked WHERE rk = {_BOOT_CI_HI_RK}) hi
+    """,
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value via the
+    derandomized Poisson bootstrap: every row gets a deterministic
+    Poisson(1) weight per replicate (32-bit hash against precomputed
+    integer CDF thresholds), replicate means are exact-integer
+    weighted sums with one final double division, and the CI is the
+    [2nd smallest, 2nd largest] of the 32 replicate means (~94%
+    nominal coverage) with (mean, b) as the deterministic rank
+    tie-break.
+
+    Scale (100 TB): no resampling shuffle exists — the 32x replicate
+    fan-out happens scan-side and collapses immediately into the
+    map-side partial agg, so the shuffle carries 32 (sum, count)
+    pairs per map task, not data. This is THE uncertainty-estimation
+    pattern for massive data (Chamandy et al. 2012); the naive
+    with-replacement bootstrap is unrunnable at this scale.
+
+    Reference parity: none (statistics beyond wordcount/grep,
+    mapreduce/__init__.py); SURVEY.md section 2.B stats family.
+    """
+    from ..functions import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = spark.createDataFrame([(b,) for b in range(_BOOT_B)], "b long")
+    wts = spark.createDataFrame(_BOOT_ROWS, "w long, lo long, hi long")
+    u32 = F.pmod(
+        md5_long(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ),
+        F.lit(_BOOT_SCALE),
+    )
+    weighted = (
+        v.crossJoin(F.broadcast(reps))
+        .withColumn("u32", u32)
+        .join(
+            F.broadcast(wts),
+            (F.col("u32") >= F.col("lo")) & (F.col("u32") < F.col("hi")),
+        )
+    )
+    rep_means = weighted.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("rep_mean_cents")
+    )
+    wrk = Window.orderBy("rep_mean_cents", "b")
+    ranked = rep_means.withColumn("rk", F.row_number().over(wrk))
+    point = v.agg(
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_cents"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo = ranked.where(F.col("rk") == _BOOT_CI_LO_RK).select(
+        F.col("rep_mean_cents").alias("ci_lo_cents")
+    )
+    hi = ranked.where(F.col("rk") == _BOOT_CI_HI_RK).select(
+        F.col("rep_mean_cents").alias("ci_hi_cents")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "mean_cents", "n_rows", "ci_lo_cents", "ci_hi_cents",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        )
     )
