@@ -2341,3 +2341,109 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BOOT_B).cast("long").alias("n_replicates"),
         )
     )
+
+
+# ------------------------------------------- zone-map skipping audit
+
+_ZM_N_FILES = 64
+_ZM_PROBE_LO = "1995-03-01"
+_ZM_PROBE_HI = "1995-03-31"
+
+
+@register(
+    "zonemap_skipping_audit",
+    tags=("layout", "window", "agg"),
+    oracle=f"""
+    WITH laid AS (
+      SELECT o_orderdate,
+             NTILE({_ZM_N_FILES}) OVER (ORDER BY o_orderkey) AS f_arrival,
+             NTILE({_ZM_N_FILES}) OVER (ORDER BY o_orderdate, o_orderkey)
+               AS f_sorted
+      FROM orders
+    ),
+    files AS (
+      SELECT 'arrival' AS layout, f_arrival AS file_id,
+             MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '{_ZM_PROBE_LO}'
+                            AND DATE '{_ZM_PROBE_HI}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM laid GROUP BY 2
+      UNION ALL
+      SELECT 'date_sorted', f_sorted,
+             MIN(o_orderdate), MAX(o_orderdate), COUNT(*),
+             CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '{_ZM_PROBE_LO}'
+                            AND DATE '{_ZM_PROBE_HI}' THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM laid GROUP BY 2
+    )
+    SELECT layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN min_d <= DATE '{_ZM_PROBE_HI}'
+                          AND max_d >= DATE '{_ZM_PROBE_LO}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(SUM(CASE WHEN min_d <= DATE '{_ZM_PROBE_HI}'
+                          AND max_d >= DATE '{_ZM_PROBE_LO}'
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM files GROUP BY 1
+    """,
+)
+def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data-skipping audit: lay the orders table out into
+    64 simulated files two ways (arrival order vs sorted by order
+    date), build each file's zone map (min/max date — what parquet
+    footers and table-format manifests store), and count how many
+    files/rows a one-month probe must scan under each layout. The
+    date-sorted layout prunes to ~1-2 files; arrival order scans all
+    of them — the measured argument for sort-on-write
+    (write_zorder_parquet / compact_small_files) rather than a
+    hand-waved one.
+
+    Determinism: NTILE over unique total orders (o_orderkey
+    tie-break) is identical cross-engine; everything else is date
+    comparison and integer counting.
+
+    Scale (100 TB): one window sort per layout at audit time (the
+    audit itself is the expensive diagnostic you run on a SAMPLE or
+    per partition); the point it proves — scan cost proportional to
+    matching zone maps, not table size — is what the real writer
+    delivers for free at query time. Output is 2 rows.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B layout family (zorder_orders_locality's audit
+    sibling).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    w_arrival = Window.orderBy("o_orderkey")
+    w_sorted = Window.orderBy("o_orderdate", "o_orderkey")
+    laid = orders.select(
+        "o_orderdate",
+        F.ntile(_ZM_N_FILES).over(w_arrival).alias("f_arrival"),
+        F.ntile(_ZM_N_FILES).over(w_sorted).alias("f_sorted"),
+    )
+    probe_lo, probe_hi = F.lit(_ZM_PROBE_LO).cast("date"), F.lit(_ZM_PROBE_HI).cast("date")
+    in_probe = F.col("o_orderdate").between(probe_lo, probe_hi)
+
+    def files(fcol: str, layout: str) -> DataFrame:
+        return (
+            laid.groupBy(F.col(fcol).alias("file_id"))
+            .agg(
+                F.min("o_orderdate").alias("min_d"),
+                F.max("o_orderdate").alias("max_d"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(in_probe, 1).otherwise(0)).cast("long").alias("n_match"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    allf = files("f_arrival", "arrival").unionByName(files("f_sorted", "date_sorted"))
+    scanned = (F.col("min_d") <= probe_hi) & (F.col("max_d") >= probe_lo)
+    return allf.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias("files_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+    )

@@ -818,3 +818,78 @@ def blocks_contiguous_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("crossing").cast("bigint").alias("n_crossing_docs"),
         (n_blocks * BLOCK_TOKENS - total).cast("bigint").alias("tail_waste"),
     )
+
+
+# ----------------------------------------- join IVM (delta propagation)
+
+# Incremental view maintenance for a JOIN view when BOTH sides change:
+#   V(A ∪ dA, B ∪ dB) = V(A,B) + dA⋈B + A⋈dB + dA⋈dB
+# (count/sum aggregates distribute over the union, so the three delta
+# terms ADD onto the stored view). The splits below simulate an
+# append batch on each side with deterministic key predicates.
+_IVM_ORD_DELTA = "o_orderkey % 10 = 0"   # ~10% of orders arrive in the batch
+_IVM_CUST_DELTA = "c_custkey % 7 = 0"    # ~14% of customers are new
+
+
+@register(
+    "ivm_join_orders_customers",
+    tags=("join", "agg", "pipeline"),
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view with changes on
+    BOTH sides: the engine computes base(A,B) + dA⋈B + A⋈dB + dA⋈dB
+    and the DuckDB oracle recomputes the full join from scratch — the
+    driver row passing means the delta algebra is EXACTLY right
+    (missing the dA⋈dB cross term, the classic IVM bug, shifts counts
+    and fails the hash).
+
+    Scale (100 TB): the production win is that the three delta terms
+    scan only the arriving batches (dA, dB are pushed-down predicate
+    scans here, standing in for the stored view + change feed): at a
+    1% daily append rate the maintenance cost is ~2% of a full
+    recompute. Each term is an equi-join on the same key; the dim
+    side broadcasts. The final combine is a 25-key agg of four
+    constant-size partial views.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B training-pipeline / incremental family (joins sibling
+    of events_incremental_hourly_merge's agg-only IVM).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    a_old = orders.where(f"NOT ({_IVM_ORD_DELTA})")
+    d_a = orders.where(_IVM_ORD_DELTA)
+    b_old = cust.where(f"NOT ({_IVM_CUST_DELTA})")
+    d_b = cust.where(_IVM_CUST_DELTA)
+
+    def view(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    base = view(a_old, b_old)
+    deltas = [view(d_a, b_old), view(a_old, d_b), view(d_a, d_b)]
+    merged = base
+    for d in deltas:
+        merged = merged.unionByName(d)
+    return merged.groupBy("c_nationkey").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+    )
