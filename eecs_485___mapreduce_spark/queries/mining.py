@@ -2447,3 +2447,70 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_scanned"),
         F.sum("n_match").cast("long").alias("rows_matching"),
     )
+
+
+# ------------------------------------------- trigram path mining
+
+_PATH_TOP_K = 20
+
+
+@register(
+    "event_trigram_paths",
+    tags=("events", "window", "agg"),
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths
+    ) WHERE rk <= {_PATH_TOP_K}
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common 3-step behavioral paths across all
+    users: per-user event sequences (deterministic (ts, event_id)
+    order) slide a LEAD window to form type trigrams, counted
+    globally — the third-order extension of the Markov transition
+    matrix (events_markov_transitions), the path-mining census every
+    journey-analysis product computes.
+
+    Scale (100 TB): one user_id-keyed window shuffle (shared shape
+    with sessionization/Markov), then a partial+final agg on the
+    |types|^3-bounded path key; top-k via TakeOrdered on the tiny
+    path relation. No self-joins — the naive 3-way event join is
+    O(n^3) per user.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B behavioral-mining family.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _PATH_TOP_K)
+        .select("path", "n")
+    )

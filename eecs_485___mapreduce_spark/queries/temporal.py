@@ -688,3 +688,89 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("covered").cast("long").alias("covered_s"),
         F.max("covered").cast("long").alias("longest_covered_s"),
     )
+
+
+# ------------------------------------------ seasonal decomposition
+
+_SEAS_HALF = 12  # centered 25-hour moving average window
+
+
+@register(
+    "seasonal_decompose_hourly",
+    tags=("datetime", "stats", "window", "events"),
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT hr, n,
+             CAST(SUM(n) OVER w AS BIGINT) * 40 AS trend_milli,
+             COUNT(*) OVER w AS w_n
+      FROM hourly
+      WINDOW w AS (ORDER BY hr
+                   ROWS BETWEEN {_SEAS_HALF} PRECEDING
+                            AND {_SEAS_HALF} FOLLOWING)
+    ),
+    dev AS (
+      SELECT CAST(EXTRACT(hour FROM hr) AS BIGINT) AS hod,
+             n * 1000 - trend_milli AS dev_milli
+      FROM trended WHERE w_n = {2 * _SEAS_HALF + 1}
+    )
+    SELECT hod,
+           COUNT(*) AS n_points,
+           round(CAST(CAST(SUM(dev_milli) AS BIGINT) AS DOUBLE)
+                 / (1000.0 * COUNT(*)), 3) AS seasonal_dev
+    FROM dev GROUP BY 1
+    """,
+)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the hourly event series:
+    trend = centered 25-hour moving average (full windows only),
+    seasonal component = mean detrended deviation per hour-of-day —
+    the additive decomposition behind every "is traffic at 3am
+    actually low, or is the day just trending down?" dashboard, and
+    the principled input to anomaly thresholds (compare residual, not
+    raw count). Complements acf_hourly_events (which only DETECTS the
+    daily cycle; this one MEASURES its shape).
+
+    Determinism: the 25-point mean is exact integer milli-units
+    (sum * 40 == sum * 1000/25); deviations stay integer until ONE
+    final rounded double division — identical IEEE ops cross-engine.
+
+    Scale (100 TB): the fact stream collapses to the hourly rollup
+    first (one partial+final agg); the moving-average window and the
+    24-key seasonal agg run over that calendar-bounded relation
+    (8.8k rows/year), the same constant-size-rollup pattern as
+    acf/CUSUM. The un-partitioned window is over that tiny rollup,
+    never the events.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B time-series family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.orderBy("hr")
+        .rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    )
+    trended = hourly.select(
+        "hr",
+        "n",
+        (F.sum("n").over(w).cast("long") * 40).alias("trend_milli"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    dev = trended.where(F.col("w_n") == 2 * _SEAS_HALF + 1).select(
+        F.hour("hr").cast("long").alias("hod"),
+        (F.col("n") * 1000 - F.col("trend_milli")).alias("dev_milli"),
+    )
+    return dev.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum("dev_milli").cast("long").cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1))),
+            3,
+        ).alias("seasonal_dev"),
+    )

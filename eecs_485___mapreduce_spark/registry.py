@@ -148,7 +148,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # bloom_semi_join_orders, bitmap_audience_overlap, and
 # heavy_hitters_tokens, ddsketch_price_quantiles,
 # interval_union_coverage, dp_noisy_event_counts,
-# budget_apportion_sources, and similarity_topk_pq)
+# budget_apportion_sources, similarity_topk_pq,
+# bootstrap_ci_order_value, ivm_join_orders_customers,
+# zonemap_skipping_audit, seasonal_decompose_hourly, and
+# event_trigram_paths)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
