@@ -2244,6 +2244,7 @@ _BOOT_CI_HI_RK = _BOOT_B - 1  # 2nd largest
              round(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
                AS rep_mean_cents
       FROM weighted GROUP BY b
+      HAVING SUM(w) > 0
     ),
     ranked AS (
       SELECT rep_mean_cents,
@@ -2312,12 +2313,21 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("u32") >= F.col("lo")) & (F.col("u32") < F.col("hi")),
         )
     )
-    rep_means = weighted.groupBy("b").agg(
-        F.round(
-            F.sum(F.col("w") * F.col("cents")).cast("double")
-            / F.sum("w").cast("double"),
-            6,
-        ).alias("rep_mean_cents")
+    # A replicate whose weights all landed on 0 (possible on a tiny
+    # corpus) is dropped on BOTH sides rather than risking 0/0
+    # NaN-rendering divergence between engines.
+    rep_means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "b",
+            F.round(F.col("swc").cast("double") / F.col("sw").cast("double"), 6)
+            .alias("rep_mean_cents"),
+        )
     )
     wrk = Window.orderBy("rep_mean_cents", "b")
     ranked = rep_means.withColumn("rk", F.row_number().over(wrk))
@@ -2467,7 +2477,8 @@ _PATH_TOP_K = 20
     ),
     paths AS (
       SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
-      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      FROM seq WHERE event_type IS NOT NULL
+        AND t2 IS NOT NULL AND t3 IS NOT NULL
       GROUP BY 1
     )
     SELECT path, n FROM (
@@ -2501,7 +2512,11 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("t3"),
     )
     paths = (
-        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        seq.where(
+            F.col("event_type").isNotNull()
+            & F.col("t2").isNotNull()
+            & F.col("t3").isNotNull()
+        )
         .select(
             F.concat_ws(">", "event_type", "t2", "t3").alias("path")
         )

@@ -75,6 +75,9 @@ EDGE_QUERIES = [
     # evaluation census: classes with zero predictions must surface
     # NULL precision identically through the FULL OUTER join
     "eval_langid_metrics",
+    # continuation batch: empty docs contribute zero tokens but the
+    # largest-remainder allocations must still sum exactly to budget
+    "budget_apportion_sources",
 ]
 
 
@@ -203,6 +206,14 @@ EDGE_EVENT_QUERIES = [
     "cohort_ltv_curve",
     "events_dow_hour_profile",
     "bot_rate_audit",
+    # continuation batch (event-shaped): NULL users drop out of the
+    # interval sweep; NULL types out of the DP scopes; the 25-hour
+    # trend window never fills on a 2-hour fixture (0 rows on BOTH
+    # sides is the agreed answer); trigrams need 3+ events per user
+    "interval_union_coverage",
+    "dp_noisy_event_counts",
+    "seasonal_decompose_hourly",
+    "event_trigram_paths",
 ]
 
 
@@ -457,6 +468,13 @@ EDGE_STAR_QUERIES = [
     # no customer clears the 9000 balance gate -> empty key set, empty
     # bloom map, empty verified result on both engines
     "bloom_semi_join_orders",
+    # continuation batch (star-shaped): log-bucket sketch, bootstrap
+    # weights, IVM delta algebra, and NTILE layouts on a 5-row orders
+    # fixture with dangling custkeys
+    "ddsketch_price_quantiles",
+    "bootstrap_ci_order_value",
+    "ivm_join_orders_customers",
+    "zonemap_skipping_audit",
 ]
 
 
