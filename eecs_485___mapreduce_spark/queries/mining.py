@@ -2410,44 +2410,89 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (write_zorder_parquet / compact_small_files) rather than a
     hand-waved one.
 
-    Determinism: NTILE over unique total orders (o_orderkey
-    tie-break) is identical cross-engine; everything else is date
-    comparison and integer counting.
+    Determinism: file assignment reproduces NTILE's exact bucket-size
+    rule (the first n mod k files get one extra row) from a GLOBAL
+    rank over a total order (o_orderkey tie-break) — identical
+    cross-engine; everything else is date comparison and integer
+    counting.
 
-    Scale (100 TB): one window sort per layout at audit time (the
-    audit itself is the expensive diagnostic you run on a SAMPLE or
-    per partition); the point it proves — scan cost proportional to
-    matching zone maps, not table size — is what the real writer
-    delivers for free at query time. Output is 2 rows.
+    Scale (100 TB): the oracle's ``NTILE() OVER (ORDER BY ...)``
+    would funnel the whole table through ONE partition, so the Spark
+    side instead derives the rank with the TeraSort pattern
+    (global_sort_orders): range shuffle -> per-partition offsets
+    (a |partitions|-row broadcast) -> parallel per-partition
+    row_number — one range shuffle + one pid-keyed window per layout,
+    never a single-partition sort. Output is 2 rows.
 
     Reference parity: none (wordcount/grep only); SURVEY.md
     section 2.B layout family (zorder_orders_locality's audit
     sibling).
     """
+    from ..functions import scoped_persist
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    w_arrival = Window.orderBy("o_orderkey")
-    w_sorted = Window.orderBy("o_orderdate", "o_orderkey")
-    laid = orders.select(
-        "o_orderdate",
-        F.ntile(_ZM_N_FILES).over(w_arrival).alias("f_arrival"),
-        F.ntile(_ZM_N_FILES).over(w_sorted).alias("f_sorted"),
-    )
     probe_lo, probe_hi = F.lit(_ZM_PROBE_LO).cast("date"), F.lit(_ZM_PROBE_HI).cast("date")
     in_probe = F.col("o_orderdate").between(probe_lo, probe_hi)
 
-    def files(fcol: str, layout: str) -> DataFrame:
+    def dist_rank(order_cols: list, tag: str) -> DataFrame:
+        """Exact global rank without a single-partition window:
+        range-partition on the sort key, broadcast the exclusive
+        per-partition prefix offsets, rank locally per partition."""
+        ranged = orders.repartitionByRange(32, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        ranged = scoped_persist((f"zonemap_rank_{tag}", sf_dir), ranged)
+        off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            ranged.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select("_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"))
+        )
+        local_w = Window.partitionBy("_pid").orderBy(*order_cols)
         return (
-            laid.groupBy(F.col(fcol).alias("file_id"))
-            .agg(
-                F.min("o_orderdate").alias("min_d"),
-                F.max("o_orderdate").alias("max_d"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(in_probe, 1).otherwise(0)).cast("long").alias("n_match"),
+            ranged.withColumn("_local", F.row_number().over(local_w))
+            .join(F.broadcast(offsets), "_pid")
+            .select(
+                "o_orderdate", (F.col("_off") + F.col("_local")).alias("rank")
             )
-            .withColumn("layout", F.lit(layout))
         )
 
-    allf = files("f_arrival", "arrival").unionByName(files("f_sorted", "date_sorted"))
+    def with_file_id(ranked: DataFrame, layout: str) -> DataFrame:
+        """NTILE(k) from the global rank: with n rows the first
+        r = n mod k files hold big = n div k + 1 rows each, the rest
+        hold small = n div k."""
+        tot = ranked.agg(F.count(F.lit(1)).alias("_tot"))
+        k = F.lit(_ZM_N_FILES)
+        small = F.expr(f"_tot div {_ZM_N_FILES}")
+        big, r = small + 1, F.col("_tot") % k
+        in_big = F.col("rank") <= r * big
+        file_id = F.when(
+            in_big, F.floor((F.col("rank") - 1) / big) + 1
+        ).otherwise(
+            r
+            + F.floor((F.col("rank") - r * big - 1) / F.greatest(small, F.lit(1)))
+            + 1
+        )
+        return ranked.crossJoin(F.broadcast(tot)).select(
+            "o_orderdate",
+            file_id.cast("int").alias("file_id"),
+            F.lit(layout).alias("layout"),
+        )
+
+    laid = with_file_id(
+        dist_rank([F.asc("o_orderkey")], "arrival"), "arrival"
+    ).unionByName(
+        with_file_id(
+            dist_rank([F.asc("o_orderdate"), F.asc("o_orderkey")], "sorted"),
+            "date_sorted",
+        )
+    )
+    allf = laid.groupBy("layout", "file_id").agg(
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(in_probe, 1).otherwise(0)).cast("long").alias("n_match"),
+    )
     scanned = (F.col("min_d") <= probe_hi) & (F.col("max_d") >= probe_lo)
     return allf.groupBy("layout").agg(
         F.count(F.lit(1)).alias("n_files"),

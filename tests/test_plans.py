@@ -582,3 +582,18 @@ def test_registry_wide_no_cartesian(spark):
     for name, q in all_queries().items():
         plan = physical_plan(q.fn(spark, SF_SMALL))
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_zonemap_audit_rank_is_range_partitioned_not_single_window(spark):
+    """Both simulated layouts must derive their file ids from the
+    TeraSort-style distributed rank (range shuffle + pid-keyed local
+    windows) — never from an NTILE/ORDER BY window pulling the whole
+    orders relation through one partition. The only unpartitioned
+    windows allowed are the two <=32-row offset prefix sums."""
+    from eecs_485___mapreduce_spark.queries.mining import zonemap_skipping_audit
+
+    plan = physical_plan(zonemap_skipping_audit(spark, SF_SMALL))
+    low = plan.lower()
+    assert low.count("rangepartitioning") >= 2, plan
+    assert "hashpartitioning(_pid" in low, plan
+    assert "ntile" not in low, plan
