@@ -1413,3 +1413,266 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo.cast("long").alias("lo_cents"), hi.cast("long").alias("hi_cents"),
         )
     )
+
+
+# ------------------------------------------- two-pass exact median
+
+# Exact order statistics at scale: a full sort (or a single-partition
+# percentile window) is unrunnable over 100 TB, but an EXACT median
+# needs only (1) a bounded histogram pass to locate the bucket that
+# contains the target rank, then (2) a ranked scan of THAT bucket's
+# rows alone — the classic two-pass selection algorithm
+# (Munro-Paterson family), here per group.
+_MED_BUCKET_CENTS = 100_000  # $1,000-wide histogram buckets
+
+
+@register(
+    "exact_median_twopass",
+    tags=("agg", "stats", "window"),
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT status, cents,
+             ROW_NUMBER() OVER (PARTITION BY status
+                                ORDER BY cents, o_orderkey) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY status) AS BIGINT) AS n_rows
+      FROM v
+    )
+    SELECT status, n_rows, cents AS median_cents
+    FROM ranked WHERE rk = (n_rows + 1) // 2
+    """,
+)
+def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-status median order value computed with the two-pass
+    selection algorithm: pass 1 builds a $1,000-bucket histogram and
+    locates, per status, the bucket containing rank (n+1) div 2; pass
+    2 ranks ONLY that bucket's rows and picks the residual rank. The
+    oracle computes the same median the direct way (global ranked
+    window), so the driver row certifies the bucket-localization
+    algebra exactly.
+
+    Scale (100 TB): the oracle's form needs a per-group total sort;
+    the engine's form needs one bounded-key histogram aggregation
+    (≤ ~500 buckets per status), a 3-row broadcast of the located
+    buckets, and a ranked window over a single bucket's occupancy
+    (~n/buckets rows — with finer buckets, arbitrarily small). This
+    is how exact medians/percentiles are actually computed over data
+    that cannot be sorted, and the exact complement to the
+    approx_percentiles / ddsketch entries.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B stats family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    b = F.expr(f"cents div {_MED_BUCKET_CENTS}")
+    hist = v.groupBy("status", b.alias("b")).agg(F.count(F.lit(1)).alias("n_b"))
+    tot = hist.groupBy("status").agg(F.sum("n_b").cast("long").alias("n_rows"))
+    wcum = (
+        Window.partitionBy("status")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "status", "b", "n_b", F.sum("n_b").over(wcum).cast("long").alias("cum")
+    )
+    r = F.expr("(n_rows + 1) div 2")
+    wfirst = Window.partitionBy("status").orderBy("b")
+    target = (
+        cum.join(F.broadcast(tot), "status")
+        .withColumn("r", r)
+        .where(F.col("cum") >= F.col("r"))
+        .withColumn("first", F.row_number().over(wfirst))
+        .where(F.col("first") == 1)
+        .select(
+            F.col("status").alias("t_status"),
+            F.col("b").alias("t_b"),
+            "n_rows",
+            (F.col("r") - (F.col("cum") - F.col("n_b"))).alias("resid_rk"),
+        )
+    )
+    sel = v.join(
+        F.broadcast(target),
+        (F.col("status") == F.col("t_status")) & (b == F.col("t_b")),
+    ).select("status", "cents", "o_orderkey", "n_rows", "resid_rk")
+    wr = Window.partitionBy("status").orderBy("cents", "o_orderkey")
+    return (
+        sel.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == F.col("resid_rk"))
+        .select("status", "n_rows", F.col("cents").alias("median_cents"))
+    )
+
+
+# ------------------------------------------- Merkle bucket diff
+
+# Anti-entropy repair the way replicated stores do it (Dynamo/
+# Cassandra Merkle trees): both replicas summarize key ranges into a
+# small tree of order-independent bucket hashes; comparing trees
+# top-down localizes drift to a few leaf buckets, and only THOSE
+# buckets' rows are resynced — O(buckets) comparison + O(drifted
+# rows) transfer instead of a full-table diff. The "replica" here is
+# a deterministic simulated drift of the orders table.
+_MK_N_LEAVES = 256
+_MK_N_GROUPS = 16
+_MK_MOD_EVERY = 997    # ~0.1% of keys get a price drift
+_MK_DEL_EVERY = 1009   # ~0.1% of keys are missing on the replica
+
+_MK_ROW_HASH = (
+    "'mk:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR)"
+)
+
+
+@register(
+    "merkle_bucket_diff_orders",
+    tags=("hash", "audit", "agg"),
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    replica AS (
+      SELECT o_orderkey,
+             cents + CASE WHEN o_orderkey % {_MK_MOD_EVERY} = 0
+                          THEN 100 ELSE 0 END AS cents
+      FROM base WHERE o_orderkey % {_MK_DEL_EVERY} <> 0
+    ),
+    bh AS (
+      SELECT o_orderkey % {_MK_N_LEAVES} AS leaf,
+             (o_orderkey % {_MK_N_LEAVES}) // {_MK_N_LEAVES // _MK_N_GROUPS}
+               AS grp,
+             {md5_long_sql(_MK_ROW_HASH)} AS h, 1 AS n
+      FROM base
+    ),
+    rh AS (
+      SELECT o_orderkey % {_MK_N_LEAVES} AS leaf,
+             (o_orderkey % {_MK_N_LEAVES}) // {_MK_N_LEAVES // _MK_N_GROUPS}
+               AS grp,
+             {md5_long_sql(_MK_ROW_HASH)} AS h, 1 AS n
+      FROM replica
+    ),
+    leaves AS (
+      SELECT COALESCE(b.leaf, r.leaf) AS leaf,
+             COALESCE(b.grp, r.grp) AS grp,
+             COALESCE(b.n_rows, 0) AS base_rows,
+             b.hash IS DISTINCT FROM r.hash AS leaf_diff
+      FROM (SELECT leaf, grp, bit_xor(h) AS hash,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM bh GROUP BY 1, 2) b
+      FULL OUTER JOIN
+           (SELECT leaf, grp, bit_xor(h) AS hash FROM rh GROUP BY 1, 2) r
+        ON b.leaf = r.leaf
+    ),
+    grp_diff AS (
+      SELECT grp, MAX(CASE WHEN leaf_diff THEN 1 ELSE 0 END) AS g_diff,
+             CAST(SUM(base_rows) AS BIGINT) AS g_rows
+      FROM leaves GROUP BY 1
+    )
+    SELECT 'group' AS level,
+           CAST({_MK_N_GROUPS} AS BIGINT) AS n_buckets,
+           CAST(SUM(g_diff) AS BIGINT) AS n_mismatched,
+           CAST(SUM(CASE WHEN g_diff = 1 THEN g_rows ELSE 0 END) AS BIGINT)
+             AS rows_to_resync
+    FROM grp_diff
+    UNION ALL
+    SELECT 'leaf',
+           CAST({_MK_N_LEAVES} AS BIGINT),
+           CAST(SUM(CASE WHEN leaf_diff THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN leaf_diff THEN base_rows ELSE 0 END) AS BIGINT)
+    FROM leaves
+    """,
+)
+def merkle_bucket_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle-tree anti-entropy diff against a simulated
+    drifted replica (~0.1% of keys price-shifted, ~0.1% missing):
+    per-leaf XOR hashes localize exactly which of 256 key buckets
+    drifted, the 16-group level shows how the tree's coarser tier
+    narrows before descending, and rows_to_resync quantifies the
+    payoff — repair transfers only mismatched-bucket rows, not the
+    table.
+
+    Determinism: bucket hashes are XORs of 60-bit md5 row hashes —
+    order- and partitioning-independent on both engines; presence
+    asymmetries surface through the FULL OUTER join's
+    IS DISTINCT FROM.
+
+    Scale (100 TB): each side is ONE scan into a 256-key partial-agg
+    (the tree fits in a driver page; levels deepen logarithmically
+    for narrower localization); the tree comparison is a 256-row
+    full outer join. This is the repair primitive behind
+    integrity_checksum_orders' per-status fingerprint.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B audit/sketch family.
+    """
+    sub = _MK_N_LEAVES // _MK_N_GROUPS
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    replica = base.where(F.col("o_orderkey") % _MK_DEL_EVERY != 0).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % _MK_MOD_EVERY == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+
+    def tree(df: DataFrame, with_rows: bool) -> DataFrame:
+        h = md5_long(
+            F.concat(
+                F.lit("mk:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("cents").cast("string"),
+            )
+        )
+        leaf = (F.col("o_orderkey") % _MK_N_LEAVES).alias("leaf")
+        rows = df.select(leaf, h.alias("h"))
+        aggs = [F.bit_xor("h").alias("hash")]
+        if with_rows:
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        return rows.groupBy("leaf").agg(*aggs)
+
+    b = tree(base, True)
+    r = tree(replica, False).select(
+        F.col("leaf").alias("r_leaf"), F.col("hash").alias("r_hash")
+    )
+    leaves = b.join(r, b["leaf"] == r["r_leaf"], "full_outer").select(
+        F.coalesce("leaf", "r_leaf").alias("leaf"),
+        F.coalesce("n_rows", F.lit(0)).alias("base_rows"),
+        F.expr("hash IS DISTINCT FROM r_hash").alias("leaf_diff"),
+    ).withColumn("grp", F.expr(f"leaf div {sub}"))
+
+    grp = leaves.groupBy("grp").agg(
+        F.max(F.when(F.col("leaf_diff"), 1).otherwise(0)).alias("g_diff"),
+        F.sum("base_rows").cast("long").alias("g_rows"),
+    )
+    g_row = grp.agg(
+        F.lit("group").alias("level"),
+        F.lit(_MK_N_GROUPS).cast("long").alias("n_buckets"),
+        F.sum("g_diff").cast("long").alias("n_mismatched"),
+        F.sum(F.when(F.col("g_diff") == 1, F.col("g_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_to_resync"),
+    )
+    l_row = leaves.agg(
+        F.lit("leaf").alias("level"),
+        F.lit(_MK_N_LEAVES).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("leaf_diff"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.sum(F.when(F.col("leaf_diff"), F.col("base_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_to_resync"),
+    )
+    return g_row.unionByName(l_row)

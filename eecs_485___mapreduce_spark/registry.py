@@ -150,8 +150,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # interval_union_coverage, dp_noisy_event_counts,
 # budget_apportion_sources, similarity_topk_pq,
 # bootstrap_ci_order_value, ivm_join_orders_customers,
-# zonemap_skipping_audit, seasonal_decompose_hourly, and
-# event_trigram_paths)
+# zonemap_skipping_audit, seasonal_decompose_hourly,
+# event_trigram_paths, exact_median_twopass, and
+# merkle_bucket_diff_orders)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.

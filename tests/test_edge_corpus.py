@@ -475,6 +475,12 @@ EDGE_STAR_QUERIES = [
     "bootstrap_ci_order_value",
     "ivm_join_orders_customers",
     "zonemap_skipping_audit",
+    # two-pass selection on a 5-row fixture: every bucket is its own
+    # residual-rank case
+    "exact_median_twopass",
+    # drift predicates miss every fixture key -> the replica is
+    # identical and both levels must report zero mismatches
+    "merkle_bucket_diff_orders",
 ]
 
 
