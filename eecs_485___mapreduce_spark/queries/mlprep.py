@@ -893,3 +893,148 @@ def ivm_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("long").alias("n_orders"),
         F.sum("revenue_cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------- consistent-hash rebalance audit
+
+# Growing a mod-N layout by one shard remaps ~N/(N+1) of all keys;
+# a consistent-hash ring remaps ~1/(N+1). This audit MEASURES both
+# on the real key population — the number every resharding plan
+# (shuffle shards, cache nodes, kafka-style partition growth) needs
+# before touching 100 TB. Ring math is integer-exact: 40-bit md5
+# hashes, clockwise distance = (vnode - key) mod 2^40, assignment =
+# argmin distance packed as dist*64+shard so ONE MIN aggregate is
+# deterministic on both engines.
+_CH_SHARDS = 32
+_CH_VNODES = 8          # virtual nodes per shard on the ring
+_CH_HASH_BITS = 40
+_CH_SCALE = 1 << _CH_HASH_BITS
+
+
+def _h40_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 10)) AS BIGINT)"
+
+
+@register(
+    "consistent_hash_rebalance",
+    tags=("hash", "layout", "agg"),
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey AS k, {_h40_sql("'k:' || CAST(o_orderkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    vn AS (
+      SELECT s.shard, v.vnode,
+             {_h40_sql("'vn:' || CAST(s.shard AS VARCHAR) || ':' || CAST(v.vnode AS VARCHAR)")} AS vh
+      FROM (SELECT unnest(generate_series(0, {_CH_SHARDS})) AS shard) s,
+           (SELECT unnest(generate_series(0, {_CH_VNODES - 1})) AS vnode) v
+    ),
+    assign AS (
+      SELECT k,
+             CAST(MIN(CASE WHEN vn.shard < {_CH_SHARDS}
+                  THEN ((vn.vh - keys.h + {_CH_SCALE}) % {_CH_SCALE}) * 64 + vn.shard
+                  END) % 64 AS BIGINT) AS ring_before,
+             CAST(MIN(((vn.vh - keys.h + {_CH_SCALE}) % {_CH_SCALE}) * 64 + vn.shard)
+                  % 64 AS BIGINT) AS ring_after
+      FROM keys CROSS JOIN vn GROUP BY k
+    ),
+    census AS (
+      SELECT 'mod_n' AS strategy,
+             COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN k % {_CH_SHARDS} <> k % {_CH_SHARDS + 1}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      FROM keys
+      UNION ALL
+      SELECT 'consistent_ring', COUNT(*),
+             CAST(SUM(CASE WHEN ring_before <> ring_after THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM assign
+    )
+    SELECT strategy, n_keys, n_moved,
+           n_moved * 100000 // n_keys AS moved_per_100k
+    FROM census
+    """,
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured rebalance cost of adding one shard (32 -> 33) under
+    mod-N hashing vs a consistent-hash ring with 8 virtual nodes per
+    shard, over the real order-key population: mod-N moves ~97% of
+    keys, the ring ~3% — the audit behind every resharding decision
+    (shuffle_shard_assignment's growth story).
+
+    Determinism: 40-bit md5 hashes; ring assignment = MIN over
+    (clockwise_distance * 64 + shard) — one packed integer argmin,
+    identical cross-engine; wrap-around handled by modular distance
+    (no special case).
+
+    Scale (100 TB): the vnode table (33 x 8 rows) broadcasts; per-key
+    assignment is a scan-side fan-out into a map-side partial MIN
+    (the shuffle carries one row per key, immediately re-aggregated
+    into the 2x3 census). Both epochs' assignments come from the SAME
+    pass (the before-ring is the CASE-filtered subset of the after
+    ring's vnodes).
+
+    Reference parity: the reference hard-codes md5(key) % R routing
+    (mapreduce/worker/__main__.py:142-144, SURVEY.md section 2.A
+    row 4) — exactly the mod-N strategy whose resharding cost this
+    audit quantifies; the ring is the production alternative.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def h40(c) -> F.Column:
+        return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("long")
+
+    keys = orders.select(
+        F.col("o_orderkey").alias("k"),
+        h40(F.concat(F.lit("k:"), F.col("o_orderkey").cast("string"))).alias("h"),
+    )
+    vn = (
+        spark.range(_CH_SHARDS + 1)
+        .select(F.col("id").alias("shard"))
+        .crossJoin(spark.range(_CH_VNODES).select(F.col("id").alias("vnode")))
+        .select(
+            "shard",
+            h40(
+                F.concat(
+                    F.lit("vn:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("vnode").cast("string"),
+                )
+            ).alias("vh"),
+        )
+    )
+    dist = F.pmod(F.col("vh") - F.col("h") + _CH_SCALE, F.lit(_CH_SCALE))
+    packed = dist * 64 + F.col("shard")
+    assign = (
+        keys.crossJoin(F.broadcast(vn))
+        .groupBy("k")
+        .agg(
+            (F.min(F.when(F.col("shard") < _CH_SHARDS, packed)) % 64)
+            .cast("long")
+            .alias("ring_before"),
+            (F.min(packed) % 64).cast("long").alias("ring_after"),
+        )
+    )
+    mod_n = keys.agg(
+        F.lit("mod_n").alias("strategy"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(
+                F.col("k") % _CH_SHARDS != F.col("k") % (_CH_SHARDS + 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+    ring = assign.agg(
+        F.lit("consistent_ring").alias("strategy"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("ring_before") != F.col("ring_after"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    return (
+        mod_n.unionByName(ring)
+        .withColumn("moved_per_100k", F.expr("n_moved * 100000 div n_keys"))
+    )

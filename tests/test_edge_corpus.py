@@ -481,6 +481,9 @@ EDGE_STAR_QUERIES = [
     # drift predicates miss every fixture key -> the replica is
     # identical and both levels must report zero mismatches
     "merkle_bucket_diff_orders",
+    # 5-key ring: the packed-argmin assignment and mod-N census must
+    # agree exactly even when some shards own zero keys
+    "consistent_hash_rebalance",
 ]
 
 
