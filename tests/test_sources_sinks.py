@@ -430,3 +430,50 @@ def test_parquet_codec_matrix_roundtrip(spark, tmp_path):
     df.write.option("compression", "zstd").parquet(mixed)
     df.write.mode("append").option("compression", "gzip").parquet(mixed)
     assert spark.read.parquet(mixed).count() == 2 * df.count()
+
+
+def test_manifested_parquet_prunes_files_and_preserves_results(spark, tmp_path):
+    """Iceberg-lite manifest layer: the writer's per-file zone maps
+    must let a range probe (1) open only intersecting files, (2) never
+    lose a matching row (zone maps are false-positive-only), and (3)
+    return exactly the full-scan answer once the caller applies the
+    predicate. An out-of-domain probe must prune EVERYTHING without
+    touching a data file."""
+    from eecs_485___mapreduce_spark.sinks import (
+        read_manifest_pruned,
+        write_manifested_parquet,
+    )
+
+    table = str(tmp_path / "orders_manifested")
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "o_orderdate_s", F.col("o_orderdate").cast("string")
+    )
+    manifest = write_manifested_parquet(
+        orders, table, zone_cols=["o_orderdate_s"], num_files=16
+    )
+    assert len(manifest) == 16
+    assert sum(m["rows"] for m in manifest.values()) == orders.count()
+
+    lo, hi = "1995-03-01", "1995-03-31"
+    pruned, stats = read_manifest_pruned(spark, table, "o_orderdate_s", lo, hi)
+    assert stats["total_files"] == 16
+    # date-clustered layout -> the one-month probe touches few files
+    assert 0 < stats["files_read"] <= 3, stats
+
+    got = sorted(
+        r.o_orderkey
+        for r in pruned.where(F.col("o_orderdate_s").between(lo, hi)).collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in orders.where(F.col("o_orderdate_s").between(lo, hi)).collect()
+    )
+    assert got == want and want  # identical AND nonempty
+    assert stats["rows_in_read_files"] >= len(want)
+
+    # out-of-domain probe: manifest alone decides — zero files read
+    empty, estats = read_manifest_pruned(
+        spark, table, "o_orderdate_s", "2099-01-01", "2099-12-31"
+    )
+    assert estats["files_read"] == 0
+    assert empty.count() == 0
