@@ -562,3 +562,100 @@ def rtbf_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("lineitem", li_n))
         .orderBy("tbl")
     )
+
+
+# ------------------------------------------------ join-skew profiler
+
+# The diagnostic that decides WHEN the salting tools in operators/
+# skew.py are worth their overhead: for each prospective join/agg key,
+# how concentrated is the key distribution, and how many salts would
+# flatten the hottest key to roughly an average shuffle partition?
+_SKEW_N_PARTITIONS = 32  # the session's shuffle width
+
+
+@register(
+    "join_skew_profile",
+    tags=("pipeline", "agg", "audit"),
+    oracle=f"""
+    WITH per_key AS (
+      SELECT 'events.user_id' AS key_col, CAST(user_id AS VARCHAR) AS k,
+             COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 2
+      UNION ALL
+      SELECT 'events.event_type', event_type, COUNT(*)
+      FROM events WHERE event_type IS NOT NULL GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR), COUNT(*)
+      FROM lineitem GROUP BY 2
+    )
+    SELECT key_col,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           MAX(n) * 1000000 // CAST(SUM(n) AS BIGINT) AS top_share_micro,
+           MAX(n) * COUNT(*) * 100 // CAST(SUM(n) AS BIGINT) AS skew_factor_pct,
+           CAST(CASE WHEN MAX(n) * {_SKEW_N_PARTITIONS} <= CAST(SUM(n) AS BIGINT)
+                     THEN 1
+                     ELSE (MAX(n) * {_SKEW_N_PARTITIONS}
+                           + CAST(SUM(n) AS BIGINT) - 1)
+                          // CAST(SUM(n) AS BIGINT)
+                END AS BIGINT) AS recommended_salts
+    FROM per_key GROUP BY 1
+    """,
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profile for the three join/agg keys the
+    workload actually shuffles on: rows, distinct keys, the hottest
+    key's row count and per-million share, a skew factor (hottest key
+    vs perfectly uniform, percent), and the salt count that would
+    flatten the hottest key to about one average shuffle partition —
+    ceil(max_key_rows * P / n_rows). This is the measurement that
+    justifies (or vetoes) operators/skew.py's salted join: salting a
+    uniform key only adds a shuffle.
+
+    Determinism: all integer (exact ceil-division in BIGINT).
+
+    Scale (100 TB): one partial+final count per key column (the same
+    shuffle the profiled join would pay, but carrying (key, count)
+    pairs only), then a constant-size census per column. At cluster
+    scale you run this on a TABLESAMPLE; shares and the salt
+    recommendation are scale-free so the sample estimate carries.
+
+    Reference parity: the reference's md5 % R routing has exactly
+    this hot-key failure mode and no diagnostic for it
+    (mapreduce/worker/__main__.py:142-144); SURVEY.md section 2.B
+    training-pipeline/skew family.
+    """
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return per_key.agg(
+            F.lit(label).alias("key_col"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").cast("long").alias("max_key_rows"),
+        )
+
+    base = (
+        profile(events, "user_id", "events.user_id")
+        .unionByName(profile(events, "event_type", "events.event_type"))
+        .unionByName(profile(lineitem, "l_orderkey", "lineitem.l_orderkey"))
+    )
+    return base.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr("max_key_rows * 1000000 div n_rows").alias("top_share_micro"),
+        F.expr("max_key_rows * n_keys * 100 div n_rows").alias("skew_factor_pct"),
+        F.expr(
+            f"CASE WHEN max_key_rows * {_SKEW_N_PARTITIONS} <= n_rows THEN 1L "
+            f"ELSE (max_key_rows * {_SKEW_N_PARTITIONS} + n_rows - 1) div n_rows "
+            "END"
+        ).alias("recommended_salts"),
+    )
