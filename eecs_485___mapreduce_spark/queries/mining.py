@@ -2574,3 +2574,112 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PATH_TOP_K)
         .select("path", "n")
     )
+
+
+# ------------------------------------------- encoding advisor
+
+# Storage-layout advisor: for each candidate string column, estimate
+# the bytes a dictionary encoding would use (distinct values' chars +
+# a code per row, width = bytes needed for the cardinality) vs plain
+# encoding (every value's chars), and recommend the winner — the
+# decision parquet writers make per column chunk, surfaced as a
+# queryable census so wide-table layout reviews don't guess.
+
+
+@register(
+    "encoding_advisor",
+    tags=("layout", "agg", "string"),
+    oracle="""
+    WITH cols AS (
+      SELECT 'orders.o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'documents.source', source FROM documents
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+    ),
+    stats AS (
+      SELECT col_name,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT v) AS n_distinct,
+             CAST(SUM(length(v)) AS BIGINT) AS plain_bytes
+      FROM cols WHERE v IS NOT NULL GROUP BY 1
+    ),
+    dict_side AS (
+      SELECT col_name, CAST(SUM(length(v)) AS BIGINT) AS dict_value_bytes
+      FROM (SELECT DISTINCT col_name, v FROM cols WHERE v IS NOT NULL)
+      GROUP BY 1
+    )
+    SELECT s.col_name, s.n_rows, s.n_distinct, s.plain_bytes,
+           d.dict_value_bytes
+             + s.n_rows * CASE WHEN s.n_distinct <= 256 THEN 1
+                               WHEN s.n_distinct <= 65536 THEN 2
+                               ELSE 4 END AS dict_bytes,
+           CASE WHEN d.dict_value_bytes
+                     + s.n_rows * CASE WHEN s.n_distinct <= 256 THEN 1
+                                       WHEN s.n_distinct <= 65536 THEN 2
+                                       ELSE 4 END < s.plain_bytes
+                THEN 'dictionary' ELSE 'plain' END AS recommended
+    FROM stats s JOIN dict_side d ON d.col_name = s.col_name
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-vs-plain encoding advisor over four representative
+    string columns: plain cost = total value bytes; dictionary cost =
+    distinct values' bytes + one code per row sized by cardinality
+    (1/2/4 bytes). Low-cardinality enums (order status, priority,
+    source, lang) come out 'dictionary' by an order of magnitude —
+    the same per-chunk decision a parquet writer makes, exposed as a
+    reviewable census for schema/layout design.
+
+    Scale (100 TB): per column, one partial+final agg for the row
+    census and one DISTINCT aggregation bounded by the column's
+    cardinality (these are enum-like columns — the advisor is exactly
+    for deciding that); no joins beyond the |columns|-row combine. On
+    a petabyte table you run it per partition or on a TABLESAMPLE —
+    byte RATIOS, not totals, drive the recommendation.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B layout family (catalog_table_stats' encoding
+    sibling).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    cols = (
+        orders.select(F.lit("orders.o_orderstatus").alias("col_name"),
+                      F.col("o_orderstatus").alias("v"))
+        .unionByName(orders.select(F.lit("orders.o_orderpriority").alias("col_name"),
+                                   F.col("o_orderpriority").alias("v")))
+        .unionByName(docs.select(F.lit("documents.source").alias("col_name"),
+                                 F.col("source").alias("v")))
+        .unionByName(docs.select(F.lit("documents.lang").alias("col_name"),
+                                 F.col("lang").alias("v")))
+        .where(F.col("v").isNotNull())
+    )
+    stats = cols.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum(F.length("v")).cast("long").alias("plain_bytes"),
+    )
+    dict_side = (
+        cols.distinct()
+        .groupBy("col_name")
+        .agg(F.sum(F.length("v")).cast("long").alias("dict_value_bytes"))
+    )
+    code_w = (
+        F.when(F.col("n_distinct") <= 256, 1)
+        .when(F.col("n_distinct") <= 65536, 2)
+        .otherwise(4)
+    )
+    dict_bytes = F.col("dict_value_bytes") + F.col("n_rows") * code_w
+    return (
+        stats.join(dict_side, "col_name")
+        .select(
+            "col_name", "n_rows", "n_distinct", "plain_bytes",
+            dict_bytes.cast("long").alias("dict_bytes"),
+            F.when(dict_bytes < F.col("plain_bytes"), "dictionary")
+            .otherwise("plain")
+            .alias("recommended"),
+        )
+    )
