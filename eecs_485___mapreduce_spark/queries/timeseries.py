@@ -766,3 +766,102 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_errors",
         )
     )
+
+
+# ------------------------------- two-level sessionization (hot users)
+
+
+@register(
+    "sessionize_two_level_stitch",
+    tags=("window", "pipeline"),
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S} THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def sessionize_two_level_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization that survives HOT USERS: level 1 sessionizes
+    inside (user_id, day) partitions — a year-long bot with 100M
+    events becomes 365 independent window partitions instead of one —
+    and level 2 stitches sessions that span midnight (next session's
+    first second within the gap of the previous session's last) over
+    the per-day SESSION relation, which is orders of magnitude
+    smaller than the event stream. The oracle is the PLAIN
+    single-window sessionization, so the driver row certifies that
+    split-then-stitch is exactly equivalent to the direct algorithm —
+    the claim every two-level sessionizer rests on.
+
+    Equivalence argument (oracle-verified, not just asserted): day
+    pieces of one logical session meet exactly at consecutive
+    boundary events, so comparing piece endpoints with the same
+    gap rule reconstructs the original breaks; sessions are time-
+    disjoint per user, so (day, in-day id) order IS time order.
+
+    Scale (100 TB): the event-scale window is keyed by (user_id,
+    day) — bounded per partition no matter how hot the user; the
+    stitch window is per user over sessions (not events). Exact
+    decimal value sums re-aggregate associatively, so two-level
+    totals are bit-identical to single-pass totals.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B sessionization family (sessionize_users' scale form,
+    the pattern the interval/sweep docstrings reference).
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts")
+    base = events.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        dec("value").alias("value_d"),
+    )
+    w1 = Window.partitionBy("user_id", "day").orderBy("s", "event_id")
+    flagged = base.select(
+        "user_id", "day", "s", "value_d",
+        F.when(F.lag("s").over(w1).isNull(), 0)
+        .when(F.col("s") - F.lag("s").over(w1) > SESSION_GAP_S, 1)
+        .otherwise(0)
+        .alias("new_in_day"),
+        F.col("event_id"),
+    )
+    w1run = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pieces = (
+        flagged.withColumn("sess", F.sum("new_in_day").over(w1run))
+        .groupBy("user_id", "day", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("s").alias("start_s"),
+            F.max("s").alias("end_s"),
+            F.sum("value_d").alias("value_sum"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("day", "sess")
+    stitched = pieces.select(
+        "user_id", "n_events", "value_sum",
+        F.when(F.lag("end_s").over(w2).isNull(), 1)
+        .when(F.col("start_s") - F.lag("end_s").over(w2) > SESSION_GAP_S, 1)
+        .otherwise(0)
+        .alias("new_merged"),
+    )
+    return stitched.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("new_merged").cast("bigint").alias("n_sessions"),
+        F.sum("value_sum").cast("double").alias("total_value"),
+    )

@@ -214,6 +214,9 @@ EDGE_EVENT_QUERIES = [
     "dp_noisy_event_counts",
     "seasonal_decompose_hourly",
     "event_trigram_paths",
+    # split-then-stitch must reproduce the plain sessionization on
+    # same-second ties, NULL users, and the session-gap boundary
+    "sessionize_two_level_stitch",
 ]
 
 
