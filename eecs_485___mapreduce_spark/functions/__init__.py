@@ -306,3 +306,46 @@ def zorder_key_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
             f" + ((CAST({b} AS BIGINT) >> {i}) & 1) * {1 << (2 * i + 1)})"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+# ------------------------------------------------- distributed rank
+
+
+def distributed_rank(
+    df,
+    order_cols,
+    scope_key,
+    n_parts: int = 32,
+    rank_alias: str = "rank",
+):
+    """Exact global rank without a single-partition ORDER BY window —
+    the TeraSort pattern shared by global_sort_orders and the
+    zone-map audit: range-partition on the sort key, broadcast the
+    exclusive per-partition prefix offsets (<= n_parts rows), then
+    rank locally per partition in parallel. ``order_cols`` must be a
+    total order (include a unique key) or ranks are nondeterministic.
+
+    The ranged relation is scope-persisted so the offset branch and
+    the ranking branch observe the SAME boundary sampling; pass a
+    distinct ``scope_key`` per call site.
+    """
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", _F.spark_partition_id()
+    )
+    ranged = scoped_persist(scope_key, ranged)
+    off_w = _W.orderBy("_pid").rowsBetween(_W.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(_F.count(_F.lit(1)).alias("_n"))
+        .select("_pid", _F.coalesce(_F.sum("_n").over(off_w), _F.lit(0)).alias("_off"))
+    )
+    local_w = _W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_local", _F.row_number().over(local_w))
+        .join(_F.broadcast(offsets), "_pid")
+        .withColumn(rank_alias, _F.col("_off") + _F.col("_local"))
+        .drop("_pid", "_local", "_off")
+    )

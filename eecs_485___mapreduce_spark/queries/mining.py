@@ -2428,34 +2428,18 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     section 2.B layout family (zorder_orders_locality's audit
     sibling).
     """
-    from ..functions import scoped_persist
+    from ..functions import distributed_rank
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     probe_lo, probe_hi = F.lit(_ZM_PROBE_LO).cast("date"), F.lit(_ZM_PROBE_HI).cast("date")
     in_probe = F.col("o_orderdate").between(probe_lo, probe_hi)
 
     def dist_rank(order_cols: list, tag: str) -> DataFrame:
-        """Exact global rank without a single-partition window:
-        range-partition on the sort key, broadcast the exclusive
-        per-partition prefix offsets, rank locally per partition."""
-        ranged = orders.repartitionByRange(32, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        ranged = scoped_persist((f"zonemap_rank_{tag}", sf_dir), ranged)
-        off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = (
-            ranged.groupBy("_pid")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .select("_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"))
-        )
-        local_w = Window.partitionBy("_pid").orderBy(*order_cols)
-        return (
-            ranged.withColumn("_local", F.row_number().over(local_w))
-            .join(F.broadcast(offsets), "_pid")
-            .select(
-                "o_orderdate", (F.col("_off") + F.col("_local")).alias("rank")
-            )
-        )
+        # Shared TeraSort rank helper (functions.distributed_rank) —
+        # the same primitive global_sort_orders uses.
+        return distributed_rank(
+            orders, order_cols, (f"zonemap_rank_{tag}", sf_dir)
+        ).select("o_orderdate", "rank")
 
     def with_file_id(ranked: DataFrame, layout: str) -> DataFrame:
         """NTILE(k) from the global rank: with n rows the first
@@ -2646,26 +2630,37 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     docs = load_table(spark, sf_dir, "documents")
+    # ONE scan per table: stack() pivots the audited columns into
+    # (col_name, v) rows scan-side — the unioned-selects form read
+    # each table once per column.
     cols = (
-        orders.select(F.lit("orders.o_orderstatus").alias("col_name"),
-                      F.col("o_orderstatus").alias("v"))
-        .unionByName(orders.select(F.lit("orders.o_orderpriority").alias("col_name"),
-                                   F.col("o_orderpriority").alias("v")))
-        .unionByName(docs.select(F.lit("documents.source").alias("col_name"),
-                                 F.col("source").alias("v")))
-        .unionByName(docs.select(F.lit("documents.lang").alias("col_name"),
-                                 F.col("lang").alias("v")))
+        orders.select(
+            F.expr(
+                "stack(2, 'orders.o_orderstatus', o_orderstatus, "
+                "'orders.o_orderpriority', o_orderpriority) AS (col_name, v)"
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.expr(
+                    "stack(2, 'documents.source', source, "
+                    "'documents.lang', lang) AS (col_name, v)"
+                )
+            )
+        )
         .where(F.col("v").isNotNull())
     )
-    stats = cols.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("v").alias("n_distinct"),
-        F.sum(F.length("v")).cast("long").alias("plain_bytes"),
-    )
-    dict_side = (
-        cols.distinct()
-        .groupBy("col_name")
-        .agg(F.sum(F.length("v")).cast("long").alias("dict_value_bytes"))
+    # ONE aggregation pipeline: collapse to (col_name, value, count)
+    # first (bounded by enum cardinality), then derive row count,
+    # distinct count, plain bytes (count-weighted lengths), and
+    # dictionary value bytes (unweighted lengths) from that relation —
+    # each table is scanned exactly once, no join, no second pass.
+    per_val = cols.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_val.groupBy("col_name").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n") * F.length("v")).cast("long").alias("plain_bytes"),
+        F.sum(F.length("v")).cast("long").alias("dict_value_bytes"),
     )
     code_w = (
         F.when(F.col("n_distinct") <= 256, 1)
@@ -2673,13 +2668,10 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
     )
     dict_bytes = F.col("dict_value_bytes") + F.col("n_rows") * code_w
-    return (
-        stats.join(dict_side, "col_name")
-        .select(
-            "col_name", "n_rows", "n_distinct", "plain_bytes",
-            dict_bytes.cast("long").alias("dict_bytes"),
-            F.when(dict_bytes < F.col("plain_bytes"), "dictionary")
-            .otherwise("plain")
-            .alias("recommended"),
-        )
+    return stats.select(
+        "col_name", "n_rows", "n_distinct", "plain_bytes",
+        dict_bytes.cast("long").alias("dict_bytes"),
+        F.when(dict_bytes < F.col("plain_bytes"), "dictionary")
+        .otherwise("plain")
+        .alias("recommended"),
     )

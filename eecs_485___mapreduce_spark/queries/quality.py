@@ -1395,7 +1395,10 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = h.agg(F.sum("bucket_n").cast("long").alias("total_n"))
     pcts = spark.createDataFrame([(p,) for p in _DDSKETCH_PCTS], "pct long")
-    target = (F.col("pct") * F.col("total_n") + 99) / F.lit(100)
+    # Exact BIGINT ceil-division — a double quotient would round across
+    # an integer boundary once pct*total_n exceeds 2^53 (the 100 TB
+    # regime) and pick a different bucket than the oracle's // form.
+    target = F.expr("(pct * total_n + 99) div 100")
     wk = Window.partitionBy("pct").orderBy("bucket_id")
     lo = F.when(F.col("bucket_id") < 8, F.col("bucket_id")).otherwise(
         F.expr("shiftleft(8 + bucket_id % 8, cast(bucket_id / 8 as int) - 4)")
@@ -1405,7 +1408,7 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pcts.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(c), F.col("cum_n") >= F.floor(target))
+        .join(F.broadcast(c), F.col("cum_n") >= target)
         .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") == 1)
         .select(

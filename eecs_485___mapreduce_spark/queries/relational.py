@@ -850,37 +850,19 @@ def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md section 2.A row 5) but has no global order across
     partitions; this supplies the missing total order.
     """
-    from ..functions import scoped_persist
+    from ..functions import distributed_rank
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
     )
-    ranged = orders.repartitionByRange(
-        32, F.desc("price_cents"), F.asc("o_orderkey")
-    ).withColumn("_pid", F.spark_partition_id())
-    ranged = scoped_persist(("global_sort_orders", sf_dir), ranged)
-
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # Exclusive prefix sum over <= 32 rows: constant-size, single tiny
-    # partition by construction — not a data-scale window.
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    ranked = distributed_rank(
+        orders,
+        [F.desc("price_cents"), F.asc("o_orderkey")],
+        ("global_sort_orders", sf_dir),
+        rank_alias="global_rank",
     )
-
-    local_w = Window.partitionBy("_pid").orderBy(
-        F.desc("price_cents"), F.asc("o_orderkey")
-    )
-    return (
-        ranged.withColumn("_local", F.row_number().over(local_w))
-        .join(F.broadcast(offsets), "_pid")
-        .select(
-            "o_orderkey",
-            "price_cents",
-            (F.col("_off") + F.col("_local")).alias("global_rank"),
-        )
-    )
+    return ranked.select("o_orderkey", "price_cents", "global_rank")
 
 
 # ----------------------------------------------- ISO week calendar

@@ -649,7 +649,21 @@ def pq_fit_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             )
             .localCheckpoint()
         )
-    codes = assign.select("vec_id", "sub", F.col("cell").alias("code"))
+    # Final assignment against the FINAL codebook: the loop's last
+    # `assign` predates the last centroid update, and ADC lookups
+    # measure distances to the returned book — codes must be argmins
+    # under that same book or every shifted vector is mis-encoded.
+    joined = subs.join(F.broadcast(book), "sub")
+    wmin = Window.partitionBy("vec_id", "sub").orderBy(F.col("d2"), F.col("cell"))
+    final = (
+        joined.select(
+            "vec_id", "sub", "cell",
+            _pq_d2(F.col("sv"), F.col("cvec")).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+    )
+    codes = final.select("vec_id", "sub", F.col("cell").alias("code"))
     return book, codes
 
 

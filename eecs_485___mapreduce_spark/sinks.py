@@ -408,12 +408,13 @@ def write_manifested_parquet(
     clustered.write.mode("overwrite").parquet(output_dir)
 
     back = df.sparkSession.read.parquet(output_dir)
+    # Bounds are stored in the column's NATIVE type (dates/timestamps
+    # as ISO strings via the JSON writer) — casting numerics to string
+    # would make "9" > "50" and turn zone-map pruning false-NEGATIVE,
+    # i.e. lose rows. Callers pass lo/hi in the same native type.
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in zone_cols:
-        aggs += [
-            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
-        ]
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     (
         back.groupBy(F.input_file_name().alias("file"))
         .agg(*aggs)
@@ -428,26 +429,36 @@ def read_manifest_pruned(
     spark,
     table_dir: str,
     zone_col: str,
-    lo: str,
-    hi: str,
+    lo,
+    hi,
 ) -> tuple[DataFrame, dict]:
     """Manifest-driven file skipping: read only the files whose
     [min, max] zone map for ``zone_col`` intersects [lo, hi]. Returns
     (DataFrame over the surviving files ONLY, prune stats). The
     predicate itself must still be applied by the caller (zone maps
     admit false positives, never false negatives — the same contract
-    as parquet row-group stats).
+    as parquet row-group stats). ``lo``/``hi`` must be given in the
+    zone column's manifest type: numbers for numeric columns, ISO
+    strings for date/timestamp columns (how the JSON writer renders
+    them). Files whose zone bounds are missing (all-NULL column) are
+    conservatively scanned.
 
     The prune decision touches ONLY the manifest (file-count-bounded
     metadata); at cluster scale this is the listing/planning phase of
     every modern table format.
     """
     manifest = _read_manifest(table_dir)
-    keep = [
-        f
-        for f, meta in manifest.items()
-        if not (meta[f"max_{zone_col}"] < lo or meta[f"min_{zone_col}"] > hi)
-    ]
+
+    def intersects(meta: dict) -> bool:
+        mn, mx = meta.get(f"min_{zone_col}"), meta.get(f"max_{zone_col}")
+        if mn is None or mx is None:
+            # All-NULL zone column in this file (the JSON writer omits
+            # null bounds): the zone map is unknown, so the file MUST
+            # be scanned — pruning may only ever be false-positive.
+            return True
+        return not (mx < lo or mn > hi)
+
+    keep = [f for f, meta in manifest.items() if intersects(meta)]
     stats = {
         "total_files": len(manifest),
         "files_read": len(keep),

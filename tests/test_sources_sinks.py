@@ -477,3 +477,42 @@ def test_manifested_parquet_prunes_files_and_preserves_results(spark, tmp_path):
     )
     assert estats["files_read"] == 0
     assert empty.count() == 0
+
+
+def test_manifested_parquet_numeric_zone_cols_and_null_bounds(spark, tmp_path):
+    """Numeric zone columns must prune NUMERICALLY (lexicographic
+    string bounds would make \"9\" > \"50\" and silently LOSE rows —
+    false-negative pruning), and a file whose zone column is entirely
+    NULL (its manifest row omits the bounds) must be conservatively
+    scanned, never dropped."""
+    from pyspark.sql import functions as SF
+
+    from eecs_485___mapreduce_spark.sinks import (
+        read_manifest_pruned,
+        write_manifested_parquet,
+    )
+
+    table = str(tmp_path / "numeric_manifested")
+    # keys 0..1599 plus 400 NULL-key rows — range partitioning sorts
+    # NULLS FIRST, so with 2000 rows over 8 files (~250/file) the
+    # first file is ENTIRELY NULL and its manifest row has no bounds
+    df = spark.range(2000).select(
+        SF.when(SF.col("id") < 1600, SF.col("id")).alias("k"),
+        (SF.col("id") * 2).alias("payload"),
+    )
+    manifest = write_manifested_parquet(df, table, zone_cols=["k"], num_files=8)
+    assert any("min_k" not in m for m in manifest.values()), (
+        "fixture must produce an all-NULL-bounds file"
+    )
+
+    pruned, stats = read_manifest_pruned(spark, table, "k", 5, 50)
+    assert stats["files_read"] < stats["total_files"]
+    got = sorted(
+        r.k for r in pruned.where(SF.col("k").between(5, 50)).collect()
+    )
+    assert got == list(range(5, 51))  # every numeric match survived
+
+    # probe overlapping ONLY the NULL-bounds file's range: the pruner
+    # must keep that file (unknown zone map) rather than lose it
+    _, nstats = read_manifest_pruned(spark, table, "k", 10_000, 20_000)
+    assert nstats["files_read"] >= 1  # the all-NULL file stays in
