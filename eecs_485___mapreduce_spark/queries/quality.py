@@ -1679,3 +1679,83 @@ def merkle_bucket_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_to_resync"),
     )
     return g_row.unionByName(l_row)
+
+
+# ------------------------------------- DDSketch mergeability census
+
+
+@register(
+    "ddsketch_merge_by_source",
+    tags=("agg", "stats", "sketch"),
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey % 4 AS src,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice >= 0.01
+    ),
+    b AS (
+      SELECT src,
+             CASE WHEN length(bin(cents)) <= 3 THEN cents
+                  ELSE length(bin(cents)) * 8
+                       + (cents >> (length(bin(cents)) - 4)) - 8
+             END AS bucket_id
+      FROM v
+    ),
+    partials AS (
+      SELECT src, bucket_id, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT bucket_id, CAST(SUM(n) AS BIGINT) AS bucket_n
+      FROM partials GROUP BY 1
+    ),
+    direct AS (
+      SELECT bucket_id, COUNT(*) AS bucket_n FROM b GROUP BY 1
+    )
+    SELECT m.bucket_id,
+           m.bucket_n AS merged_n,
+           d.bucket_n AS direct_n,
+           CAST(m.bucket_n = d.bucket_n AS BOOLEAN) AS merge_exact
+    FROM merged m JOIN direct d ON d.bucket_id = m.bucket_id
+    """,
+)
+def ddsketch_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability certification for the DDSketch histogram: four
+    per-shard sketches (orders split by key mod 4 — standing in for
+    per-day / per-partition sketches) merged by bucket-count addition
+    must equal the sketch built directly over the union, bucket for
+    bucket. This is the property that lets 100 TB quantile monitoring
+    store small per-partition sketches and roll them up on read
+    (the same store-partials/merge-on-read contract as the HLL, KMV,
+    and CMS entries — but with a full value-hash oracle because the
+    sketch state is plain integers).
+
+    Scale: the partial relation is (shards x buckets) rows; the merge
+    is one bounded-key aggregation. The certification join compares
+    two constant-size histograms.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B sketch family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = orders.where(F.col("o_totalprice") >= 0.01).select(
+        (F.col("o_orderkey") % 4).alias("src"), cents.alias("cents")
+    )
+    e = F.length(F.bin("cents"))
+    bucket = (
+        F.when(e <= 3, F.col("cents"))
+        .otherwise(e * 8 + F.expr("shiftright(cents, length(bin(cents)) - 4)") - 8)
+        .cast("long")
+    )
+    b = v.select("src", bucket.alias("bucket_id"))
+    partials = b.groupBy("src", "bucket_id").agg(F.count(F.lit(1)).alias("n"))
+    merged = partials.groupBy("bucket_id").agg(
+        F.sum("n").cast("long").alias("merged_n")
+    )
+    direct = b.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("direct_n"))
+    return merged.join(direct, "bucket_id").select(
+        "bucket_id",
+        "merged_n",
+        "direct_n",
+        (F.col("merged_n") == F.col("direct_n")).alias("merge_exact"),
+    )

@@ -154,7 +154,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # event_trigram_paths, exact_median_twopass,
 # merkle_bucket_diff_orders, consistent_hash_rebalance, and
 # join_skew_profile, encoding_advisor, and
-# sessionize_two_level_stitch)
+# sessionize_two_level_stitch, and ddsketch_merge_by_source)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.

@@ -487,6 +487,8 @@ EDGE_STAR_QUERIES = [
     # 5-key ring: the packed-argmin assignment and mod-N census must
     # agree exactly even when some shards own zero keys
     "consistent_hash_rebalance",
+    # 4-shard merge over a 5-row fixture: some shards own zero rows
+    "ddsketch_merge_by_source",
 ]
 
 
