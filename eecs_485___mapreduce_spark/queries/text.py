@@ -16,7 +16,7 @@ bit-identical; ratios divide exact ints into one double at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import tokens
@@ -931,4 +931,145 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "source", "n_docs", "words", "sentences", "syllables", flesch.alias("flesch")
+    )
+
+
+# ------------------------------------------- calibration reliability
+
+_CAL_N_BINS = 10
+
+
+@register(
+    "calibration_bins_langid",
+    tags=("stats", "agg", "eval"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                       * 100 // length(text)
+             END AS score_pct,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents
+    ),
+    binned AS (
+      SELECT CASE WHEN score_pct >= 100 THEN {_CAL_N_BINS - 1}
+                  ELSE score_pct * {_CAL_N_BINS} // 100 END AS bin,
+             score_pct, is_en
+      FROM scored
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(score_pct) * 10 // COUNT(*) AS BIGINT)
+             AS mean_score_milli,
+           CAST(SUM(is_en) AS BIGINT) * 1000 // COUNT(*)
+             AS observed_rate_milli
+    FROM binned GROUP BY 1
+    """,
+)
+def calibration_bins_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability bins for a deterministic language
+    scorer: the ASCII-character share of each document is read as a
+    'probability of English' score, bucketed into 10 fixed bins, and
+    each bin reports its mean score vs the OBSERVED English rate —
+    the reliability-diagram table behind every classifier-calibration
+    review (a well-calibrated scorer has mean_score ≈ observed_rate
+    per bin). Complements eval_langid_metrics (threshold metrics)
+    with the threshold-free calibration view.
+
+    Determinism: score, bin, and both reported rates are exact BIGINT
+    arithmetic (floor divisions); no floats anywhere.
+
+    Scale (100 TB): scoring is a scan-side projection (regex counting
+    in codegen); the census is one partial+final agg on a 10-value
+    key. Swapping in a real model's scores keeps the same shape —
+    only the score expression changes.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B eval/stats family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    ascii_chars = F.length(F.regexp_replace("text", UNICODE_NONASCII, ""))
+    score = F.when(n_chars == 0, 0).otherwise(
+        F.expr(
+            r"length(regexp_replace(text, '[^\\x00-\\x7f]', '')) * 100"
+            " div length(text)"
+        )
+    )
+    scored = docs.select(
+        score.alias("score_pct"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    bin_col = F.when(
+        F.col("score_pct") >= 100, _CAL_N_BINS - 1
+    ).otherwise(F.expr(f"score_pct * {_CAL_N_BINS} div 100"))
+    return (
+        scored.select(bin_col.alias("bin"), "score_pct", "is_en")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(score_pct) * 10 div count(1)").alias("mean_score_milli"),
+            F.expr("sum(is_en) * 1000 div count(1)").alias("observed_rate_milli"),
+        )
+    )
+
+
+# ------------------------------------------- JSON schema drift census
+
+
+@register(
+    "json_schema_drift_weekly",
+    tags=("json", "datetime", "agg", "audit"),
+    oracle="""
+    WITH objs AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, props
+      FROM events
+      WHERE props IS NOT NULL AND json_valid(props)
+        AND json_type(props) = 'OBJECT'
+    ),
+    keyed AS (
+      SELECT week, unnest(json_keys(props)) AS key FROM objs
+    ),
+    per AS (
+      SELECT week, key, COUNT(*) AS n_events FROM keyed GROUP BY 1, 2
+    )
+    SELECT week, key, n_events,
+           CAST(week = MIN(week) OVER (PARTITION BY key) AS BOOLEAN)
+             AS first_seen
+    FROM per
+    """,
+)
+def json_schema_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift census: which JSON keys appear in
+    the event payloads each week, how often, and whether that week is
+    the key's FIRST appearance — the governance view that catches a
+    producer shipping a new field (or typo-forking an old one) before
+    downstream parsers break. Malformed and non-object payloads are
+    excluded identically on both engines (Spark json_object_keys
+    yields NULL exactly where the oracle's json_valid/json_type guard
+    filters).
+
+    Scale (100 TB): key extraction is a scan-side projection; the
+    census is one partial+final agg on the (week, key) key, bounded
+    by calendar x vocabulary; the first-seen window runs over that
+    bounded rollup, never the stream.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B array/map/JSON family (the drift sibling of
+    json_events / variant_props_stats).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        ev.select(
+            F.date_trunc("week", "ts").alias("week"),
+            F.explode(F.json_object_keys("props")).alias("key"),
+        )
+    )
+    per = keyed.groupBy("week", "key").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("key")
+    return per.select(
+        "week",
+        "key",
+        "n_events",
+        (F.col("week") == F.min("week").over(w)).alias("first_seen"),
     )

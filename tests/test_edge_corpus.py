@@ -78,6 +78,9 @@ EDGE_QUERIES = [
     # continuation batch: empty docs contribute zero tokens but the
     # largest-remainder allocations must still sum exactly to budget
     "budget_apportion_sources",
+    # unicode docs spread the ASCII-share score across several bins;
+    # empty text hits the zero-length guard
+    "calibration_bins_langid",
 ]
 
 
@@ -217,6 +220,10 @@ EDGE_EVENT_QUERIES = [
     # split-then-stitch must reproduce the plain sessionization on
     # same-second ties, NULL users, and the session-gap boundary
     "sessionize_two_level_stitch",
+    # malformed, json-null, and NULL payloads must be excluded
+    # identically by Spark's NULL-keys and the oracle's json_valid/
+    # json_type guard
+    "json_schema_drift_weekly",
 ]
 
 
