@@ -741,3 +741,188 @@ def twin_pairs(orders: DataFrame) -> DataFrame:
             gap.cast("long").alias("day_gap"),
         )
     )
+
+
+# ------------------------------------- functional dependency audit
+
+# Candidate FDs to profile: one true key dependency (violations must
+# be zero), and three plausible-but-false dependencies whose violation
+# counts characterize the data. Discovery tools (Metanome-style)
+# test exactly this shape per candidate: does any determinant value
+# map to >1 dependent value?
+_FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_nationkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("events", "user_id", "event_type"),
+)
+
+
+@register(
+    "functional_dependency_audit",
+    tags=("audit", "agg"),
+    oracle="""
+    WITH per AS (
+      SELECT 'customer.c_custkey->c_nationkey' AS fd,
+             c_custkey AS det, COUNT(DISTINCT c_nationkey) AS n_dep,
+             COUNT(*) AS n_rows
+      FROM customer GROUP BY 2
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority',
+             o_custkey, COUNT(DISTINCT o_orderpriority), COUNT(*)
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->l_returnflag',
+             l_orderkey, COUNT(DISTINCT l_returnflag), COUNT(*)
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'events.user_id->event_type',
+             user_id, COUNT(DISTINCT event_type), COUNT(*)
+      FROM events WHERE user_id IS NOT NULL GROUP BY 2
+    )
+    SELECT fd,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+             AS holds
+    FROM per GROUP BY 1
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling over four candidate
+    determinant->dependent pairs: a dependency HOLDS iff no
+    determinant value maps to more than one dependent value. The
+    true key FD (c_custkey -> c_nationkey) must report zero
+    violations; the three behavioral candidates report how far the
+    data is from functional — the discovery primitive behind schema
+    normalization, join-cardinality reasoning, and dimension
+    modeling (Metanome-family tools run this per candidate).
+
+    Scale (100 TB): each candidate is one partial+final
+    (det, countDistinct(dep)) aggregation — the same shuffle a
+    groupBy on the determinant pays — followed by a constant-size
+    census. Candidates are independent; no joins.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B audit family.
+    """
+    frames = []
+    for table, det, dep in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        if table == "events":
+            df = df.where(F.col(det).isNotNull())
+        frames.append(
+            df.groupBy(F.col(det).alias("det"))
+            .agg(
+                F.countDistinct(dep).alias("n_dep"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(F.lit(f"{table}.{det}->{dep}").alias("fd"), "n_dep", "n_rows")
+        )
+    per = frames[0]
+    for f in frames[1:]:
+        per = per.unionByName(f)
+    return per.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_keys"),
+        (F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)) == 0).alias("holds"),
+    )
+
+
+# ------------------------------------- fact-rollup reconciliation
+
+
+@register(
+    "revenue_reconciliation_audit",
+    tags=("audit", "join", "agg"),
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS lines_cents
+      FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             ls.lines_cents
+      FROM orders o LEFT JOIN line_sums ls ON ls.l_orderkey = o.o_orderkey
+    ),
+    banded AS (
+      SELECT CASE WHEN lines_cents IS NULL THEN 'no_lines'
+                  WHEN header_cents = lines_cents THEN 'exact'
+                  WHEN abs(header_cents - lines_cents) <= 100
+                    THEN 'within_dollar'
+                  ELSE 'mismatch' END AS band,
+             COALESCE(abs(header_cents - lines_cents), header_cents)
+               AS abs_diff_cents
+      FROM joined
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(abs_diff_cents) AS BIGINT) AS total_abs_diff_cents
+    FROM banded GROUP BY 1
+    """,
+)
+def revenue_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation: does each order header's total
+    equal the sum of its line items' extended*(1-disc)*(1+tax)
+    amounts? Orders are banded exact / within-a-dollar / mismatch /
+    no-lines with the total absolute drift per band — the
+    cross-table accounting identity every warehouse checks after
+    loads, and the census that catches partial loads (no_lines) and
+    rounding-policy drift (within_dollar) separately from real
+    corruption (mismatch).
+
+    Determinism: per-line cents use ONE identical double expression
+    tree then ROUND (same IEEE ops on both engines); all sums and
+    bands are exact BIGINT.
+
+    Scale (100 TB): one shuffle aggregating lineitem to order grain,
+    one equi-join against the header scan (both sides keyed on
+    orderkey — bucketing co-locates it), constant-size band census.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B audit family (fk_integrity_audit's amount-level
+    sibling).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    line_sums = lineitem.groupBy("l_orderkey").agg(
+        F.sum(line_cents).cast("long").alias("lines_cents")
+    )
+    joined = orders.select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    ).join(line_sums, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    band = (
+        F.when(F.col("lines_cents").isNull(), "no_lines")
+        .when(F.col("header_cents") == F.col("lines_cents"), "exact")
+        .when(
+            F.abs(F.col("header_cents") - F.col("lines_cents")) <= 100,
+            "within_dollar",
+        )
+        .otherwise("mismatch")
+    )
+    abs_diff = F.coalesce(
+        F.abs(F.col("header_cents") - F.col("lines_cents")),
+        F.col("header_cents"),
+    )
+    return (
+        joined.select(band.alias("band"), abs_diff.alias("abs_diff_cents"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("abs_diff_cents").cast("long").alias("total_abs_diff_cents"),
+        )
+    )

@@ -1073,3 +1073,88 @@ def json_schema_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("week") == F.min("week").over(w)).alias("first_seen"),
     )
+
+
+# ------------------------------------------- inter-rater agreement
+
+
+@register(
+    "cohens_kappa_langid",
+    tags=("stats", "agg", "eval"),
+    oracle=f"""
+    WITH preds AS ({_LANG_ID_ORACLE}),
+    n AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_agree
+          FROM preds),
+    row_m AS (SELECT lang AS cls, COUNT(*) AS row_n FROM preds GROUP BY 1),
+    col_m AS (SELECT pred_lang AS cls, COUNT(*) AS col_n FROM preds GROUP BY 1),
+    marg AS (
+      SELECT CAST(SUM(COALESCE(r.row_n, 0) * COALESCE(c.col_n, 0)) AS BIGINT)
+               AS sum_marg_prod
+      FROM row_m r FULL OUTER JOIN col_m c ON r.cls = c.cls
+    )
+    SELECT n.n_docs, n.n_agree, m.sum_marg_prod,
+           CAST(ROUND(1000000.0
+                 * (n.n_docs * n.n_agree - m.sum_marg_prod)
+                 / NULLIF(CAST(n.n_docs AS BIGINT) * n.n_docs
+                          - m.sum_marg_prod, 0)) AS BIGINT) AS kappa_micro
+    FROM n CROSS JOIN marg m
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stored ``lang`` labels and the
+    n-gram language-ID heuristic: chance-corrected agreement
+    kappa = (po - pe) / (1 - pe), computed with denominators CLEARED —
+    (n*agree - sum(row_c*col_c)) / (n^2 - sum(row_c*col_c)) — so every
+    term is an exact BIGINT and only ONE rounded double division
+    happens, identically on both engines. The metric every
+    labeling-pipeline review wants next to raw accuracy
+    (eval_langid_metrics) because chance agreement inflates accuracy
+    under skewed class priors.
+
+    Scale (100 TB): prediction is the scan-side lang-ID projection;
+    the confusion marginals are two |classes|-sized aggs and the
+    kappa row is constant-size.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B eval/stats family.
+    """
+    preds = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    n = preds.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    row_m = preds.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("row_n")
+    )
+    col_m = preds.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("col_n")
+    )
+    marg = (
+        row_m.join(col_m, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("row_n", F.lit(0)) * F.coalesce("col_n", F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_marg_prod")
+        )
+    )
+    num = (F.col("n_docs") * F.col("n_agree") - F.col("sum_marg_prod")).cast(
+        "double"
+    )
+    den = F.nullif(
+        (F.col("n_docs").cast("long") * F.col("n_docs") - F.col("sum_marg_prod"))
+        .cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        n.crossJoin(F.broadcast(marg))
+        .select(
+            "n_docs", "n_agree", "sum_marg_prod",
+            F.round(F.lit(1000000.0) * num / den).cast("long").alias("kappa_micro"),
+        )
+    )

@@ -496,6 +496,9 @@ EDGE_STAR_QUERIES = [
     "consistent_hash_rebalance",
     # 4-shard merge over a 5-row fixture: some shards own zero rows
     "ddsketch_merge_by_source",
+    # dangling custkeys keep their FD rows; the 999-key order has no
+    # lines -> the no_lines reconciliation band is exercised
+    "revenue_reconciliation_audit",
 ]
 
 
