@@ -2675,3 +2675,126 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommended"),
     )
+
+
+# ------------------------------------------- Mann-Whitney U test
+
+# Rank-sum two-sample test WITHOUT ranking rows: with per-value counts
+# (cnt_a, cnt_b) the tie-averaged rank sum is computable from the
+# cumulative block positions alone — R_a = sum_v cnt_a_v * avg_rank_v,
+# avg_rank_v = cum_before_v + (block_v + 1)/2. Doubling every rank
+# keeps the arithmetic in exact BIGINTs (blocks of odd size would
+# otherwise need .5 ranks). The complement of the KS entry: KS finds
+# WHERE distributions diverge; U tests whether one is stochastically
+# larger.
+_MW_SRC_A = "src0"
+_MW_SRC_B = "src1"
+
+
+@register(
+    "mannwhitney_doclen_sources",
+    tags=("stats", "agg", "window"),
+    oracle=f"""
+    WITH s AS (
+      SELECT length(text) AS v,
+             CASE WHEN source = '{_MW_SRC_A}' THEN 1 ELSE 0 END AS a
+      FROM documents WHERE source IN ('{_MW_SRC_A}', '{_MW_SRC_B}')
+    ),
+    per_v AS (
+      SELECT v,
+             CAST(SUM(a) AS BIGINT) AS cnt_a,
+             CAST(SUM(1 - a) AS BIGINT) AS cnt_b,
+             COUNT(*) AS block
+      FROM s GROUP BY 1
+    ),
+    walked AS (
+      SELECT v, cnt_a, block,
+             CAST(COALESCE(SUM(block) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM per_v
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS n_b
+      FROM per_v
+    ),
+    r AS (
+      SELECT CAST(SUM(cnt_a * (2 * cum_before + block + 1)) AS BIGINT)
+               AS rank_sum_a_x2
+      FROM walked
+    )
+    SELECT t.n_a, t.n_b, r.rank_sum_a_x2,
+           (r.rank_sum_a_x2 - t.n_a * (t.n_a + 1)) // 2 AS u_a_floor,
+           CAST(ROUND(1000.0
+                 * (r.rank_sum_a_x2 - t.n_a * (t.n_a + 1 + t.n_b))
+                 / (1.0 * t.n_a * t.n_b)) AS BIGINT) AS rank_biserial_milli
+    FROM tot t CROSS JOIN r
+    """,
+)
+def mannwhitney_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test comparing document-length
+    distributions of two sources, computed WITHOUT ranking any row:
+    tie-averaged rank sums come from cumulative block positions over
+    the per-value count relation (doubled ranks keep everything
+    BIGINT; U and the rank-biserial effect size derive from the rank
+    sum). The distribution-shift complement to ks_doclen_by_source —
+    KS locates the largest CDF gap, U answers "is A stochastically
+    longer than B", and both avoid sorting the corpus.
+
+    Scale (100 TB): one partial+final agg on the length value
+    (bounded by distinct lengths), a cumulative window over that
+    bounded relation, and a constant-size statistic row. The naive
+    formulation (rank every row globally) is a total sort — this one
+    never touches row order.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B stats family.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(_MW_SRC_A, _MW_SRC_B)
+    )
+    s = docs.select(
+        F.length("text").alias("v"),
+        F.when(F.col("source") == _MW_SRC_A, 1).otherwise(0).alias("a"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("a").cast("long").alias("cnt_a"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("cnt_b"),
+        F.count(F.lit(1)).alias("block"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    walked = per_v.select(
+        "v", "cnt_a", "block",
+        F.coalesce(F.sum("block").over(wc), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    tot = per_v.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    r = walked.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_before") + F.col("block") + 1)
+        )
+        .cast("long")
+        .alias("rank_sum_a_x2")
+    )
+    # U_a = R_a - n_a(n_a+1)/2 with R_a the tie-averaged rank sum of
+    # sample A; rank-biserial r = 2*U_a/(n_a*n_b) - 1. Verified against
+    # a brute-force pair count (tests/test_mining_extras.py).
+    u_a_floor = F.expr("(rank_sum_a_x2 - n_a * (n_a + 1)) div 2")
+    biserial = F.round(
+        F.lit(1000.0)
+        * (
+            F.col("rank_sum_a_x2") - F.col("n_a") * (F.col("n_a") + 1 + F.col("n_b"))
+        ).cast("double")
+        / (F.lit(1.0) * F.col("n_a") * F.col("n_b"))
+    ).cast("long")
+    return (
+        tot.crossJoin(F.broadcast(r))
+        .select(
+            "n_a", "n_b", "rank_sum_a_x2",
+            u_a_floor.alias("u_a_floor"),
+            biserial.alias("rank_biserial_milli"),
+        )
+    )

@@ -1,0 +1,44 @@
+"""Formula-level checks for statistics whose DuckDB oracle only proves
+ENGINE PARITY (both sides evaluate the same expression): the U
+statistic must also equal the brute-force pair-count definition."""
+
+from __future__ import annotations
+
+import bisect
+
+from eecs_485___mapreduce_spark.queries.mining import (
+    _MW_SRC_A,
+    _MW_SRC_B,
+    mannwhitney_doclen_sources,
+)
+from eecs_485___mapreduce_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_mannwhitney_u_matches_pair_count_definition(spark):
+    """U_a = #{(x in A, y in B): x > y} + #ties/2 — the definition,
+    computed brute-force over the sf0.001 sample, must match the
+    rank-sum derivation (floored, since ties can make U half-integer),
+    and the rank-biserial must equal 2U/(n_a*n_b) - 1."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .where(F.col("source").isin(_MW_SRC_A, _MW_SRC_B))
+        .select(F.length("text").alias("v"), "source")
+        .collect()
+    )
+    a = sorted(r.v for r in docs if r.source == _MW_SRC_A)
+    b = sorted(r.v for r in docs if r.source == _MW_SRC_B)
+    u = 0.0
+    for x in a:
+        lt = bisect.bisect_left(b, x)
+        eq = bisect.bisect_right(b, x) - lt
+        u += lt + eq * 0.5
+
+    row = mannwhitney_doclen_sources(spark, SF_SMALL).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.u_a_floor == int(u)  # floor of the (possibly .5) U
+    want_rb = round(1000 * (2 * u / (len(a) * len(b)) - 1))
+    assert row.rank_biserial_milli == want_rb
