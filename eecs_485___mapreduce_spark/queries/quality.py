@@ -1314,6 +1314,7 @@ _DDSKETCH_PCTS_SQL = ", ".join(f"({p})" for p in _DDSKETCH_PCTS)
 
 @register(
     "ddsketch_price_quantiles",
+    bench=True,
     tags=("agg", "stats", "sketch", "window"),
     oracle=f"""
     WITH v AS (

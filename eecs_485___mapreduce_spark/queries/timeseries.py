@@ -773,6 +773,7 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_two_level_stitch",
+    bench=True,
     tags=("window", "pipeline"),
     oracle=f"""
     WITH g AS (
