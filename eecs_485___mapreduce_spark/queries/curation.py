@@ -1182,3 +1182,169 @@ def budget_apportion_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
         ).alias("alloc_tokens"),
     )
+
+
+# ------------------------------------------------- balanced k-fold
+
+KFOLD_K = 5
+
+
+@register(
+    "stratified_kfold_assignment",
+    tags=("sampling", "pipeline", "window", "hash"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_long_sql("'fold:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST((rn - 1) % {KFOLD_K} AS BIGINT) AS fold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced {k}-fold cross-validation assignment, stratified by
+    source: within each source the documents are ranked by a salted
+    md5 (a deterministic shuffle) and dealt round-robin, so fold sizes
+    differ by at most 1 per stratum — the exact-balance guarantee the
+    hash-mod split (split_train_val_test) deliberately trades away for
+    scan-side statelessness. Output is the per-(source, fold) audit:
+    counts, char mass, and an id checksum that pins membership.
+
+    Determinism: the shuffle key is md5 with a ``fold:`` salt (unique
+    (hash, doc_id) tiebreak), so assignment is a pure function of the
+    data — stable across runs, partitionings, and engines.
+
+    Scale (100 TB): one shuffle on the stratum key for the per-source
+    rank; the deal and the rollup reuse the same partitioning (no
+    second exchange). A stratum is bounded by a source's corpus, so a
+    hot source serializes one window sort — the documented mitigation
+    is the two-level form: rank within (source, shard) on a salted
+    shard key, then offset folds by the per-shard counts (same
+    distributed-rank trick as zonemap_skipping_audit).
+    """.format(k=KFOLD_K)
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("fold:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", rn.alias("rn"))
+        .groupBy(
+            "source",
+            ((F.col("rn") - 1) % KFOLD_K).cast("bigint").alias("fold"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# ------------------------------------------- curriculum interleave
+
+CURRICULUM_HEAD = 40
+
+
+@register(
+    "curriculum_interleave_order",
+    tags=("sampling", "pipeline", "window", "topk"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    deciled AS (
+      SELECT source, doc_id, n_chars,
+             CAST(((rn - 1) * 10) // n AS BIGINT) AS decile
+      FROM ranked
+    ),
+    dealt AS (
+      SELECT source, doc_id, n_chars, decile,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, decile
+               ORDER BY {md5_long_sql("'curr:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rd
+      FROM deciled
+    )
+    SELECT source,
+           CAST((rd - 1) * 10 + decile AS BIGINT) AS pos,
+           decile, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM dealt
+    ORDER BY source, pos
+    LIMIT {CURRICULUM_HEAD}
+    """,
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order with difficulty mixing: per source,
+    documents are exact-deciled by length (the difficulty proxy), then
+    each decile is internally shuffled (salted md5) and the deciles are
+    interleaved round-robin — position ``(rank_in_decile - 1) * 10 +
+    decile`` — so every consecutive window of 10 positions sees the
+    full easy→hard spectrum. This is the deterministic version of the
+    "mix difficulties within each batch" curriculum used when packing
+    training shards; the head of the schedule is the audit output.
+
+    Determinism: difficulty rank ties break on doc_id; the in-decile
+    shuffle is a salted md5 with a doc_id tiebreak — the schedule is a
+    pure function of the corpus.
+
+    Scale (100 TB): two window passes sharing the source partitioning
+    (rank+count in one sorted pass, then the in-decile deal on the
+    finer (source, decile) key — a strict repartition refinement, so
+    AQE plans one exchange + local sort). Exact deciles need the
+    per-source rank; the scale swap-in is approx_percentile bounds at
+    the scan (same downstream deal). Head-of-schedule is TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(ws.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    deciled = ranked.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr("((rn - 1) * 10) div n").cast("bigint").alias("decile"),
+    )
+    h = md5_long(F.concat(F.lit("curr:"), F.col("doc_id").cast("string")))
+    rd = F.row_number().over(
+        Window.partitionBy("source", "decile").orderBy(h.asc(), F.col("doc_id").asc())
+    )
+    return (
+        deciled.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "decile",
+            rd.alias("rd"),
+        )
+        .select(
+            "source",
+            ((F.col("rd") - 1) * 10 + F.col("decile")).cast("bigint").alias("pos"),
+            "decile",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source", "pos")
+        .limit(CURRICULUM_HEAD)
+    )

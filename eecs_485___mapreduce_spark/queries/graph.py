@@ -469,3 +469,110 @@ def sssp_weighted_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(census(dist, i))
     return out
+
+
+# ------------------------------------------- degree power-law fit
+
+POWERLAW_DMIN = 2
+
+
+@register(
+    "coorder_degree_powerlaw",
+    tags=("graph", "stats", "agg"),
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    tail AS (
+      SELECT d,
+             CAST(ROUND(1000000 * ln(CAST(d AS DOUBLE)
+                                     / {POWERLAW_DMIN - 0.5})) AS BIGINT) AS lnq
+      FROM deg WHERE d >= {POWERLAW_DMIN}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(lnq) AS BIGINT) AS sum_ln_micro,
+           CAST(ROUND(1000 * (1.0 + COUNT(*) * 1000000.0 / SUM(lnq)))
+                AS BIGINT) AS alpha_milli
+    FROM tail
+    """,
+)
+def coorder_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-MLE power-law fit of the part co-order graph's degree
+    distribution (Clauset-Shalizi-Newman estimator with the standard
+    half-integer correction): alpha = 1 + n / sum(ln(d / (dmin - 1/2)))
+    over nodes with degree >= dmin = {dmin}. One scalar audit row —
+    node/edge counts, max degree, and alpha in milli-units — the
+    heavy-tail check run before choosing skew mitigations (a fitted
+    alpha near 2 means a few hub parts dominate the join fan-out and
+    the salting path in operators/skew.py is worth its cost).
+
+    Determinism: degrees are exact integers; each node's log term is
+    quantized to integer micro-nats before the bigint sum (same
+    argument as PageRank's micro-units above); alpha is one division
+    of exact integers, rounded once to milli-units. dmin - 1/2 = {half}
+    is exactly representable in binary, so both engines divide the
+    same doubles.
+
+    Scale (100 TB): reuses the scope-persisted distinct edge relation
+    (queries/mining.py coorder_pairs — built array-side per order, no
+    lineitem self-join shuffle); degrees are ONE partial+final agg on
+    the node key; the fit itself is a second agg to a single row. No
+    sort, no window, nothing driver-side.
+    """.format(dmin=POWERLAW_DMIN, half=POWERLAW_DMIN - 0.5)
+    from .mining import coorder_pairs
+
+    pairs = coorder_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("u").alias("node")).unionAll(
+        pairs.select(F.col("v").alias("node"))
+    )
+    deg = scoped_persist(
+        ("coorder_degrees", sf_dir),
+        nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d")),
+    )
+    tail = deg.where(F.col("d") >= POWERLAW_DMIN).select(
+        "d",
+        F.round(
+            1_000_000
+            * F.log(F.col("d").cast("double") / (POWERLAW_DMIN - 0.5))
+        )
+        .cast("bigint")
+        .alias("lnq"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tail.agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.max("d").cast("bigint").alias("max_degree"),
+            F.sum("lnq").cast("bigint").alias("sum_ln_micro"),
+            F.round(
+                1000
+                * (
+                    F.lit(1.0)
+                    + F.count(F.lit(1)) * F.lit(1_000_000.0) / F.sum("lnq")
+                )
+            )
+            .cast("bigint")
+            .alias("alpha_milli"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            "n_tail",
+            "max_degree",
+            "sum_ln_micro",
+            "alpha_milli",
+        )
+    )

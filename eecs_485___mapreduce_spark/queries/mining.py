@@ -2798,3 +2798,125 @@ def mannwhitney_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             biserial.alias("rank_biserial_milli"),
         )
     )
+
+
+# ------------------------------------------- difference-in-differences
+
+DID_CUTOFF = "1998-01-01"
+DID_SEGMENT = "BUILDING"
+
+
+@register(
+    "did_order_value_building",
+    tags=("stats", "join", "agg"),
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN c_mktsegment = '{DID_SEGMENT}'
+                  THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN o_orderdate < DATE '{DID_CUTOFF}'
+                  THEN 'pre' ELSE 'post' END AS period,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT grp, period, n_orders,
+             CAST(ROUND(10.0 * sum_cents / n_orders) AS BIGINT)
+               AS mean_cents_milli
+      FROM cells
+    ),
+    did AS (
+      SELECT 'did' AS grp, 'effect' AS period,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+             CAST(ROUND(
+               10.0 * (
+                 MAX(CASE WHEN grp = 'treat' AND period = 'post'
+                          THEN CAST(sum_cents AS DOUBLE) / n_orders END)
+               - MAX(CASE WHEN grp = 'treat' AND period = 'pre'
+                          THEN CAST(sum_cents AS DOUBLE) / n_orders END)
+               - MAX(CASE WHEN grp = 'control' AND period = 'post'
+                          THEN CAST(sum_cents AS DOUBLE) / n_orders END)
+               + MAX(CASE WHEN grp = 'control' AND period = 'pre'
+                          THEN CAST(sum_cents AS DOUBLE) / n_orders END)
+             )) AS BIGINT) AS mean_cents_milli
+      FROM cells
+    )
+    SELECT grp, period, n_orders, mean_cents_milli FROM base
+    UNION ALL
+    SELECT grp, period, n_orders, mean_cents_milli FROM did
+    """,
+)
+def did_order_value_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the {seg} segment's order
+    value shift across the {cut} cutoff: the four (group, period) cell
+    means plus the DiD effect row — the workhorse quasi-experimental
+    readout for "did the thing we changed for one cohort move the
+    metric beyond the market-wide trend".
+
+    Determinism: cell sums are exact integer cents (bigint, any
+    association order); each mean is one division of exact integers
+    (identical IEEE double both engines), rounded once to milli-cents.
+    The effect row combines the four cell means in a fixed left-to-
+    right order on both sides.
+
+    Scale (100 TB): orders joins customer on the customer key — a
+    fact-to-dimension equi-join (shuffle or broadcast; AQE picks by
+    dimension size), then ONE partial+final agg to a 4-row cell table;
+    the DiD combine is driver-free arithmetic over those 4 rows (a
+    broadcast-trivial second agg). Nothing downstream of the join
+    exceeds constant size.
+    """.format(seg=DID_SEGMENT, cut=DID_CUTOFF)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.when(F.col("c_mktsegment") == DID_SEGMENT, "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(F.col("o_orderdate") < F.lit(DID_CUTOFF).cast("date"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+    )
+    base = cells.select(
+        "grp",
+        "period",
+        "n_orders",
+        F.round(F.lit(10.0) * F.col("sum_cents") / F.col("n_orders"))
+        .cast("long")
+        .alias("mean_cents_milli"),
+    )
+
+    def cell_mean(g: str, p: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("sum_cents").cast("double") / F.col("n_orders"),
+            )
+        )
+
+    did = cells.agg(
+        F.lit("did").alias("grp"),
+        F.lit("effect").alias("period"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            F.lit(10.0)
+            * (
+                cell_mean("treat", "post")
+                - cell_mean("treat", "pre")
+                - cell_mean("control", "post")
+                + cell_mean("control", "pre")
+            )
+        )
+        .cast("long")
+        .alias("mean_cents_milli"),
+    )
+    return base.unionByName(did)

@@ -1038,3 +1038,128 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         mod_n.unionByName(ring)
         .withColumn("moved_per_100k", F.expr("n_moved * 100000 div n_keys"))
     )
+
+
+# ------------------------------------------- bigram LM perplexity
+
+# Add-one smoothing over the observed-bigram vocabulary; surprisal is
+# quantized per bigram to integer millinats before summation (same
+# cross-engine argument as text_unigram_logprob above).
+
+
+@register(
+    "bigram_lm_doc_perplexity",
+    tags=("text", "pipeline", "topk"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, toks FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok, UNNEST(range(1, len(toks))) AS r(i)
+    ),
+    uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+    ),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+    pair AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(1000 * ln(CAST(c1 + v AS DOUBLE) / (c12 + 1)))
+                  AS BIGINT) AS s
+      FROM bg
+      JOIN pair ON pair.w1 = bg.w1 AND pair.w2 = bg.w2
+      JOIN uni ON uni.w1 = bg.w1
+      CROSS JOIN vocab
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(s) AS sum_s
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(sum_s AS BIGINT) AS sum_surprisal_mnat,
+           ROUND(CAST(sum_s AS DOUBLE) / n_bigrams, 3) AS mean_surprisal_mnat
+    FROM perdoc
+    ORDER BY mean_surprisal_mnat DESC, doc_id
+    LIMIT 50
+    """,
+)
+def bigram_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-one-smoothed
+    corpus bigram LM — the order-2 upgrade of text_unigram_logprob's
+    CCNet-style quality proxy, surfacing the 50 most out-of-model
+    documents (the classic "weird text" skim list a curation pass
+    reviews before setting a perplexity filter threshold).
+
+    Model: P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V) with V = distinct
+    successor vocabulary — i.e. add-one over observed bigram types.
+    Surprisal is quantized per bigram to integer millinats
+    (``round(1000 * ln((c1 + V) / (c12 + 1)))``) BEFORE the per-doc
+    sum, so aggregation is exact bigint arithmetic in any association
+    order; ln sees the identical IEEE double in both engines (exact
+    integer operands, one division).
+
+    Scale (100 TB): the bigram stream is exploded array-side (zip of
+    the token array with its tail — no self-join) and persisted once
+    for its three consumers (pair counts, left-context counts, the
+    scoring join). Pair counts are one partial+final agg on the
+    (w1, w2) key; context counts on w1. The scoring join is equi on
+    (w1, w2) — model-sized right side, broadcast-able at vocab scale
+    or shuffled; AQE picks. Per-doc rollup is one shuffle on doc_id;
+    top-50 is TakeOrdered, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bg = scoped_persist(
+        ("bigram_lm.bg", sf_dir),
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")),
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(pair, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                1000
+                * F.log(
+                    (F.col("c1") + F.col("v")).cast("double") / (F.col("c12") + 1)
+                )
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("sum_s")
+    )
+    return (
+        perdoc.select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("sum_s").cast("bigint").alias("sum_surprisal_mnat"),
+            F.round(F.col("sum_s").cast("double") / F.col("n_bigrams"), 3).alias(
+                "mean_surprisal_mnat"
+            ),
+        )
+        .orderBy(F.desc("mean_surprisal_mnat"), "doc_id")
+        .limit(50)
+    )

@@ -1760,3 +1760,94 @@ def ddsketch_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "direct_n",
         (F.col("merged_n") == F.col("direct_n")).alias("merge_exact"),
     )
+
+
+# ------------------------------------------------ winsorized mean
+
+WINSOR_PCT = 20  # clamp floor(n/20) = 5% from each tail
+
+
+@register(
+    "winsorized_mean_price_by_status",
+    tags=("window", "agg", "stats"),
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY CAST(ROUND(o_totalprice * 100)
+                                              AS BIGINT), o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderstatus,
+             MAX(n) AS n,
+             MAX(CASE WHEN rk = n // {WINSOR_PCT} + 1 THEN cents END) AS lo,
+             MAX(CASE WHEN rk = n - n // {WINSOR_PCT} THEN cents END) AS hi
+      FROM v GROUP BY o_orderstatus
+    )
+    SELECT v.o_orderstatus,
+           CAST(MAX(b.n) AS BIGINT) AS n_orders,
+           CAST(MAX(b.lo) AS BIGINT) AS lo_cents,
+           CAST(MAX(b.hi) AS BIGINT) AS hi_cents,
+           CAST(ROUND(10.0 * SUM(LEAST(GREATEST(v.cents, b.lo), b.hi))
+                      / MAX(b.n)) AS BIGINT) AS winsor_mean_milli
+    FROM v JOIN b USING (o_orderstatus)
+    GROUP BY v.o_orderstatus
+    """,
+)
+def winsorized_mean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided 5% winsorized mean of order totals per status: the
+    floor(n/{p}) smallest and largest values are CLAMPED to the tail
+    boundary values (ranks k+1 and n-k) rather than dropped — the
+    robust-center companion to trimmed_mean_price_by_status that keeps
+    n constant (so downstream variance math stays comparable across
+    groups of different sizes). Boundaries are reported for audit.
+
+    Determinism: exact integer cents with a unique (cents, orderkey)
+    rank tiebreak; the clamp bounds are values AT exact integer ranks;
+    sums of clamped cents are bigint-exact; only the final mean rounds
+    to milli-units (one division of exact integers).
+
+    Scale (100 TB): one shuffle on the status key; rank and count
+    share one window sort; the bounds relation is one row per status
+    (broadcast joined back); then one partial+final agg. Same
+    documented trade as the trimmed mean: exact tail ranks cost the
+    per-group sort, and the approximate swap-in is percentile_approx
+    bounds applied scan-side with the identical clamp+agg downstream.
+    """.format(p=WINSOR_PCT)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wp = Window.partitionBy("o_orderstatus")
+    v = orders.select(
+        "o_orderstatus",
+        cents.alias("cents"),
+        F.row_number().over(wp.orderBy(cents, "o_orderkey")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    k = F.expr("n div {p}".format(p=WINSOR_PCT))
+    b = v.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rk") == k + 1, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rk") == F.col("n") - k, F.col("cents"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        v.select("o_orderstatus", "cents")
+        .join(
+            F.broadcast(
+                b.select("o_orderstatus", F.col("n").alias("n_grp"), "lo", "hi")
+            ),
+            "o_orderstatus",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max("n_grp").cast("long").alias("n_orders"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.round(F.lit(10.0) * F.sum(clamped) / F.max("n_grp"))
+            .cast("long")
+            .alias("winsor_mean_milli"),
+        )
+    )

@@ -157,7 +157,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # sessionize_two_level_stitch, ddsketch_merge_by_source,
 # calibration_bins_langid, json_schema_drift_weekly,
 # cohens_kappa_langid, functional_dependency_audit, and
-# revenue_reconciliation_audit, and mannwhitney_doclen_sources)
+# revenue_reconciliation_audit, and mannwhitney_doclen_sources, and
+# bigram_lm_doc_perplexity, stratified_kfold_assignment,
+# curriculum_interleave_order, did_order_value_building,
+# winsorized_mean_price_by_status, coorder_degree_powerlaw)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.
