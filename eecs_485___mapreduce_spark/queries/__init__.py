@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     graph,
+    inference,
     ir,
     mining,
     mlprep,

@@ -160,7 +160,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # revenue_reconciliation_audit, and mannwhitney_doclen_sources, and
 # bigram_lm_doc_perplexity, stratified_kfold_assignment,
 # curriculum_interleave_order, did_order_value_building,
-# winsorized_mean_price_by_status, coorder_degree_powerlaw)
+# winsorized_mean_price_by_status, coorder_degree_powerlaw, and the
+# inference module: isotonic_calibration_langid,
+# chi2_returnflag_linestatus, sprt_conversion_hourly,
+# jsd_source_unigrams, ks_doclen_sources)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.

@@ -1,0 +1,209 @@
+"""Definition-level checks for the statistical-inference operators
+(queries/inference.py): each statistic is recomputed with an
+independent textbook implementation (pure Python over DuckDB-extracted
+inputs) and compared to the engine's output — the same pattern as
+tests/test_definitions.py. The driver's oracle run checks Spark==SQL;
+these check that the shared formula IS the statistic it claims to be.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from eecs_485___mapreduce_spark.queries.inference import (
+    SPRT_A_MICRO,
+    SPRT_B_MICRO,
+    SPRT_L0_MICRO,
+    SPRT_L1_MICRO,
+)
+from eecs_485___mapreduce_spark.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _oracle(con, name, order):
+    return con.execute(REGISTRY[name].oracle + f" ORDER BY {order}").fetchall()
+
+
+def test_isotonic_fit_is_pava(con):
+    rows = _oracle(con, "isotonic_calibration_langid", "bin")
+    # engine inputs: per-bin doc count and observed successes
+    # (reconstruct successes from the milli rate's exact integer form:
+    # observed_rate_milli = s*1000 div n  =>  recompute s directly)
+    raw = con.execute(
+        """
+        WITH scored AS (
+          SELECT CASE WHEN length(text) = 0 THEN 0
+                      ELSE length(regexp_replace(lower(text), '[^etaoinshr]', '', 'g'))
+                           * 1000 // length(text) END AS pm,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+          FROM documents)
+        SELECT LEAST(GREATEST((pm - 400) * 10 // 200, 0), 9) AS bin,
+               COUNT(*) AS n, SUM(is_en) AS s
+        FROM scored GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    bins = [r[0] for r in raw]
+    ns = [r[1] for r in raw]
+    ss = [float(r[2]) for r in raw]
+    # textbook PAVA: pool adjacent blocks while means decrease
+    stack: list[list[float]] = []
+    spans: list[int] = []
+    for n, s in zip(ns, ss):
+        stack.append([float(n), s])
+        spans.append(1)
+        while len(stack) > 1 and stack[-2][1] / stack[-2][0] > stack[-1][1] / stack[-1][0]:
+            n2, s2 = stack.pop()
+            k = spans.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += s2
+            spans[-1] += k
+    expected = []
+    for (n, s), k in zip(stack, spans):
+        expected.extend([s / n] * k)
+    got = {r[0]: r[3] for r in rows}
+    assert [r[0] for r in rows] == bins
+    for b, e in zip(bins, expected):
+        assert got[b] == round(e * 1000), (b, e, got[b])
+    # monotone nondecreasing by construction
+    fitted = [got[b] for b in bins]
+    assert fitted == sorted(fitted)
+
+
+def test_chi2_matches_textbook_formula(con):
+    (n_total, n_cells, dof, chi2_micro, v_milli) = _oracle(
+        con, "chi2_returnflag_linestatus", "n_total"
+    )[0]
+    cells = con.execute(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) FROM lineitem GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c[2] for c in cells)
+    rt = {}
+    ct = {}
+    for f, s, o in cells:
+        rt[f] = rt.get(f, 0) + o
+        ct[s] = ct.get(s, 0) + o
+    chi2 = sum(
+        round(1e6 * (o - rt[f] * ct[s] / n) ** 2 / (rt[f] * ct[s] / n))
+        for f, s, o in cells
+    )
+    assert n_total == n and n_cells == len(cells)
+    assert dof == (len(rt) - 1) * (len(ct) - 1)
+    assert chi2_micro == chi2
+    v = math.sqrt((chi2 / 1e6) / (n * (min(len(rt), len(ct)) - 1)))
+    assert v_milli == round(1000 * v)
+
+
+def test_sprt_llr_and_decision_match_sequential_replay(con):
+    rows = _oracle(con, "sprt_conversion_hourly", "variant")
+    hourly = con.execute(
+        """
+        SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS variant,
+               date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    per = {}
+    for v, h, n, s in hourly:
+        per.setdefault(v, []).append((h, n, s))
+    for variant, n_hours, n_trials, n_success, llr_final, cross_hour, decision in rows:
+        seq = per[variant]
+        assert n_hours == len(seq)
+        assert n_trials == sum(n for _, n, _ in seq)
+        assert n_success == sum(s for _, _, s in seq)
+        cum = 0
+        first = None
+        dec = "continue"
+        for h, n, s in seq:
+            cum += s * SPRT_L1_MICRO + (n - s) * SPRT_L0_MICRO
+            if first is None and (cum >= SPRT_A_MICRO or cum <= SPRT_B_MICRO):
+                first = h
+                dec = "accept_h1" if cum >= SPRT_A_MICRO else "accept_h0"
+        assert llr_final == cum
+        assert decision == dec
+        if first is not None:
+            assert cross_hour == first
+
+
+def test_ks_matches_direct_cdf_definition(con):
+    rows = _oracle(con, "ks_doclen_sources", "source_a, source_b")
+    raw = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    per: dict[str, list[int]] = {}
+    for s, v in raw:
+        per.setdefault(s, []).append(v)
+    for source_a, source_b, n_a, n_b, ks_micro in rows:
+        xs_a, xs_b = sorted(per[source_a]), sorted(per[source_b])
+        assert (n_a, n_b) == (len(xs_a), len(xs_b))
+        support = sorted(set(xs_a) | set(xs_b))
+        d = 0.0
+        import bisect
+
+        for x in support:
+            fa = bisect.bisect_right(xs_a, x) / n_a
+            fb = bisect.bisect_right(xs_b, x) / n_b
+            d = max(d, abs(fa - fb))
+        assert ks_micro == int(d * 1_000_000) or abs(ks_micro - d * 1e6) < 1, (
+            source_a,
+            source_b,
+            ks_micro,
+            d,
+        )
+
+
+def test_jsd_matches_direct_definition_and_bounds(con):
+    rows = _oracle(con, "jsd_source_unigrams", "source_a, source_b")
+    cnt = con.execute(
+        """
+        WITH tok AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    t -> t <> '')) AS term
+          FROM documents)
+        SELECT source, term, COUNT(*) FROM tok GROUP BY 1, 2
+        """
+    ).fetchall()
+    dist = {}
+    for src, term, c in cnt:
+        dist.setdefault(src, {})[term] = c
+    tot = {s: sum(d.values()) for s, d in dist.items()}
+    for source_a, source_b, n_shared, jsd_micro in rows:
+        da, db = dist[source_a], dist[source_b]
+        ta, tb = tot[source_a], tot[source_b]
+        shared = set(da) & set(db)
+        assert n_shared == len(shared)
+        # direct (unquantized) JSD over the union support
+        jsd = 0.0
+        for term in set(da) | set(db):
+            p = da.get(term, 0) / ta
+            q = db.get(term, 0) / tb
+            m = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * math.log(p / m)
+            if q:
+                jsd += 0.5 * q * math.log(q / m)
+        # engine value is nano-quantized per shared term then floored
+        # to micro: tolerance = one micro-unit per shared term
+        assert 0 <= jsd_micro <= round(math.log(2) * 1e6) + 1
+        assert abs(jsd_micro - jsd * 1e6) <= max(2, n_shared * 0.002 + 2), (
+            source_a,
+            source_b,
+            jsd_micro,
+            jsd * 1e6,
+        )
