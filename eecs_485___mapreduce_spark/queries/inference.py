@@ -383,6 +383,10 @@ def sprt_conversion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     always-valid "can we stop the experiment yet" readout, evaluated
     at the hour grain the way production experiment platforms batch
     it. Variants are a deterministic salted-md5 hash split of users.
+    Sequential companion to the fixed-horizon two-proportion z-test
+    (``abtest_conversion_ztest``, queries/mining.py): that one answers
+    "is the final difference significant", this one answers "when
+    could we have stopped".
 
     Determinism: LLR increments and boundaries are integer micro-nat
     constants precomputed once in Python and embedded in both engines,
@@ -623,9 +627,14 @@ _HALF_LN2_NANO = 0.5 * math.log(2.0) * 1_000_000_000
     tot AS (
       SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
     ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.t AS t1, b.t AS t2
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
     pairterms AS (
       SELECT a.source AS source_a, b.source AS source_b,
-             ta.t AS t1, tb.t AS t2, a.c AS c1, b.c AS c2,
+             a.c AS c1, b.c AS c2,
              CAST(ROUND(500000000 * (
                CAST(a.c AS DOUBLE) / ta.t
                  * ln(CAST(2 * a.c * tb.t AS DOUBLE)
@@ -637,17 +646,22 @@ _HALF_LN2_NANO = 0.5 * math.log(2.0) * 1_000_000_000
       FROM cnt a JOIN cnt b ON a.term = b.term AND a.source < b.source
       JOIN tot ta ON ta.source = a.source
       JOIN tot tb ON tb.source = b.source
+    ),
+    agg AS (
+      SELECT source_a, source_b, COUNT(*) AS n_shared,
+             SUM(contrib_nano) AS sum_nano,
+             SUM(c1) AS sc1, SUM(c2) AS sc2
+      FROM pairterms GROUP BY 1, 2
     )
-    SELECT source_a, source_b,
-           COUNT(*) AS n_shared_terms,
-           CAST((SUM(contrib_nano)
+    SELECT p.source_a, p.source_b,
+           CAST(COALESCE(g.n_shared, 0) AS BIGINT) AS n_shared_terms,
+           CAST((COALESCE(g.sum_nano, 0)
                  + CAST(ROUND({_HALF_LN2_NANO!r}
-                              * (CAST(t1 - SUM(c1) AS DOUBLE) / t1
-                                 + CAST(t2 - SUM(c2) AS DOUBLE) / t2))
+                              * (CAST(p.t1 - COALESCE(g.sc1, 0) AS DOUBLE) / p.t1
+                                 + CAST(p.t2 - COALESCE(g.sc2, 0) AS DOUBLE) / p.t2))
                         AS BIGINT)
                 ) // 1000 AS BIGINT) AS jsd_micro
-    FROM pairterms
-    GROUP BY source_a, source_b, t1, t2
+    FROM pairs p LEFT JOIN agg g USING (source_a, source_b)
     """,
 )
 def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,6 +718,9 @@ def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("t2")
         * F.log((2 * F.col("c2") * F.col("t1")).cast("double") / denom)
     )
+    pairs = ta.join(F.broadcast(tb), F.col("source_a") < F.col("source_b")).select(
+        "source_a", "source_b", "t1", "t2"
+    )
     pairterms = (
         a.join(b, (F.col("term") == F.col("term_b")) & (F.col("source_a") < F.col("source_b")))
         .join(F.broadcast(ta), "source_a")
@@ -711,33 +728,33 @@ def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source_a",
             "source_b",
-            "t1",
-            "t2",
             "c1",
             "c2",
             F.round(F.lit(500000000.0) * contrib).cast("bigint").alias("contrib_nano"),
         )
     )
+    agg = pairterms.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum("contrib_nano").alias("sum_nano"),
+        F.sum("c1").alias("sc1"),
+        F.sum("c2").alias("sc2"),
+    )
+    # Pairs with an empty shared vocabulary still get a row: every
+    # term is disjoint-support mass, so JSD degrades to exactly ln 2.
     corr = F.round(
         F.lit(_HALF_LN2_NANO)
         * (
-            (F.col("t1") - F.col("sc1")).cast("double") / F.col("t1")
-            + (F.col("t2") - F.col("sc2")).cast("double") / F.col("t2")
+            (F.col("t1") - F.coalesce("sc1", F.lit(0))).cast("double") / F.col("t1")
+            + (F.col("t2") - F.coalesce("sc2", F.lit(0))).cast("double") / F.col("t2")
         )
     ).cast("bigint")
     return (
-        pairterms.groupBy("source_a", "source_b", "t1", "t2")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_terms"),
-            F.sum("contrib_nano").alias("sum_nano"),
-            F.sum("c1").alias("sc1"),
-            F.sum("c2").alias("sc2"),
-        )
+        pairs.join(agg, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            "n_shared_terms",
-            (F.col("sum_nano") + corr).alias("_tot"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared_terms"),
+            (F.coalesce("sum_nano", F.lit(0)) + corr).alias("_tot"),
         )
         .select(
             "source_a",

@@ -84,6 +84,13 @@ EDGE_QUERIES = [
     # neither tested source exists in the fixture -> the statistic row
     # must degrade to all-NULL identically on both engines
     "mannwhitney_doclen_sources",
+    # inference batch: every doc lands in the clamp bins (empty text
+    # scores 0 -> bin 0); srcA{solo} shares no vocabulary with srcB ->
+    # the JSD pair must still emit a row with exactly ln2; KS pairs
+    # over 3 tiny sources exercise the coalesced-grid cumsum
+    "isotonic_calibration_langid",
+    "ks_doclen_sources",
+    "jsd_source_unigrams",
 ]
 
 
@@ -227,6 +234,10 @@ EDGE_EVENT_QUERIES = [
     # identically by Spark's NULL-keys and the oracle's json_valid/
     # json_type guard
     "json_schema_drift_weekly",
+    # inference batch: the NULL user hashes to a NULL variant that
+    # groups alone but never equi-joins its crossing row (both
+    # engines); the 2-hour fixture cannot cross a Wald boundary
+    "sprt_conversion_hourly",
 ]
 
 
