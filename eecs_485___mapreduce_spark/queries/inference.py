@@ -465,6 +465,258 @@ def sprt_conversion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------- one-way ANOVA (order value x segment)
+
+# Sums of squares are quantized to units of 1e6 cents^2 after exact
+# accumulation: per-group raw moments (n, sum cents, sum cents^2) are
+# exact integers (the squares sum in DECIMAL/HUGEINT lanes), each
+# group's SS term is one fixed double tree rounded to a bigint, and
+# the cross-group additions are then order-free integer sums.
+_SS_UNIT = 1_000_000.0
+
+
+@register(
+    "anova_order_value_by_segment",
+    tags=("stats", "agg", "join", "eval"),
+    oracle=f"""
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS q
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT seg, n, s,
+             CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                        / {_SS_UNIT!r}) AS BIGINT) AS t_between,
+             CAST(ROUND((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / {_SS_UNIT!r}) AS BIGINT) AS u_within
+      FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(t_between)
+                - CAST(ROUND(CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                             / SUM(n) / {_SS_UNIT!r}) AS BIGINT)
+                AS BIGINT) AS ssb_unit,
+           CAST(SUM(u_within) AS BIGINT) AS ssw_unit,
+           CAST(ROUND(1000 *
+             ((CAST(SUM(t_between) AS DOUBLE)
+               - ROUND(CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                       / SUM(n) / {_SS_UNIT!r})) / (COUNT(*) - 1))
+             / (CAST(SUM(u_within) AS DOUBLE) / (SUM(n) - COUNT(*)))
+           ) AS BIGINT) AS f_milli
+    FROM terms
+    """,
+)
+def anova_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value (exact integer cents) across the
+    five customer market segments: between/within sums of squares and
+    the F statistic — the "does the group mean differ anywhere" screen
+    run before pairwise tests (its two-group special case is the
+    Welch query below). One scalar audit row.
+
+    Determinism: per-group raw moments are exact (counts and cent sums
+    in BIGINT, squared cents summed through a DECIMAL(38)/HUGEINT lane
+    — every term < 2^53 so the final cast to double is the identical
+    correctly-rounded value on both engines); each group's SS term is
+    one fixed double tree quantized to {_SS_UNIT:.0e} cents^2 units
+    BEFORE the cross-group sum, so group addition order cannot matter;
+    F divides the two integer SS totals once.
+
+    Scale (100 TB): one fact-to-dimension equi-join (AQE
+    broadcast-sized dimension) and ONE partial+final agg onto the
+    5-value segment key; everything downstream is arithmetic over a
+    5-row relation. The raw-moment formulation is exactly what makes
+    ANOVA single-pass and mergeable — no per-group mean subtraction
+    pass, no second scan.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B eval/stats family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    joined = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    g = joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
+    )
+    terms = g.select(
+        "seg",
+        "n",
+        "s",
+        F.expr(
+            f"CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"
+            f" / {_SS_UNIT!r}) AS BIGINT)"
+        ).alias("t_between"),
+        F.expr(
+            f"CAST(ROUND((CAST(q AS DOUBLE)"
+            f" - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+            f" / {_SS_UNIT!r}) AS BIGINT)"
+        ).alias("u_within"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.expr(
+            f"CAST(SUM(t_between)"
+            f" - CAST(ROUND(CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)"
+            f" / SUM(n) / {_SS_UNIT!r}) AS BIGINT) AS BIGINT)"
+        ).alias("ssb_unit"),
+        F.sum("u_within").cast("bigint").alias("ssw_unit"),
+        F.expr(
+            f"CAST(ROUND(1000 *"
+            f" ((CAST(SUM(t_between) AS DOUBLE)"
+            f" - ROUND(CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)"
+            f" / SUM(n) / {_SS_UNIT!r})) / (COUNT(1) - 1))"
+            f" / (CAST(SUM(u_within) AS DOUBLE) / (SUM(n) - COUNT(1)))"
+            f") AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+# ------------------------- Welch's t-test (two unequal-variance arms)
+
+WELCH_SEG_A = "BUILDING"
+WELCH_SEG_B = "MACHINERY"
+
+
+@register(
+    "welch_ttest_building_machinery",
+    tags=("stats", "agg", "join", "eval"),
+    oracle=f"""
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS q
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{WELCH_SEG_A}', '{WELCH_SEG_B}')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN seg = '{WELCH_SEG_A}' THEN n END) AS n1,
+        MAX(CASE WHEN seg = '{WELCH_SEG_A}' THEN s END) AS s1,
+        MAX(CASE WHEN seg = '{WELCH_SEG_A}' THEN CAST(q AS DOUBLE) END) AS q1,
+        MAX(CASE WHEN seg = '{WELCH_SEG_B}' THEN n END) AS n2,
+        MAX(CASE WHEN seg = '{WELCH_SEG_B}' THEN s END) AS s2,
+        MAX(CASE WHEN seg = '{WELCH_SEG_B}' THEN CAST(q AS DOUBLE) END) AS q2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CAST(ROUND(1000 * CAST(s1 AS DOUBLE) / n1) AS BIGINT) AS mean_a_milli,
+           CAST(ROUND(1000 * CAST(s2 AS DOUBLE) / n2) AS BIGINT) AS mean_b_milli,
+           CAST(ROUND(1000 *
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt(((q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                     / (n1 - 1)) / n1
+                    + ((q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                       / (n2 - 1)) / n2)
+           ) AS BIGINT) AS t_milli,
+           CAST(ROUND(1000 *
+             ((((q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                / (n1 - 1)) / n1
+               + ((q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                  / (n2 - 1)) / n2)
+              * (((q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                  / (n1 - 1)) / n1
+                 + ((q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                    / (n2 - 1)) / n2))
+             / ((((q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                  / (n1 - 1)) / n1)
+                * (((q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                    / (n1 - 1)) / n1) / (n1 - 1)
+                + (((q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                    / (n2 - 1)) / n2)
+                  * (((q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                      / (n2 - 1)) / n2) / (n2 - 1))
+           ) AS BIGINT) AS welch_df_milli
+    FROM w
+    """,
+)
+def welch_ttest_building_machinery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test of order value
+    between the {a} and {b} customer segments: means, the t statistic,
+    and the Welch-Satterthwaite effective degrees of freedom — the
+    pairwise follow-up to the ANOVA screen above, in the form robust
+    to unequal group variances (the default two-sample test in every
+    modern stats text). One scalar audit row.
+
+    Determinism: the same exact raw-moment lane as the ANOVA (cent
+    sums BIGINT, squared-cent sums DECIMAL/HUGEINT, each < 2^53-exact
+    per term and identically rounded at the one cast to double); t and
+    df are each ONE fixed double expression tree over those six exact
+    numbers, rounded once to milli-units. The standard-error terms
+    are written out in full on both engines so the operation order is
+    textually identical.
+
+    Scale (100 TB): the segment filter reaches the dimension scan
+    (pushed predicate), the join is fact-to-broadcast-dimension, and
+    the two-arm moments are ONE partial+final agg; the statistic is a
+    2-row pivot. Raw moments make the test single-pass and mergeable
+    across shards.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B eval/stats family.
+    """.format(a=WELCH_SEG_A, b=WELCH_SEG_B)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("c_mktsegment").isin(WELCH_SEG_A, WELCH_SEG_B))
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    )
+    g = joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("q"),
+    )
+    w = g.agg(
+        F.expr(f"MAX(CASE WHEN seg = '{WELCH_SEG_A}' THEN n END)").alias("n1"),
+        F.expr(f"MAX(CASE WHEN seg = '{WELCH_SEG_A}' THEN s END)").alias("s1"),
+        F.expr(
+            f"MAX(CASE WHEN seg = '{WELCH_SEG_A}' THEN CAST(q AS DOUBLE) END)"
+        ).alias("q1"),
+        F.expr(f"MAX(CASE WHEN seg = '{WELCH_SEG_B}' THEN n END)").alias("n2"),
+        F.expr(f"MAX(CASE WHEN seg = '{WELCH_SEG_B}' THEN s END)").alias("s2"),
+        F.expr(
+            f"MAX(CASE WHEN seg = '{WELCH_SEG_B}' THEN CAST(q AS DOUBLE) END)"
+        ).alias("q2"),
+    )
+    va = "((q1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)) / n1"
+    vb = "((q2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)) / n2"
+    return w.select(
+        F.expr("CAST(n1 AS BIGINT)").alias("n_a"),
+        F.expr("CAST(n2 AS BIGINT)").alias("n_b"),
+        F.expr("CAST(ROUND(1000 * CAST(s1 AS DOUBLE) / n1) AS BIGINT)").alias(
+            "mean_a_milli"
+        ),
+        F.expr("CAST(ROUND(1000 * CAST(s2 AS DOUBLE) / n2) AS BIGINT)").alias(
+            "mean_b_milli"
+        ),
+        F.expr(
+            f"CAST(ROUND(1000 * (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+            f" / sqrt({va} + {vb})) AS BIGINT)"
+        ).alias("t_milli"),
+        F.expr(
+            f"CAST(ROUND(1000 * (({va} + {vb}) * ({va} + {vb}))"
+            f" / (({va}) * ({va}) / (n1 - 1) + ({vb}) * ({vb}) / (n2 - 1)))"
+            f" AS BIGINT)"
+        ).alias("welch_df_milli"),
+    )
+
+
 # ------------------------- two-sample Kolmogorov-Smirnov (doc length)
 
 

@@ -27,7 +27,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("documents", "events", "lineitem"):
+    for t in ("documents", "events", "lineitem", "orders", "customer"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"
             f" read_parquet('{SF_DIR}/{t}.parquet')"
@@ -165,6 +165,56 @@ def test_ks_matches_direct_cdf_definition(con):
             ks_micro,
             d,
         )
+
+
+def _segment_values(con):
+    rows = con.execute(
+        """
+        SELECT c.c_mktsegment, CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for seg, cents in rows:
+        per.setdefault(seg, []).append(cents)
+    return per
+
+
+def test_anova_matches_textbook_f(con):
+    (n_groups, n_total, ssb_unit, ssw_unit, f_milli) = _oracle(
+        con, "anova_order_value_by_segment", "n_groups"
+    )[0]
+    per = _segment_values(con)
+    assert n_groups == len(per) and n_total == sum(len(v) for v in per.values())
+    grand = sum(sum(v) for v in per.values()) / n_total
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in per.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in per.values()
+    )
+    # engine reports SS in 1e6-cents^2 units with per-group rounding:
+    # tolerance = half a unit per group plus the grand-term rounding
+    assert abs(ssb_unit - ssb / 1e6) <= len(per) / 2 + 1
+    assert abs(ssw_unit - ssw / 1e6) <= len(per) / 2 + 1
+    f = (ssb / (len(per) - 1)) / (ssw / (n_total - len(per)))
+    assert abs(f_milli - 1000 * f) <= 2
+
+
+def test_welch_matches_textbook_t_and_df(con):
+    (n_a, n_b, mean_a_milli, mean_b_milli, t_milli, df_milli) = _oracle(
+        con, "welch_ttest_building_machinery", "n_a"
+    )[0]
+    per = _segment_values(con)
+    xa, xb = per["BUILDING"], per["MACHINERY"]
+    assert (n_a, n_b) == (len(xa), len(xb))
+    ma, mb = sum(xa) / n_a, sum(xb) / n_b
+    assert mean_a_milli == round(1000 * ma)
+    assert mean_b_milli == round(1000 * mb)
+    va = sum((x - ma) ** 2 for x in xa) / (n_a - 1) / n_a
+    vb = sum((x - mb) ** 2 for x in xb) / (n_b - 1) / n_b
+    t = (ma - mb) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va**2 / (n_a - 1) + vb**2 / (n_b - 1))
+    assert abs(t_milli - 1000 * t) <= 1
+    assert abs(df_milli - 1000 * df) <= 1
 
 
 def test_jsd_matches_direct_definition_and_bounds(con):
