@@ -402,7 +402,14 @@ def sprt_conversion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (wordcount/grep only); SURVEY.md
     section 2.B eval/stats family.
     """
-    events = load_table(spark, sf_dir, "events")
+    return sprt_from_hourly(sprt_hourly_partial(load_table(spark, sf_dir, "events")))
+
+
+def sprt_hourly_partial(events: DataFrame) -> DataFrame:
+    """(variant, hour) -> (n trials, s successes) for any slice of the
+    events relation. Counts are mergeable by plain addition, which is
+    what lets the streaming store (streaming/sinks.py) keep one
+    partial per micro-batch and merge on read."""
     variant = (
         md5_long(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
     ).alias("variant")
@@ -411,9 +418,15 @@ def sprt_conversion_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
     )
-    hourly = trials.groupBy("variant", "hour").agg(
+    return trials.groupBy("variant", "hour").agg(
         F.count(F.lit(1)).alias("n"), F.sum("hit").cast("bigint").alias("s")
     )
+
+
+def sprt_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The monitor readout (cumulative LLR, first boundary crossing,
+    decision) over an hourly (variant, hour, n, s) relation — shared
+    by the batch query above and the streaming store's read side."""
     llr = F.col("s") * SPRT_L1_MICRO + (F.col("n") - F.col("s")) * SPRT_L0_MICRO
     cum = hourly.select(
         "variant",

@@ -10,6 +10,9 @@ from .sinks import (  # noqa: F401
     cms_sketch_batch,
     cms_sketch_stream,
     read_cms_sketch,
+    read_sprt_monitor,
+    sprt_monitor_stream,
+    sprt_partial_batch,
     upsert_batch,
     upsert_events_stream,
 )

@@ -149,3 +149,59 @@ def upsert_events_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sprt_partial_batch(batch: DataFrame, table_dir: str, batch_id: int) -> None:
+    """Write one micro-batch's (variant, hour) trial/success partial
+    counts as the ``batch_id`` partition of the experiment-monitor
+    store. Same exactly-once discipline as the count-min store above:
+    count merging is not idempotent, so each batch owns its partition
+    and a replay dynamically overwrites only itself; merging happens
+    on read (:func:`read_sprt_monitor`)."""
+    from ..queries.inference import sprt_hourly_partial
+
+    (
+        sprt_hourly_partial(batch)
+        .withColumn("batch_id", F.lit(batch_id))
+        .repartition(1)  # one file per batch: |variants| x |hours| rows
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(table_dir)
+    )
+
+
+def sprt_monitor_stream(events: DataFrame, table_dir: str, checkpoint_dir: str):
+    """Continuously maintain the group-sequential SPRT experiment
+    monitor (queries/inference.py): availableNow drain writing one
+    partial-count partition per micro-batch. The 100 TB shape:
+    per-batch state is bounded by |variants| x |hours touched|, and
+    the monitor itself (cumulative LLR + Wald crossing) is computed
+    on read over the merged hourly relation — the streaming side
+    never orders trials."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        sprt_partial_batch(batch, table_dir, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sprt_monitor(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The monitor readout over every batch partition: per-(variant,
+    hour) counts merge by addition (each partial exactly once), then
+    the shared cumulative-LLR / crossing logic runs over the merged
+    hourly relation — byte-identical to the batch query on the same
+    events."""
+    from ..queries.inference import sprt_from_hourly
+
+    hourly = (
+        spark.read.parquet(table_dir)
+        .groupBy("variant", "hour")
+        .agg(F.sum("n").alias("n"), F.sum("s").cast("bigint").alias("s"))
+    )
+    return sprt_from_hourly(hourly)

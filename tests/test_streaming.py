@@ -597,3 +597,96 @@ def test_hourly_rollup_on_rocksdb_state_store_equals_batch(spark):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def test_sprt_monitor_store_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """The streaming experiment monitor: per-batch (variant, hour)
+    partial counts merged on read must reproduce the batch SPRT query
+    exactly — however the input splits into micro-batches — and
+    replaying a batch overwrites only its own partition (exactly-once
+    for the non-idempotent count merge)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.inference import (
+        sprt_conversion_hourly,
+    )
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming import (
+        read_sprt_monitor,
+        sprt_monitor_stream,
+        sprt_partial_batch,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, SF_SMALL, "events")
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sprt_monitor_stream(stream, table, ckpt)
+    q.awaitTermination()
+
+    assert spark.read.parquet(table).select("batch_id").distinct().count() == 3
+
+    cols = sprt_conversion_hourly(spark, SF_SMALL).columns
+    want = normalize(
+        [tuple(r) for r in sprt_conversion_hourly(spark, SF_SMALL).collect()],
+        cols,
+    )
+    got = normalize(
+        [
+            tuple(r)
+            for r in read_sprt_monitor(spark, table).select(*cols).collect()
+        ],
+        cols,
+    )
+    assert got == want
+
+    # Replaying batch 0's own file leaves the merged monitor unchanged.
+    import os
+
+    from eecs_485___mapreduce_spark.queries.inference import sprt_hourly_partial
+
+    stored0 = normalize(
+        [
+            tuple(r)
+            for r in spark.read.parquet(table)
+            .where(F.col("batch_id") == 0)
+            .select("variant", "hour", "n", "s")
+            .collect()
+        ],
+        ["variant", "hour", "n", "s"],
+    )
+    replay = None
+    for p in os.listdir(src):
+        if not p.endswith(".parquet"):
+            continue
+        cand = spark.read.parquet(f"{src}/{p}")
+        part = normalize(
+            [
+                tuple(r)
+                for r in sprt_hourly_partial(cand)
+                .select("variant", "hour", "n", "s")
+                .collect()
+            ],
+            ["variant", "hour", "n", "s"],
+        )
+        if part == stored0:
+            replay = cand
+            break
+    assert replay is not None, "no source file matches the batch-0 partial"
+    sprt_partial_batch(replay, table, 0)
+    again = normalize(
+        [
+            tuple(r)
+            for r in read_sprt_monitor(spark, table).select(*cols).collect()
+        ],
+        cols,
+    )
+    assert again == want
