@@ -535,3 +535,221 @@ def decode_audio_headers(
     return df.select(id_col, payload_col).mapInPandas(
         batches, AUDIO_HEADER_SCHEMA
     )
+
+
+# ------------------- full-payload pixel/sample decode (uncompressed)
+#
+# The container-limitation stub (decode_image_meta) covers formats
+# whose pixel planes are entropy-coded (PNG/JPEG/GIF need inflate /
+# Huffman / LZW). Uncompressed payloads need nothing beyond numpy:
+# a 24bpp BMP raster and PCM16 WAV samples decode FOR REAL below —
+# full byte layout in (headers, bottom-up padded rows, chunk walks),
+# full numeric content out.
+
+import math
+
+import numpy as np
+
+# Deterministic raster: pixel k (top-down row-major) of document d has
+# channels B=(d+k)%256, G=(d+k+85)%256, R=(d+k+170)%256 — chosen so a
+# SQL oracle can regenerate every pixel with unnest(range(w*h)).
+BMP_W_MOD, BMP_H_MOD = 16, 8
+BMP_STATS_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_pixels bigint, "
+    "sum_b bigint, sum_g bigint, sum_r bigint, mean_gray_milli bigint"
+)
+
+
+def _round_half_up(x: float) -> int:
+    """ROUND() as Spark/DuckDB do it for positive values (half away
+    from zero); Python's round() is banker's and must not be used."""
+    return int(math.floor(x + 0.5))
+
+
+def build_bmp_raster(doc_id: int) -> bytes:
+    """Serialize a COMPLETE 24bpp BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up, 4-byte-padded pixel rows) whose
+    pixel values are the deterministic function of ``doc_id`` above.
+    Every byte follows the published BMP spec."""
+    d = int(doc_id)
+    w, h = d % BMP_W_MOD + 1, d % BMP_H_MOD + 1
+    k = np.arange(w * h, dtype=np.int64)
+    px = np.stack(
+        [(d + k) % 256, (d + k + 85) % 256, (d + k + 170) % 256], axis=1
+    ).astype(np.uint8).reshape(h, w, 3)
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1].reshape(h, 3 * w)  # bottom-up storage
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + stride * h, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp_raster_stats(payload: bytes) -> tuple | None:
+    """REAL numpy BMP raster decode: header parse, bottom-up row
+    unflip, stride-padding strip, BGR channel split — then per-image
+    statistics (exact integer channel sums, half-up gray mean).
+    Returns None on anything that is not an uncompressed 24bpp BMP
+    (corruption is routine at crawl scale, never a batch failure)."""
+    try:
+        if bytes(payload[:2]) != b"BM" or len(payload) < 54:
+            return None
+        off = struct.unpack("<I", payload[10:14])[0]
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        top_down, h = h < 0, abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        if off + stride * h > len(payload):
+            return None
+        arr = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+        px = arr.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+        if not top_down:
+            px = px[::-1]
+        sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        n = w * h
+        mean_gray_milli = _round_half_up(1000.0 * float(sums.sum()) / (3 * n))
+        return (w, h, n, int(sums[0]), int(sums[1]), int(sums[2]), mean_gray_milli)
+    except (struct.error, ValueError):
+        return None
+
+
+def with_bmp_raster(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic full BMP raster per row (Arrow
+    batches; payload bytes never touch the driver)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[[id_col]].copy()
+            out["payload"] = [build_bmp_raster(d) for d in pdf[id_col]]
+            yield out
+
+    return df.select(id_col).mapInPandas(batches, f"{id_col} bigint, payload binary")
+
+
+def bmp_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas operator: full BMP payload -> per-image pixel
+    statistics via :func:`decode_bmp_raster_stats`. Undecodable
+    payloads surface as width=NULL rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [decode_bmp_raster_stats(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [s[0] if s else None for s in stats],
+                    "height": [s[1] if s else None for s in stats],
+                    "n_pixels": [s[2] if s else None for s in stats],
+                    "sum_b": [s[3] if s else None for s in stats],
+                    "sum_g": [s[4] if s else None for s in stats],
+                    "sum_r": [s[5] if s else None for s in stats],
+                    "mean_gray_milli": [s[6] if s else None for s in stats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+# Deterministic PCM: sample k of document d is
+# ((d*31 + 7k) % 65536) - 32768, mono, 16-bit little-endian.
+WAV_N_MOD = 500
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sum_abs bigint, peak bigint, rms_milli bigint"
+)
+
+
+def build_wav_pcm(doc_id: int) -> bytes:
+    """Serialize a COMPLETE RIFF/WAVE file (fmt chunk: PCM, mono,
+    16-bit; data chunk: the deterministic samples above)."""
+    d = int(doc_id)
+    n = d % WAV_N_MOD + 1
+    k = np.arange(n, dtype=np.int64)
+    data = (((d * 31 + 7 * k) % 65536) - 32768).astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm_stats(payload: bytes) -> tuple | None:
+    """REAL numpy PCM decode: RIFF chunk walk to fmt/data, 16-bit
+    little-endian sample recovery, then exact integer amplitude
+    statistics and the half-up RMS. Returns None for anything that is
+    not mono 16-bit PCM."""
+    try:
+        if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+            return None
+        i, fmt_ok, data = 12, False, None
+        while i + 8 <= len(payload):
+            cid = bytes(payload[i : i + 4])
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                audio_fmt, channels, _, _, _, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
+                fmt_ok = audio_fmt == 1 and channels == 1 and bits == 16
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        if not fmt_ok or data is None or len(data) % 2:
+            return None
+        x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        n = int(x.size)
+        if n == 0:
+            return None
+        sum_sq = int((x * x).sum())
+        rms_milli = _round_half_up(1000.0 * math.sqrt(sum_sq / n))
+        return (n, int(np.abs(x).sum()), int(np.abs(x).max()), rms_milli)
+    except (struct.error, ValueError):
+        return None
+
+
+def with_wav_pcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic full PCM WAV payload per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[[id_col]].copy()
+            out["payload"] = [build_wav_pcm(d) for d in pdf[id_col]]
+            yield out
+
+    return df.select(id_col).mapInPandas(batches, f"{id_col} bigint, payload binary")
+
+
+def wav_sample_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas operator: full WAV payload -> per-clip amplitude
+    statistics via :func:`decode_wav_pcm_stats`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [decode_wav_pcm_stats(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": [s[0] if s else None for s in stats],
+                    "sum_abs": [s[1] if s else None for s in stats],
+                    "peak": [s[2] if s else None for s in stats],
+                    "rms_milli": [s[3] if s else None for s in stats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, WAV_STATS_SCHEMA)

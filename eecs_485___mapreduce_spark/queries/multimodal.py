@@ -361,3 +361,101 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= PHASH_HAM_MAX).select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    tags=("multimodal", "udf", "stats"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id + k) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((doc_id + k + 85) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id + k + 170) % 256) AS BIGINT) AS sum_r,
+           CAST(ROUND(1000.0 * SUM((doc_id + k) % 256 + (doc_id + k + 85) % 256
+                                   + (doc_id + k + 170) % 256)
+                      / (3 * w * h)) AS BIGINT) AS mean_gray_milli
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode over the Arrow mapInPandas path: a COMPLETE
+    24bpp BMP raster (file+info headers, bottom-up 4-byte-padded BGR
+    rows) is serialized per document from a deterministic pixel
+    function of doc_id, then decoded back by numpy
+    (``multimodal.decode_bmp_raster_stats`` — header parse, row
+    unflip, padding strip, channel split) into exact per-image channel
+    sums and the gray mean. The oracle regenerates every pixel
+    arithmetically (unnest over the pixel index), so the driver
+    value-hash certifies the full raster round-trip BYTE FOR BYTE —
+    this closes the pixel plane of the multimodal stub for
+    uncompressed formats; only entropy-coded codecs (PNG inflate,
+    JPEG Huffman, GIF LZW) remain behind the documented stub.
+
+    Scale (100 TB): per-partition Arrow batches, no shuffle, no driver
+    payload transfer; pixel math is vectorized numpy per batch;
+    corrupt payloads yield width=NULL rows instead of failing the
+    batch (pinned by tests/test_multimodal.py).
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B multimodal family.
+    """
+    from ..multimodal import bmp_pixel_stats, with_bmp_raster
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_pixel_stats(with_bmp_raster(docs))
+
+
+@register(
+    "multimodal_wav_pcm_stats",
+    tags=("multimodal", "udf", "stats"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 500 + 1 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS k FROM d
+    ),
+    v AS (
+      SELECT doc_id, n, ((doc_id * 31 + k * 7) % 65536) - 32768 AS x FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+           CAST(ROUND(1000.0 * sqrt(CAST(SUM(x * x) AS DOUBLE) / n))
+                AS BIGINT) AS rms_milli
+    FROM v GROUP BY doc_id, n
+    """,
+)
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-sample decode — the PCM twin of the BMP raster
+    round-trip above: a COMPLETE RIFF/WAVE file (fmt + data chunks,
+    mono 16-bit PCM) is serialized per document from a deterministic
+    sample function of doc_id, then decoded back by numpy
+    (``multimodal.decode_wav_pcm_stats`` — RIFF chunk walk with word
+    alignment, little-endian sample recovery) into exact amplitude
+    statistics (sum|x|, peak) and the half-up RMS. The oracle
+    regenerates every sample arithmetically, certifying the byte
+    round-trip end to end.
+
+    Scale (100 TB): per-partition Arrow batches, vectorized sample
+    math, no shuffle, no driver payload transfer; non-PCM or corrupt
+    payloads yield NULL rows.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B multimodal family.
+    """
+    from ..multimodal import wav_sample_stats, with_wav_pcm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_sample_stats(with_wav_pcm(docs))

@@ -91,6 +91,10 @@ EDGE_QUERIES = [
     "isotonic_calibration_langid",
     "ks_doclen_sources",
     "jsd_source_unigrams",
+    # full-payload codecs: stats depend only on doc_id, so the edge
+    # corpus exercises the serialize->decode round-trip end to end
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_pcm_stats",
 ]
 
 

@@ -155,3 +155,101 @@ def test_audio_header_roundtrip_and_corruption(spark):
     by_id = {r.doc_id: r for r in rows}
     assert by_id[1].fmt == "wav" and by_id[1].n_frames == 10
     assert by_id[2].fmt is None and by_id[3].fmt is None and by_id[4].fmt is None
+
+
+def test_bmp_raster_roundtrip_and_corruption(spark):
+    """The full-raster BMP codec round-trips pixel content exactly —
+    channel sums recomputed from the generating function — and
+    corrupt/non-BMP payloads decode to width=NULL rows instead of
+    failing the Arrow batch. A top-down (negative height) BMP from a
+    foreign producer decodes to the same statistics as the bottom-up
+    file the builder writes."""
+    import struct
+
+    import numpy as np
+
+    from eecs_485___mapreduce_spark.multimodal import (
+        bmp_pixel_stats,
+        build_bmp_raster,
+        decode_bmp_raster_stats,
+    )
+
+    for d in (0, 1, 37, 255, 256, 9999):
+        w, h = d % 16 + 1, d % 8 + 1
+        k = np.arange(w * h, dtype=np.int64)
+        want = (
+            w,
+            h,
+            w * h,
+            int(((d + k) % 256).sum()),
+            int(((d + k + 85) % 256).sum()),
+            int(((d + k + 170) % 256).sum()),
+        )
+        got = decode_bmp_raster_stats(build_bmp_raster(d))
+        assert got[:6] == want
+
+    # top-down variant (negative height, rows not flipped) must yield
+    # identical statistics: rebuild doc 37's payload top-down
+    p = bytearray(build_bmp_raster(37))
+    w, h = 37 % 16 + 1, 37 % 8 + 1
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(bytes(p[54:]), np.uint8).reshape(h, stride)
+    p[22:26] = struct.pack("<i", -h)
+    p[54:] = rows[::-1].tobytes()
+    assert decode_bmp_raster_stats(bytes(p)) == decode_bmp_raster_stats(
+        build_bmp_raster(37)
+    )
+
+    rows = bmp_pixel_stats(
+        spark.createDataFrame(
+            [
+                (1, build_bmp_raster(1)),
+                (2, b"not a bmp"),
+                (3, b""),
+                (4, build_bmp_raster(4)[:40]),
+            ],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].width == 2 and by_id[1].n_pixels == 4
+    assert by_id[2].width is None
+    assert by_id[3].width is None
+    assert by_id[4].width is None
+
+
+def test_wav_pcm_roundtrip_and_corruption(spark):
+    """The PCM codec round-trips sample content exactly (sum|x|, peak,
+    sum-of-squares recomputed from the generating function) and
+    rejects non-PCM/stereo/corrupt payloads as NULL rows."""
+    import numpy as np
+
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_wav_pcm,
+        decode_wav_pcm_stats,
+        wav_sample_stats,
+    )
+
+    for d in (0, 1, 37, 499, 500, 12345):
+        n = d % 500 + 1
+        k = np.arange(n, dtype=np.int64)
+        x = ((d * 31 + 7 * k) % 65536) - 32768
+        got = decode_wav_pcm_stats(build_wav_pcm(d))
+        assert got[:3] == (n, int(np.abs(x).sum()), int(np.abs(x).max()))
+
+    rows = wav_sample_stats(
+        spark.createDataFrame(
+            [
+                (1, build_wav_pcm(1)),
+                (2, b"RIFFxxxxWAVE"),
+                (3, b"not audio"),
+                (4, build_wav_pcm(4)[:30]),
+            ],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_samples == 2 and by_id[1].peak is not None
+    assert by_id[2].n_samples is None
+    assert by_id[3].n_samples is None
+    assert by_id[4].n_samples is None
