@@ -459,3 +459,59 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_sample_stats(with_wav_pcm(docs))
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    tags=("multimodal", "udf", "stats"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id + k) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((doc_id + k + 85) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id + k + 170) % 256) AS BIGINT) AS sum_r,
+           CAST(ROUND(1000.0 * SUM((doc_id + k) % 256 + (doc_id + k + 85) % 256
+                                   + (doc_id + k + 170) % 256)
+                      / (3 * w * h)) AS BIGINT) AS mean_gray_milli
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode — the entropy-coded upgrade of the BMP
+    raster round-trip: a COMPLETE 8-bit RGB PNG is serialized per
+    document (real deflate stream, real CRCs, scanline filter type
+    cycling through ALL FIVE spec filters None/Sub/Up/Average/Paeth),
+    then decoded back by the stdlib-only codec in
+    ``multimodal.decode_png_pixel_stats`` (CRC-verified chunk walk,
+    zlib inflate, per-scanline filter REVERSAL including the Paeth
+    predictor) into the same exact channel statistics as the BMP
+    path. The oracle regenerates every pixel arithmetically; the
+    pixel function is shared with ``multimodal_bmp_pixel_stats``, so
+    the two containers cross-certify each other's decoders. With this,
+    only JPEG (Huffman+DCT) and GIF (LZW) pixel planes remain behind
+    the documented stub.
+
+    Scale (100 TB): per-partition Arrow batches, no shuffle, no driver
+    payload transfer; the unfilter loop is bounded by the tiny test
+    dimensions here and is the textbook sequential recurrence at any
+    size (PNG rows cannot be vectorized across the Sub/Paeth
+    dependency — a production deployment hands this exact loop to a
+    native codec, same plumbing); corrupt or bit-flipped payloads
+    fail CRC and surface as width=NULL rows.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B multimodal family.
+    """
+    from ..multimodal import png_pixel_stats, with_png_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_pixel_stats(with_png_payload(docs))

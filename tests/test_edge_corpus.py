@@ -95,6 +95,7 @@ EDGE_QUERIES = [
     # corpus exercises the serialize->decode round-trip end to end
     "multimodal_bmp_pixel_stats",
     "multimodal_wav_pcm_stats",
+    "multimodal_png_pixel_stats",
 ]
 
 

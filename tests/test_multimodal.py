@@ -253,3 +253,43 @@ def test_wav_pcm_roundtrip_and_corruption(spark):
     assert by_id[2].n_samples is None
     assert by_id[3].n_samples is None
     assert by_id[4].n_samples is None
+
+
+def test_png_codec_all_filters_crc_and_cross_certification(spark):
+    """The PNG codec: every scanline filter type is applied by the
+    builder and reversed by the decoder (the cycling covers all five
+    across h>=5 docs); a single flipped bit fails CRC and decodes to
+    NULL; and the PNG statistics equal the BMP statistics for the same
+    doc_id (shared pixel function, independent containers and
+    decoders — cross-certification)."""
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_bmp_raster,
+        build_png_rgb,
+        decode_bmp_raster_stats,
+        decode_png_pixel_stats,
+        png_pixel_stats,
+    )
+
+    for d in (0, 1, 4, 37, 255, 256, 9999):  # h spans 1..8 -> all filters
+        assert decode_png_pixel_stats(build_png_rgb(d)) == decode_bmp_raster_stats(
+            build_bmp_raster(d)
+        )
+
+    flipped = bytearray(build_png_rgb(37))
+    flipped[40] ^= 0x01
+    rows = png_pixel_stats(
+        spark.createDataFrame(
+            [
+                (1, build_png_rgb(1)),
+                (2, bytes(flipped)),
+                (3, b"\x89PNG\r\n\x1a\n"),
+                (4, b"not a png"),
+            ],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].width == 2
+    assert by_id[2].width is None  # CRC caught the bit flip
+    assert by_id[3].width is None
+    assert by_id[4].width is None
