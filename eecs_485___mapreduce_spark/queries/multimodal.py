@@ -515,3 +515,57 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return png_pixel_stats(with_png_payload(docs))
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    tags=("multimodal", "udf", "stats"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id + k) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((doc_id + k + 85) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id + k + 170) % 256) AS BIGINT) AS sum_r,
+           CAST(ROUND(1000.0 * SUM((doc_id + k) % 256 + (doc_id + k + 85) % 256
+                                   + (doc_id + k + 170) % 256)
+                      / (3 * w * h)) AS BIGINT) AS mean_gray_milli
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode — the LZW member of the pixel-plane
+    trio (BMP raw raster, PNG deflate+filters, GIF LZW+palette): a
+    COMPLETE GIF89a is serialized per document (logical screen
+    descriptor, 256-entry global color table, real greedy-match LZW
+    index stream in 255-byte sub-blocks), then decoded back by the
+    pure-Python codec in ``multimodal.decode_gif_pixel_stats``
+    (sub-block reassembly, variable-width LZW with clear-code resets
+    and the KwKwK case, palette mapping). The palette is built so
+    index (d+k)%256 reproduces the SAME pixel function as the BMP/PNG
+    rasters — three independent containers and decoders, one oracle,
+    cross-certifying each other. The LZW width-growth pairing
+    (9->12 bits, 4096-entry resets) is pinned by a long-stream
+    property test since these tiny images never leave 9-bit codes.
+    With this, only JPEG's Huffman+DCT plane remains behind the
+    documented stub.
+
+    Scale (100 TB): per-partition Arrow batches, no shuffle, no
+    driver payload transfer; corrupt payloads (bad magic, truncated
+    sub-blocks, ill-formed LZW) surface as width=NULL rows.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B multimodal family.
+    """
+    from ..multimodal import gif_pixel_stats, with_gif_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_pixel_stats(with_gif_payload(docs))

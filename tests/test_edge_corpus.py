@@ -96,6 +96,7 @@ EDGE_QUERIES = [
     "multimodal_bmp_pixel_stats",
     "multimodal_wav_pcm_stats",
     "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
 ]
 
 

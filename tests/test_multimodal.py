@@ -293,3 +293,57 @@ def test_png_codec_all_filters_crc_and_cross_certification(spark):
     assert by_id[2].width is None  # CRC caught the bit flip
     assert by_id[3].width is None
     assert by_id[4].width is None
+
+
+def test_lzw_roundtrip_long_streams_and_width_growth():
+    """The LZW codec round-trips streams long enough to exercise
+    9->12-bit width growth and 4096-entry clear resets — the cases
+    the tiny per-document GIFs never reach."""
+    import random
+
+    from eecs_485___mapreduce_spark.multimodal import lzw_decode, lzw_encode
+
+    rng = random.Random(7)
+    for _ in range(40):
+        n = rng.choice([1, 5, 100, 6000, 20000])
+        alphabet = rng.choice([2, 17, 256])
+        xs = bytes(rng.randrange(alphabet) for _ in range(n))
+        assert lzw_decode(lzw_encode(xs)) == xs
+    xs = (b"abc" * 30000)[:80000]  # repetitive: max table growth + clears
+    assert lzw_decode(lzw_encode(xs)) == xs
+    assert lzw_decode(lzw_encode(b"\x00" * 70000)) == b"\x00" * 70000
+
+
+def test_gif_codec_cross_certification_and_corruption(spark):
+    """GIF statistics equal BMP statistics for the same doc_id (shared
+    pixel function through the palette indirection); corrupt payloads
+    decode to NULL rows."""
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_bmp_raster,
+        build_gif_indexed,
+        decode_bmp_raster_stats,
+        decode_gif_pixel_stats,
+        gif_pixel_stats,
+    )
+
+    for d in (0, 1, 4, 37, 255, 256, 9999):
+        assert decode_gif_pixel_stats(build_gif_indexed(d)) == (
+            decode_bmp_raster_stats(build_bmp_raster(d))
+        )
+
+    rows = gif_pixel_stats(
+        spark.createDataFrame(
+            [
+                (1, build_gif_indexed(1)),
+                (2, b"GIF89a"),
+                (3, b"not a gif"),
+                (4, build_gif_indexed(4)[:30]),
+            ],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].width == 2
+    assert by_id[2].width is None
+    assert by_id[3].width is None
+    assert by_id[4].width is None
