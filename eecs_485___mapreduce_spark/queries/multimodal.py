@@ -569,3 +569,59 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gif_pixel_stats(with_gif_payload(docs))
+
+
+@register(
+    "multimodal_jpeg_pixel_stats",
+    tags=("multimodal", "udf", "stats"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM d
+    )
+    SELECT doc_id,
+           CAST(wb * 8 AS BIGINT) AS width,
+           CAST(hb * 8 AS BIGINT) AS height,
+           CAST(wb * hb AS BIGINT) AS n_blocks,
+           CAST(SUM(64 * (128 + 2 * (((doc_id + 7 * b) % 64) - 32)))
+                AS BIGINT) AS sum_y,
+           CAST(ROUND(1000.0 * SUM(64 * (128 + 2 * (((doc_id + 7 * b) % 64) - 32)))
+                      / (wb * 8 * hb * 8)) AS BIGINT) AS mean_y_milli
+    FROM blk GROUP BY doc_id, wb, hb
+    """,
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode — the Huffman+DCT member that
+    completes the pixel-plane quartet (BMP raw, PNG deflate+filters,
+    GIF LZW, JPEG entropy-coded transform): a COMPLETE baseline
+    sequential JPEG is serialized per document (DQT/SOF0/DHT/SOS
+    markers, canonical Huffman DC DPCM, byte stuffing) and decoded
+    back by the general-purpose grayscale decoder in
+    ``multimodal.decode_jpeg_gray`` — stream-driven Huffman table
+    construction, 0xFF00 unstuffing, EXTEND, EOB/ZRL AC machinery,
+    dequantization, exact float64 IDCT. The per-document images are
+    per-block-constant with even luma offsets, so the DC path
+    quantizes EXACTLY (flat table, step 16 divides 16*delta) and the
+    SQL oracle regenerates every pixel — a value-hash-certified lossy
+    codec round trip. The full lossy AC path (forward DCT, run/size
+    Huffman) is certified separately by a reconstruction-error-bound
+    test on textured images (tests/test_multimodal.py), since lossy
+    output is not SQL-expressible by construction. Nothing in the
+    image stub remains: all four reference container pixel planes
+    decode for real.
+
+    Scale (100 TB): per-partition Arrow batches, no shuffle, no
+    driver payload transfer; non-baseline (progressive, restart
+    intervals, multi-component color) and corrupt payloads surface as
+    width=NULL rows.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B multimodal family.
+    """
+    from ..multimodal import jpeg_pixel_stats, with_jpeg_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(with_jpeg_payload(docs))

@@ -166,7 +166,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # jsd_source_unigrams, ks_doclen_sources,
 # anova_order_value_by_segment, welch_ttest_building_machinery,
 # multimodal_bmp_pixel_stats, multimodal_wav_pcm_stats,
-# multimodal_png_pixel_stats, multimodal_gif_pixel_stats)
+# multimodal_png_pixel_stats, multimodal_gif_pixel_stats,
+# multimodal_jpeg_pixel_stats)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.

@@ -97,6 +97,7 @@ EDGE_QUERIES = [
     "multimodal_wav_pcm_stats",
     "multimodal_png_pixel_stats",
     "multimodal_gif_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
 ]
 
 

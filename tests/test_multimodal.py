@@ -347,3 +347,70 @@ def test_gif_codec_cross_certification_and_corruption(spark):
     assert by_id[2].width is None
     assert by_id[3].width is None
     assert by_id[4].width is None
+
+
+def test_jpeg_codec_dc_exact_textured_bound_and_corruption(spark):
+    """The baseline JPEG codec: DC-exact per-block-constant images
+    round-trip bit exactly (closed form recomputed here); textured
+    images through the REAL forward DCT + AC run/size Huffman path
+    reconstruct within flat-table quantization error; non-baseline
+    and corrupt payloads decode to NULL rows."""
+    import numpy as np
+
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_jpeg_gray,
+        build_jpeg_textured,
+        decode_jpeg_gray,
+        decode_jpeg_pixel_stats,
+        jpeg_pixel_stats,
+    )
+
+    for d in (0, 1, 5, 37, 63, 64, 255, 9999):
+        wb, hb = d % 3 + 1, d % 2 + 1
+        want = sum(
+            64 * (128 + 2 * (((d + 7 * b) % 64) - 32)) for b in range(wb * hb)
+        )
+        got = decode_jpeg_pixel_stats(build_jpeg_gray(d))
+        assert got[:4] == (8 * wb, 8 * hb, wb * hb, want)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 24)).astype(np.float64)
+    _, _, _, px = decode_jpeg_gray(build_jpeg_textured(img))
+    err = np.abs(px - img)
+    assert err.max() < 40 and err.mean() < 6  # step-16 quantization bound
+
+    rows = jpeg_pixel_stats(
+        spark.createDataFrame(
+            [
+                (1, build_jpeg_gray(1)),
+                (2, b"\xff\xd8truncated"),
+                (3, b"not a jpeg"),
+                (4, build_jpeg_gray(4)[:25]),
+            ],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].width == 16
+    assert by_id[2].width is None
+    assert by_id[3].width is None
+    assert by_id[4].width is None
+
+
+def test_aiff_pcm_cross_certifies_wav():
+    """The big-endian AIFF PCM decoder returns identical statistics
+    to the WAV decoder on the shared sample function — two containers,
+    two byte orders, one result."""
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_aiff_pcm,
+        build_wav_pcm,
+        decode_aiff_pcm_stats,
+        decode_wav_pcm_stats,
+    )
+
+    for d in (0, 1, 37, 499, 500, 12345):
+        assert decode_aiff_pcm_stats(build_aiff_pcm(d)) == decode_wav_pcm_stats(
+            build_wav_pcm(d)
+        )
+    assert decode_aiff_pcm_stats(b"FORMxxxxAIFF") is None
+    assert decode_aiff_pcm_stats(b"nope") is None
