@@ -774,3 +774,125 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("seasonal_dev"),
     )
+
+
+# ------------------------------- Haar wavelet energy signature
+
+# 256 leaf hours -> 8 dyadic levels. The transform is the UNNORMALIZED
+# Haar (pair sums and differences, no 1/sqrt2), so every coefficient
+# is an exact integer and per-level energies are exact bigint sums in
+# any association order.
+_HAAR_N = 256
+_HAAR_LEVELS = 8
+
+
+def _haar_oracle() -> str:
+    parts = [
+        f"""
+    WITH hrs AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS eh FROM events
+    ),
+    base AS (
+      SELECT eh - (SELECT MIN(eh) FROM hrs) AS idx FROM hrs
+    ),
+    l0 AS (
+      SELECT g.i AS idx, CAST(COALESCE(c.n, 0) AS BIGINT) AS a,
+             CAST(0 AS BIGINT) AS d
+      FROM (SELECT unnest(range(0, {_HAAR_N})) AS i) g
+      LEFT JOIN (SELECT idx, COUNT(*) AS n FROM base
+                 WHERE idx BETWEEN 0 AND {_HAAR_N - 1} GROUP BY 1) c
+        ON c.idx = g.i
+    )"""
+    ]
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        parts.append(
+            f""",
+    l{lvl} AS (
+      SELECT idx // 2 AS idx,
+             CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+      FROM l{lvl - 1} GROUP BY 1
+    )"""
+        )
+    selects = [
+        f"""
+    SELECT CAST({lvl} AS BIGINT) AS level, COUNT(*) AS n_coeffs,
+           CAST(SUM(d * d) AS BIGINT) AS detail_energy,
+           CAST(MAX(ABS(d)) AS BIGINT) AS max_abs_detail
+    FROM l{lvl}"""
+        for lvl in range(1, _HAAR_LEVELS + 1)
+    ]
+    return "".join(parts) + "\n    UNION ALL".join(selects)
+
+
+@register(
+    "haar_energy_hourly",
+    tags=("timeseries", "stats", "window"),
+    oracle=_haar_oracle(),
+)
+def haar_energy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy signature of the hourly event-count series
+    (first {n} hours from the stream's start, missing hours zero):
+    per dyadic level, the number of detail coefficients, their total
+    energy, and the largest coefficient magnitude — the multi-scale
+    burstiness fingerprint that separates fast jitter (energy in the
+    fine levels) from diurnal/weekly structure (energy in the coarse
+    levels), complementing the single-scale ACF screen above.
+
+    Transform: the UNNORMALIZED Haar — level l pairs adjacent level
+    l-1 approximations into sum (a) and difference (d) — so every
+    coefficient is an exact integer and the per-level energy is an
+    exact bigint sum in any order. No floats anywhere. (At hourly
+    counts beyond ~3e9 the d^2 lane should widen to DECIMAL(38,0) on
+    both engines, same exact result.)
+
+    Scale (100 TB): events collapse to the {n}-hour count grid in one
+    partial+final agg; all {m} pyramid levels run over that bounded
+    relation (<= {n} rows, halving per level) — constant work at any
+    event volume.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B timeseries/stats family.
+    """.format(n=_HAAR_N, m=_HAAR_LEVELS)
+    events = load_table(spark, sf_dir, "events")
+    hrs = events.select(F.expr("unix_timestamp(ts) div 3600").alias("eh"))
+    # scalar min as a broadcast cross join (never a global window over
+    # the event scan)
+    mn = hrs.agg(F.min("eh").alias("mn"))
+    base = hrs.crossJoin(F.broadcast(mn)).select(
+        (F.col("eh") - F.col("mn")).alias("idx")
+    )
+    counts = (
+        base.where((F.col("idx") >= 0) & (F.col("idx") <= _HAAR_N - 1))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        spark.range(_HAAR_N)
+        .select(F.col("id").alias("idx"))
+        .join(F.broadcast(counts), "idx", "left")
+        .select("idx", F.coalesce("n", F.lit(0)).cast("bigint").alias("a"))
+    )
+    levels = []
+    cur = grid
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        cur = cur.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("a")).otherwise(-F.col("a"))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        levels.append(
+            cur.agg(
+                F.lit(lvl).cast("bigint").alias("level"),
+                F.count(F.lit(1)).alias("n_coeffs"),
+                F.sum(F.col("d") * F.col("d")).cast("bigint").alias("detail_energy"),
+                F.max(F.abs("d")).cast("bigint").alias("max_abs_detail"),
+            )
+        )
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionAll(df)
+    return out

@@ -167,7 +167,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # anova_order_value_by_segment, welch_ttest_building_machinery,
 # multimodal_bmp_pixel_stats, multimodal_wav_pcm_stats,
 # multimodal_png_pixel_stats, multimodal_gif_pixel_stats,
-# multimodal_jpeg_pixel_stats)
+# multimodal_jpeg_pixel_stats, haar_energy_hourly)
 # has sf0.01 AND sf0.1
 # coverage via tools/driver_mimic.py + tests this round; promote those
 # names into DRIVER_ORDER_FIRST next round so each earns a driver row.

@@ -245,6 +245,9 @@ EDGE_EVENT_QUERIES = [
     # groups alone but never equi-joins its crossing row (both
     # engines); the 2-hour fixture cannot cross a Wald boundary
     "sprt_conversion_hourly",
+    # 2 occupied hours in a 256-leaf pyramid: all energy concentrates
+    # where the pair boundary falls; zero-fill must agree end to end
+    "haar_energy_hourly",
 ]
 
 

@@ -147,3 +147,41 @@ def test_backlog_lindley_matches_direct_recursion(spark, tmp_path):
     assert r["peak_backlog"] == peak
     assert r["days_with_backlog"] == busy
     assert r["n_days"] == len(counts)
+
+
+def test_haar_energy_satisfies_parseval_identity():
+    """Unnormalized-Haar Parseval check: for each pairing step,
+    a^2 + d^2 = 2*(left^2 + right^2), so the reported per-level
+    energies must satisfy total^2 = 2^L * sum(x^2) - sum_l 2^(L-l) E_l
+    with total = sum of the 256-hour series. Recomputed here from the
+    raw counts, independent of both engines' pyramid code."""
+    import duckdb
+
+    from eecs_485___mapreduce_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    rows = con.execute(
+        REGISTRY["haar_energy_hourly"].oracle + " ORDER BY level"
+    ).fetchall()
+    counts = dict(
+        con.execute(
+            """
+            WITH hrs AS (SELECT epoch_us(ts) // 1000000 // 3600 AS eh FROM events)
+            SELECT eh - (SELECT MIN(eh) FROM hrs), COUNT(*) FROM hrs GROUP BY 1
+            """
+        ).fetchall()
+    )
+    xs = [counts.get(i, 0) for i in range(256)]
+    L = 8
+    total = sum(xs)
+    lhs = total * total
+    rhs = (1 << L) * sum(x * x for x in xs) - sum(
+        (1 << (L - lvl)) * e for (lvl, _, e, _) in rows
+    )
+    assert lhs == rhs
+    assert [r[0] for r in rows] == list(range(1, 9))
+    assert [r[1] for r in rows] == [128, 64, 32, 16, 8, 4, 2, 1]
