@@ -597,3 +597,40 @@ def test_zonemap_audit_rank_is_range_partitioned_not_single_window(spark):
     assert low.count("rangepartitioning") >= 2, plan
     assert "hashpartitioning(_pid" in low, plan
     assert "ntile" not in low, plan
+
+
+def test_inference_family_plans(spark):
+    """The inference module's scale discipline: ANOVA/Welch shuffle
+    the joined fact ONCE onto the segment key (partial+final agg);
+    the JSD term join and the KS support joins are equi-joins (the
+    only nested-loop joins are the broadcast-tiny source-pair and
+    bounded-bin relations); SPRT aggregates to (variant, hour) before
+    any window."""
+    from eecs_485___mapreduce_spark.queries.inference import (
+        anova_order_value_by_segment,
+        isotonic_calibration_langid,
+        jsd_source_unigrams,
+        ks_doclen_sources,
+        sprt_conversion_hourly,
+        welch_ttest_building_machinery,
+    )
+
+    for q in (
+        anova_order_value_by_segment,
+        welch_ttest_building_machinery,
+        jsd_source_unigrams,
+        ks_doclen_sources,
+        sprt_conversion_hourly,
+        isotonic_calibration_langid,
+    ):
+        assert_no_cartesian(q(spark, SF_SMALL))
+
+    for q in (anova_order_value_by_segment, welch_ttest_building_machinery):
+        c = _plan_counts(q(spark, SF_SMALL))
+        assert c["plan"].count("Exchange hashpartitioning(seg") == 1, c["plan"]
+    # the JSD term join keys on the term column (hash or sort-merge,
+    # never a loop over the vocabulary)
+    c = _plan_counts(jsd_source_unigrams(spark, SF_SMALL))
+    assert c["bhj"] + c["smj"] >= 1, c["plan"]
+    c = _plan_counts(sprt_conversion_hourly(spark, SF_SMALL))
+    assert "Exchange hashpartitioning(variant" in c["plan"], c["plan"]
