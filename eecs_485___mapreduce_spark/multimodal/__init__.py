@@ -574,17 +574,13 @@ def _round_half_up(x: float) -> int:
     return int(math.floor(x + 0.5))
 
 
-def build_bmp_raster(doc_id: int) -> bytes:
-    """Serialize a COMPLETE 24bpp BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER + bottom-up, 4-byte-padded pixel rows) whose
-    pixel values are the deterministic function of ``doc_id`` above.
-    Every byte follows the published BMP spec."""
-    d = int(doc_id)
-    w, h = d % BMP_W_MOD + 1, d % BMP_H_MOD + 1
-    k = np.arange(w * h, dtype=np.int64)
-    px = np.stack(
-        [(d + k) % 256, (d + k + 85) % 256, (d + k + 170) % 256], axis=1
-    ).astype(np.uint8).reshape(h, w, 3)
+def build_bmp_from_pixels(px: np.ndarray) -> bytes:
+    """Serialize ANY (h, w, 3) uint8 BGR top-down array as a COMPLETE
+    24bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up,
+    4-byte-padded pixel rows). Every byte follows the published spec;
+    exact round-trip with :func:`decode_bmp_pixels` is property-tested
+    over random rasters."""
+    h, w, _ = px.shape
     stride = (3 * w + 3) // 4 * 4
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, : 3 * w] = px[::-1].reshape(h, 3 * w)  # bottom-up storage
@@ -598,12 +594,29 @@ def build_bmp_raster(doc_id: int) -> bytes:
     return header + rows.tobytes()
 
 
-def decode_bmp_raster_stats(payload: bytes) -> tuple | None:
+def _bmp_doc_pixels(doc_id: int) -> np.ndarray:
+    d = int(doc_id)
+    w, h = d % BMP_W_MOD + 1, d % BMP_H_MOD + 1
+    k = np.arange(w * h, dtype=np.int64)
+    return (
+        np.stack(
+            [(d + k) % 256, (d + k + 85) % 256, (d + k + 170) % 256], axis=1
+        )
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+
+
+def build_bmp_raster(doc_id: int) -> bytes:
+    """The deterministic per-document BMP (pixel function above)."""
+    return build_bmp_from_pixels(_bmp_doc_pixels(doc_id))
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple | None:
     """REAL numpy BMP raster decode: header parse, bottom-up row
-    unflip, stride-padding strip, BGR channel split — then per-image
-    statistics (exact integer channel sums, half-up gray mean).
-    Returns None on anything that is not an uncompressed 24bpp BMP
-    (corruption is routine at crawl scale, never a batch failure)."""
+    unflip, stride-padding strip — returns (w, h, (h, w, 3) BGR
+    top-down uint8 array), or None on anything that is not an
+    uncompressed 24bpp BMP."""
     try:
         if bytes(payload[:2]) != b"BM" or len(payload) < 54:
             return None
@@ -621,12 +634,28 @@ def decode_bmp_raster_stats(payload: bytes) -> tuple | None:
         px = arr.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
         if not top_down:
             px = px[::-1]
-        sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
-        n = w * h
-        mean_gray_milli = _round_half_up(1000.0 * float(sums.sum()) / (3 * n))
-        return (w, h, n, int(sums[0]), int(sums[1]), int(sums[2]), mean_gray_milli)
+        return (w, h, px)
     except (struct.error, ValueError):
         return None
+
+
+def _raster_stats(w: int, h: int, sums: tuple[int, int, int]) -> tuple:
+    n = w * h
+    mean_gray_milli = _round_half_up(1000.0 * float(sum(sums)) / (3 * n))
+    return (w, h, n, sums[0], sums[1], sums[2], mean_gray_milli)
+
+
+def decode_bmp_raster_stats(payload: bytes) -> tuple | None:
+    """Per-image statistics (exact integer channel sums, half-up gray
+    mean) over :func:`decode_bmp_pixels` output; None degrades
+    through (corruption is routine at crawl scale, never a batch
+    failure)."""
+    r = decode_bmp_pixels(payload)
+    if r is None:
+        return None
+    w, h, px = r
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    return _raster_stats(w, h, (int(sums[0]), int(sums[1]), int(sums[2])))
 
 
 def with_bmp_raster(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -798,20 +827,17 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def build_png_rgb(doc_id: int) -> bytes:
-    """Serialize a COMPLETE 8-bit RGB PNG of the same deterministic
-    pixel function as the BMP raster (pixel k top-down row-major:
-    R=(d+k+170)%256, G=(d+k+85)%256, B=(d+k)%256), with scanline
-    filter type cycling ``(d+y) % 5`` so every filter in the spec is
-    both applied here and reversed by the decoder. Real CRCs, real
-    deflate stream."""
-    d = int(doc_id)
-    w, h = d % BMP_W_MOD + 1, d % BMP_H_MOD + 1
+def build_png_from_pixels(px_rgb: np.ndarray, filter_seed: int = 0) -> bytes:
+    """Serialize ANY (h, w, 3) uint8 RGB top-down array as a COMPLETE
+    8-bit RGB PNG, with scanline filter type cycling
+    ``(filter_seed + y) % 5`` so every filter in the spec gets applied
+    (and must be reversed by the decoder). Real CRCs, real deflate
+    stream; exact round-trip with :func:`decode_png_pixels` is
+    property-tested over random rasters and seeds."""
+    h, w, _ = px_rgb.shape
+    d = int(filter_seed)
     bpp = 3
-    k = np.arange(w * h, dtype=np.int64)
-    px = np.stack(
-        [(d + k + 170) % 256, (d + k + 85) % 256, (d + k) % 256], axis=1
-    ).astype(np.int64).reshape(h, w * bpp)
+    px = px_rgb.astype(np.int64).reshape(h, w * bpp)
     out = bytearray()
     prior = [0] * (w * bpp)
     for y in range(h):
@@ -843,13 +869,19 @@ def build_png_rgb(doc_id: int) -> bytes:
     )
 
 
-def decode_png_pixel_stats(payload: bytes) -> tuple | None:
+def build_png_rgb(doc_id: int) -> bytes:
+    """The deterministic per-document PNG: same pixel function as the
+    BMP raster (channels reordered to the PNG's RGB byte order),
+    filter cycling seeded by doc_id."""
+    d = int(doc_id)
+    return build_png_from_pixels(_bmp_doc_pixels(d)[:, :, ::-1], filter_seed=d)
+
+
+def decode_png_pixels(payload: bytes) -> tuple | None:
     """REAL PNG decode: chunk walk with CRC verification, zlib
-    inflate, and per-scanline reversal of all five PNG filters — then
-    the same per-image statistics as the BMP path (sum_b/g/r name the
-    pixel-function channels, independent of container byte order).
-    Returns None for non-PNG, non-8-bit-RGB, bad-CRC, or truncated
-    payloads."""
+    inflate, and per-scanline reversal of all five PNG filters —
+    returns (w, h, (h, w, 3) RGB top-down uint8 array). Returns None
+    for non-PNG, non-8-bit-RGB, bad-CRC, or truncated payloads."""
     try:
         if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
             return None
@@ -880,7 +912,7 @@ def decode_png_pixel_stats(payload: bytes) -> tuple | None:
         if len(raw) != h * (1 + row_len):
             return None
         prior = [0] * row_len
-        sum_r = sum_g = sum_b = 0
+        rows = []
         for y in range(h):
             line = raw[y * (1 + row_len) : (y + 1) * (1 + row_len)]
             f, data = line[0], list(line[1:])
@@ -902,17 +934,25 @@ def decode_png_pixel_stats(payload: bytes) -> tuple | None:
                 else:
                     v = data[i2] + _paeth(left, up, ul)
                 cur.append(v % 256)
-            sum_r += sum(cur[0::3])
-            sum_g += sum(cur[1::3])
-            sum_b += sum(cur[2::3])
+            rows.append(cur)
             prior = cur
-        n = w * h
-        mean_gray_milli = _round_half_up(
-            1000.0 * float(sum_b + sum_g + sum_r) / (3 * n)
-        )
-        return (w, h, n, sum_b, sum_g, sum_r, mean_gray_milli)
+        px = np.array(rows, dtype=np.uint8).reshape(h, w, 3)
+        return (w, h, px)
     except (struct.error, ValueError, zlib.error):
         return None
+
+
+def decode_png_pixel_stats(payload: bytes) -> tuple | None:
+    """Per-image statistics over :func:`decode_png_pixels` output —
+    same tuple as the BMP path (sum_b/g/r name the pixel-function
+    channels, independent of the container's RGB byte order)."""
+    r = decode_png_pixels(payload)
+    if r is None:
+        return None
+    w, h, px = r
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    # PNG stores RGB; the stats contract names channels B,G,R
+    return _raster_stats(w, h, (int(sums[2]), int(sums[1]), int(sums[0])))
 
 
 def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1072,15 +1112,16 @@ def _gif_palette() -> bytes:
     return bytes(pal)
 
 
-def build_gif_indexed(doc_id: int) -> bytes:
-    """Serialize a COMPLETE GIF89a (logical screen descriptor, global
-    color table, image descriptor, real LZW-coded index stream in
-    255-byte sub-blocks, trailer)."""
-    d = int(doc_id)
-    w, h = d % BMP_W_MOD + 1, d % BMP_H_MOD + 1
-    k = np.arange(w * h, dtype=np.int64)
-    indices = ((d + k) % 256).astype(np.uint8).tobytes()
-    lzw = lzw_encode(indices)
+def build_gif_from_indices(ix: np.ndarray, palette: bytes | None = None) -> bytes:
+    """Serialize ANY (h, w) uint8 index array as a COMPLETE GIF89a
+    (logical screen descriptor, global color table, image descriptor,
+    real LZW-coded index stream in 255-byte sub-blocks, trailer).
+    Exact round-trip with :func:`decode_gif_indices` is
+    property-tested over random index rasters."""
+    h, w = ix.shape
+    if palette is None:
+        palette = _gif_palette()
+    lzw = lzw_encode(ix.astype(np.uint8).tobytes())
     blocks = bytearray([GIF_MIN_CODE])
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
@@ -1089,7 +1130,7 @@ def build_gif_indexed(doc_id: int) -> bytes:
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 colors
-        + _gif_palette()
+        + palette
         + b"\x2c"
         + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, no interlace
         + bytes(blocks)
@@ -1097,12 +1138,20 @@ def build_gif_indexed(doc_id: int) -> bytes:
     )
 
 
-def decode_gif_pixel_stats(payload: bytes) -> tuple | None:
+def build_gif_indexed(doc_id: int) -> bytes:
+    """The deterministic per-document GIF: index (d+k)%256 through the
+    default palette reproduces the shared BMP/PNG pixel function."""
+    d = int(doc_id)
+    w, h = d % BMP_W_MOD + 1, d % BMP_H_MOD + 1
+    k = np.arange(w * h, dtype=np.int64)
+    return build_gif_from_indices(((d + k) % 256).astype(np.uint8).reshape(h, w))
+
+
+def decode_gif_indices(payload: bytes) -> tuple | None:
     """REAL GIF decode: header/LSD parse, global color table, image
-    descriptor, sub-block reassembly, LZW decompression, palette
-    mapping — then the same per-image statistics as the BMP/PNG
-    paths. Returns None for non-GIF, interlaced, local-color-table,
-    or corrupt payloads."""
+    descriptor, sub-block reassembly, LZW decompression — returns
+    (w, h, (h, w) uint8 index array, palette bytes). Returns None for
+    non-GIF, interlaced, local-color-table, or corrupt payloads."""
     try:
         if bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
             return None
@@ -1134,15 +1183,25 @@ def decode_gif_pixel_stats(payload: bytes) -> tuple | None:
         indices = lzw_decode(bytes(lzw), min_code)
         if len(indices) != iw * ih:
             return None
-        ix = np.frombuffer(indices, np.uint8).astype(np.int64)
-        p = np.frombuffer(pal, np.uint8).reshape(-1, 3).astype(np.int64)
-        r, g, b = p[ix, 0], p[ix, 1], p[ix, 2]
-        n = iw * ih
-        sums = int(b.sum()), int(g.sum()), int(r.sum())
-        mean_gray_milli = _round_half_up(1000.0 * float(sum(sums)) / (3 * n))
-        return (iw, ih, n, sums[0], sums[1], sums[2], mean_gray_milli)
+        ix = np.frombuffer(indices, np.uint8).reshape(ih, iw)
+        return (iw, ih, ix, pal)
     except (struct.error, ValueError, IndexError):
         return None
+
+
+def decode_gif_pixel_stats(payload: bytes) -> tuple | None:
+    """Per-image statistics over :func:`decode_gif_indices` output —
+    palette-mapped channels, same tuple as the BMP/PNG paths."""
+    r = decode_gif_indices(payload)
+    if r is None:
+        return None
+    iw, ih, ix, pal = r
+    flat = ix.astype(np.int64).ravel()
+    p = np.frombuffer(pal, np.uint8).reshape(-1, 3).astype(np.int64)
+    if flat.max(initial=0) >= p.shape[0]:
+        return None
+    sums = (int(p[flat, 2].sum()), int(p[flat, 1].sum()), int(p[flat, 0].sum()))
+    return _raster_stats(iw, ih, sums)
 
 
 def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -271,3 +271,92 @@ def test_scoped_persist_reuse_and_release(spark):
     assert ("t2", "/scope-b") in _PERSIST_SCOPE
     assert release_scope() == 1  # sweeps the rest
     assert b.storageLevel.useMemory is False  # actually unpersisted
+
+
+# ------------------------- codec round-trips over arbitrary content
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _raster(w, h, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_exact_on_random_rasters(w, h, seed):
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_bmp_from_pixels,
+        decode_bmp_pixels,
+    )
+
+    px = _raster(w, h, seed)
+    got = decode_bmp_pixels(build_bmp_from_pixels(px))
+    assert got is not None and got[:2] == (w, h)
+    assert np.array_equal(got[2], px)
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_exact_on_random_rasters_all_filters(w, h, seed, fseed):
+    """Random pixels x random starting filter: every PNG filter type
+    (None/Sub/Up/Average/Paeth) must reverse bit-exactly, including
+    the first-row/first-column zero-predecessor edges."""
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_png_from_pixels,
+        decode_png_pixels,
+    )
+
+    px = _raster(w, h, seed)
+    got = decode_png_pixels(build_png_from_pixels(px, filter_seed=fseed))
+    assert got is not None and got[:2] == (w, h)
+    assert np.array_equal(got[2], px)
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_exact_on_random_index_rasters(w, h, seed):
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_gif_from_indices,
+        decode_gif_indices,
+    )
+
+    rng = np.random.RandomState(seed)
+    ix = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    got = decode_gif_indices(build_gif_from_indices(ix))
+    assert got is not None and got[:2] == (w, h)
+    assert np.array_equal(got[2], ix)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_textured_reconstruction_bound_random(seed):
+    """Random images through the lossy JPEG path reconstruct within
+    the flat-table quantization error bound."""
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_jpeg_textured,
+        decode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(seed)
+    wb, hb = rng.randint(1, 4), rng.randint(1, 3)
+    img = rng.randint(0, 256, (8 * hb, 8 * wb)).astype(np.float64)
+    _, _, _, px = decode_jpeg_gray(build_jpeg_textured(img))
+    err = np.abs(px - img)
+    assert err.max() < 50 and err.mean() < 8
