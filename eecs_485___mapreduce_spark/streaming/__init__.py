@@ -3,7 +3,10 @@
 
 from .documents import (  # noqa: F401
     build_history_index,
+    build_minhash_history,
     incremental_dedup_stream,
+    minhash_flag_batch,
+    minhash_neardup_stream,
     read_documents_stream,
 )
 from .sinks import (  # noqa: F401

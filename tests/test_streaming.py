@@ -690,3 +690,53 @@ def test_sprt_monitor_store_equals_batch_and_replay_idempotent(spark, tmp_path):
         cols,
     )
     assert again == want
+
+
+def test_minhash_neardup_stream_equals_batch(spark, tmp_path):
+    """The streaming incremental MinHash near-dup must flag exactly
+    the documents the batch twin (dedup_incremental_minhash, which
+    carries the oracle) flags — however the new-batch corpus splits
+    into micro-batches — because the per-batch core is the identical
+    band-join + Jaccard-verify pipeline against the same history
+    index."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.dedup import (
+        INCREMENTAL_SPLIT,
+        dedup_incremental_minhash,
+    )
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming import (
+        build_minhash_history,
+        minhash_neardup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    history = docs.where(F.col("doc_id") < INCREMENTAL_SPLIT)
+    arriving = docs.where(F.col("doc_id") >= INCREMENTAL_SPLIT)
+    arriving.repartition(3).write.parquet(src)
+
+    hist_bands, hist_shingles = build_minhash_history(history)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = minhash_neardup_stream(stream, hist_bands, hist_shingles, out, ckpt)
+    q.awaitTermination()
+
+    cols = ["doc_id", "is_neardup_of_history"]
+    want = normalize(
+        [tuple(r) for r in dedup_incremental_minhash(spark, SF_SMALL).collect()],
+        cols,
+    )
+    got = normalize(
+        [tuple(r) for r in spark.read.parquet(out).select(*cols).collect()],
+        cols,
+    )
+    assert got == want
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 3
