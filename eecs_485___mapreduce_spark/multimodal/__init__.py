@@ -1313,6 +1313,13 @@ class _JpegBitWriter:
             self.put(1, 1)  # pad with 1-bits per spec
         return bytes(self.buf)
 
+    def restart(self, k: int) -> None:
+        """Pad to a byte boundary and emit RSTk (0xFFD0+k) — restart
+        markers sit OUTSIDE the entropy stream, so no byte stuffing."""
+        while self.n:
+            self.put(1, 1)
+        self.buf += bytes([0xFF, 0xD0 + (k & 7)])
+
 
 class _JpegBitReader:
     def __init__(self, data: bytes) -> None:
@@ -1341,6 +1348,18 @@ class _JpegBitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, k: int) -> None:
+        """Byte-align (discarding pad bits) and consume the expected
+        RSTk marker; raises on a missing or out-of-sequence marker."""
+        self.n = 0
+        if (
+            self.i + 2 > len(self.data)
+            or self.data[self.i] != 0xFF
+            or self.data[self.i + 1] != 0xD0 + (k & 7)
+        ):
+            raise ValueError("missing or out-of-sequence restart marker")
+        self.i += 2
 
 
 def _jpeg_decode_table(bits, vals):
@@ -1389,10 +1408,15 @@ def _jpeg_dct2(block: np.ndarray) -> np.ndarray:
     return 0.25 * basis.T @ block @ basis
 
 
-def _jpeg_segments(h: int, w: int, ac_bits, ac_vals) -> tuple[bytes, bytes]:
+def _jpeg_segments(
+    h: int, w: int, ac_bits, ac_vals, restart_interval: int = 0
+) -> tuple[bytes, bytes]:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     head = (
         b"\xff\xd8"
         + seg(0xDB, bytes([0]) + bytes(_JPEG_QTABLE))
@@ -1406,6 +1430,7 @@ def _jpeg_segments(h: int, w: int, ac_bits, ac_vals) -> tuple[bytes, bytes]:
             + bytes(ac_bits)
             + bytes(ac_vals),
         )
+        + dri
         + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     )
     return head, b"\xff\xd9"
@@ -1438,19 +1463,30 @@ def build_jpeg_gray(doc_id: int) -> bytes:
     return head + bw.flush() + tail
 
 
-def build_jpeg_textured(img: np.ndarray) -> bytes:
+def build_jpeg_textured(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Serialize an arbitrary 8-bit grayscale image (dims multiples of
     8) through the REAL forward path: level shift, float64 DCT, flat
-    quantization, DC DPCM + AC run/size Huffman with EOB/ZRL. Lossy
-    like any JPEG; used by the reconstruction-bound test."""
+    quantization, DC DPCM + AC run/size Huffman with EOB/ZRL, and —
+    when ``restart_interval`` is nonzero — DRI/RSTn restart markers
+    every that many MCUs (byte-aligned, DC predictor reset, cycling
+    RST0..RST7), the resynchronization structure most camera JPEGs
+    carry. Lossy like any JPEG; used by the reconstruction-bound
+    tests."""
     h, w = img.shape
     wb, hb = w // 8, h // 8
     dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS_FULL, _JPEG_AC_VALS_FULL)
     bw = _JpegBitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(hb):
         for bx in range(wb):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
                 np.float64
             ) - 128
@@ -1488,7 +1524,9 @@ def build_jpeg_textured(img: np.ndarray) -> bytes:
                 bw.put(code, ln)
                 bw.put(v if v >= 0 else v + (1 << size) - 1, size)
                 k += 1
-    head, tail = _jpeg_segments(h, w, _JPEG_AC_BITS_FULL, _JPEG_AC_VALS_FULL)
+    head, tail = _jpeg_segments(
+        h, w, _JPEG_AC_BITS_FULL, _JPEG_AC_VALS_FULL, restart_interval
+    )
     return head + bw.flush() + tail
 
 
@@ -1506,6 +1544,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
         ac_tabs: dict[int, dict] = {}
         w = h = comp_q = None
         dc_sel = ac_sel = 0
+        restart_interval = 0
         entropy_start = None
         while i + 4 <= len(payload):
             if payload[i] != 0xFF:
@@ -1527,8 +1566,10 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
                 if prec != 8 or nc != 1:
                     return None
                 comp_q = body[8]
-            elif marker in (0xC1, 0xC2, 0xC3, 0xDD):
-                return None  # non-baseline / restart intervals
+            elif marker in (0xC1, 0xC2, 0xC3):
+                return None  # non-baseline SOF
+            elif marker == 0xDD:
+                restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xC4:
                 j = 0
                 while j < len(body):
@@ -1556,8 +1597,15 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
         wb, hb = (w + 7) // 8, (h + 7) // 8
         img = np.zeros((hb * 8, wb * 8))
         prev_dc = 0
+        mcu = 0
+        rst = 0
         for by in range(hb):
             for bx in range(wb):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    br.sync_restart(rst)
+                    rst = (rst + 1) % 8
+                    prev_dc = 0
+                mcu += 1
                 zz = [0] * 64
                 t = _jpeg_read_huff(br, dc_tabs[dc_sel])
                 if t:

@@ -614,9 +614,10 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode for real.
 
     Scale (100 TB): per-partition Arrow batches, no shuffle, no
-    driver payload transfer; non-baseline (progressive, restart
-    intervals, multi-component color) and corrupt payloads surface as
-    width=NULL rows.
+    driver payload transfer; DRI/RSTn restart intervals are decoded
+    (byte-aligned resync, DC reset, RST0..7 sequence check);
+    non-baseline (progressive, multi-component color) and corrupt
+    payloads surface as width=NULL rows.
 
     Reference parity: none (wordcount/grep only); SURVEY.md
     section 2.B multimodal family.

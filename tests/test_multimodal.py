@@ -414,3 +414,29 @@ def test_aiff_pcm_cross_certifies_wav():
         )
     assert decode_aiff_pcm_stats(b"FORMxxxxAIFF") is None
     assert decode_aiff_pcm_stats(b"nope") is None
+
+
+def test_jpeg_restart_markers_roundtrip_and_resync_guard():
+    """DRI/RSTn support: a stream with restart markers reconstructs
+    IDENTICALLY to the same coefficients without them (byte-aligned
+    padding, DC predictor reset, RST0..7 cycling), and an
+    out-of-sequence restart marker is rejected rather than silently
+    desynchronizing the Huffman stream."""
+    import numpy as np
+
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_jpeg_textured,
+        decode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 24)).astype(np.float64)
+    base = decode_jpeg_gray(build_jpeg_textured(img, restart_interval=0))[3]
+    for ri in (1, 2, 5):
+        px = decode_jpeg_gray(build_jpeg_textured(img, restart_interval=ri))[3]
+        assert np.array_equal(px, base)
+
+    pl = bytearray(build_jpeg_textured(img, restart_interval=2))
+    idx = bytes(pl).find(b"\xff\xd0")
+    pl[idx + 1] = 0xD5
+    assert decode_jpeg_gray(bytes(pl)) is None
