@@ -128,49 +128,144 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "regr_qty_price_by_nation",
 )
 
-# Round-4 rotation queue: everything registered AFTER the round-3
-# window was frozen (quality module, BFS, RRF, cadence, bitmap, TWA,
-# checksum, rolling distinct, equi-depth, UDTF, audio headers, PCA,
-# PSI, the remaining mining/graph tail, and round 3's additions:
-# bpe_learn_merges, bpe_apply_corpus, global_sort_orders,
-# text_unicode_hygiene, dedup_semantic_cells, rtbf_delete_audit,
-# order_chain_recursive_cte, the temporal module (acf_hourly_events,
-# cusum_changepoint_daily, event_seq_regex, decile_transition_matrix,
-# peak_open_orders), the privacy module (pseudonymize_linkage,
-# k_anonymity_audit, l_diversity_audit), sssp_weighted_coorder,
-# theil_decomposition_revenue, approx_users_kmv_mergeable,
-# text_readability, udf_cogroup_merge_arrow, udf_grouped_mad_arrow,
-# udf_arrow_scalar_bucket, blocks_contiguous_stream,
-# events_session_dynamic_gap, param_sql_high_value_orders,
-# multimodal_phash_neardup, dedup_lsh_recall_audit,
-# text_novelty_census, source_token_budget_trim,
-# orders_iso_week_profile, backlog_lindley_daily,
-# bloom_semi_join_orders, bitmap_audience_overlap, and
-# heavy_hitters_tokens, ddsketch_price_quantiles,
-# interval_union_coverage, dp_noisy_event_counts,
-# budget_apportion_sources, similarity_topk_pq,
-# bootstrap_ci_order_value, ivm_join_orders_customers,
-# zonemap_skipping_audit, seasonal_decompose_hourly,
-# event_trigram_paths, exact_median_twopass,
-# merkle_bucket_diff_orders, consistent_hash_rebalance, and
-# join_skew_profile, encoding_advisor, and
-# sessionize_two_level_stitch, ddsketch_merge_by_source,
-# calibration_bins_langid, json_schema_drift_weekly,
-# cohens_kappa_langid, functional_dependency_audit, and
-# revenue_reconciliation_audit, and mannwhitney_doclen_sources, and
-# bigram_lm_doc_perplexity, stratified_kfold_assignment,
-# curriculum_interleave_order, did_order_value_building,
-# winsorized_mean_price_by_status, coorder_degree_powerlaw, and the
-# inference module: isotonic_calibration_langid,
-# chi2_returnflag_linestatus, sprt_conversion_hourly,
-# jsd_source_unigrams, ks_doclen_sources,
-# anova_order_value_by_segment, welch_ttest_building_machinery,
-# multimodal_bmp_pixel_stats, multimodal_wav_pcm_stats,
-# multimodal_png_pixel_stats, multimodal_gif_pixel_stats,
-# multimodal_jpeg_pixel_stats, haar_energy_hourly)
-# has sf0.01 AND sf0.1
-# coverage via tools/driver_mimic.py + tests this round; promote those
-# names into DRIVER_ORDER_FIRST next round so each earns a driver row.
+# Round-4 rotation queue — every registered query that has NO driver
+# row yet (r1/r2 green rows in CORRECTNESS_r0*.json cover the rest;
+# the round-3 window above covers its 50). Round 4 rebuilds
+# DRIVER_ORDER_FIRST from the head of this queue (50 per round) and
+# rotates the remainder forward. Machine-checked:
+# tests/test_registry_order.py asserts every registered name is
+# windowed, prior-rowed, or queued — so a new query cannot silently
+# miss its future driver row. All queue entries were verified this
+# round via tools/driver_mimic.py (sf0.01) and the sf0.1 sweep.
+ROTATION_QUEUE: tuple[str, ...] = (
+    "param_sql_high_value_orders",
+    "order_cadence_gaps",
+    "time_weighted_value_per_user",
+    "islands_user_activity_streaks",
+    "events_dow_hour_profile",
+    "events_session_dynamic_gap",
+    "sessionize_two_level_stitch",
+    "dq_constraints_orders",
+    "catalog_table_stats",
+    "twin_invoice_screen",
+    "functional_dependency_audit",
+    "revenue_reconciliation_audit",
+    "split_leakage_audit",
+    "pit_join_event_states",
+    "cohort_ltv_curve",
+    "source_token_budget_trim",
+    "budget_apportion_sources",
+    "stratified_kfold_assignment",
+    "curriculum_interleave_order",
+    "dedup_semantic_cells",
+    "dedup_lsh_recall_audit",
+    "text_novelty_census",
+    "bfs_hops_part_coorder",
+    "order_chain_recursive_cte",
+    "sssp_weighted_coorder",
+    "coorder_degree_powerlaw",
+    "isotonic_calibration_langid",
+    "chi2_returnflag_linestatus",
+    "sprt_conversion_hourly",
+    "anova_order_value_by_segment",
+    "welch_ttest_building_machinery",
+    "ks_doclen_sources",
+    "jsd_source_unigrams",
+    "ir_rrf_hybrid_topk",
+    "triangle_parts_coorder",
+    "text_distinctive_terms_llr",
+    "text_char_entropy",
+    "events_markov_transitions",
+    "hits_customer_part",
+    "text_bigram_surprisal",
+    "events_hourly_anomalies",
+    "zorder_orders_locality",
+    "ks_doclen_by_source",
+    "events_pivot_hourly_types",
+    "chi2_source_lang",
+    "attribution_first_last_touch",
+    "rfm_customer_segments",
+    "pareto_revenue_parts",
+    "hazard_view_to_purchase",
+    "abtest_conversion_ztest",
+    "laspeyres_price_index_monthly",
+    "mix_shift_avg_order_value",
+    "bootstrap_ci_order_value",
+    "zonemap_skipping_audit",
+    "event_trigram_paths",
+    "encoding_advisor",
+    "mannwhitney_doclen_sources",
+    "did_order_value_building",
+    "pca_top_component_power",
+    "blocks_contiguous_stream",
+    "ivm_join_orders_customers",
+    "consistent_hash_rebalance",
+    "bigram_lm_doc_perplexity",
+    "multimodal_image_headers",
+    "multimodal_audio_headers",
+    "multimodal_phash_neardup",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_pcm_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
+    "rtbf_delete_audit",
+    "join_skew_profile",
+    "pseudonymize_linkage",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "dp_noisy_event_counts",
+    "eval_langid_metrics",
+    "text_unicode_hygiene",
+    "text_readability",
+    "calibration_bins_langid",
+    "json_schema_drift_weekly",
+    "cohens_kappa_langid",
+    "bloom_semi_join_orders",
+    "bitmap_audience_overlap",
+    "heavy_hitters_tokens",
+    "benford_first_digit",
+    "gini_revenue_by_nation",
+    "weighted_median_price_by_nation",
+    "sketch_cms_user_counts",
+    "psi_value_drift_by_type",
+    "ewma_user_value_recent",
+    "bitmap_user_activity_days",
+    "integrity_checksum_orders",
+    "rolling_7d_distinct_users",
+    "equidepth_buckets_orders",
+    "trimmed_mean_price_by_status",
+    "fano_burstiness_by_type",
+    "bot_rate_audit",
+    "theil_decomposition_revenue",
+    "approx_users_kmv_mergeable",
+    "ddsketch_price_quantiles",
+    "exact_median_twopass",
+    "merkle_bucket_diff_orders",
+    "ddsketch_merge_by_source",
+    "winsorized_mean_price_by_status",
+    "xml_roundtrip_events",
+    "revenue_share_region_nation",
+    "global_sort_orders",
+    "orders_iso_week_profile",
+    "similarity_topk_pq",
+    "acf_hourly_events",
+    "cusum_changepoint_daily",
+    "event_seq_regex",
+    "decile_transition_matrix",
+    "peak_open_orders",
+    "backlog_lindley_daily",
+    "interval_union_coverage",
+    "seasonal_decompose_hourly",
+    "haar_energy_hourly",
+    "bpe_learn_merges",
+    "bpe_apply_corpus",
+    "trending_parts_7d",
+    "udtf_split_sentences",
+    "udf_cogroup_merge_arrow",
+    "udf_grouped_mad_arrow",
+    "udf_arrow_scalar_bucket",
+)
 
 
 def all_queries() -> dict[str, Query]:

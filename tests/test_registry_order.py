@@ -33,3 +33,33 @@ def test_every_query_has_fn_and_distinct_name():
     for name, q in reg.items():
         assert callable(q.fn), name
         assert q.name == name
+
+
+def test_rotation_queue_covers_every_unrowed_query():
+    """Driver-row bookkeeping closure: every registered query must be
+    (a) in the current DRIVER_ORDER_FIRST window, (b) already green in
+    a prior round's driver run (CORRECTNESS_r01/r02), or (c) queued in
+    ROTATION_QUEUE for a future window — so no query can silently
+    never earn a driver row. Queue entries must also resolve to real
+    registry names (a typo here would mislead next round's curation)."""
+    import json
+    import os
+
+    from eecs_485___mapreduce_spark.registry import ROTATION_QUEUE
+
+    reg = all_queries()
+    bad = [n for n in ROTATION_QUEUE if n not in reg]
+    assert not bad, f"ROTATION_QUEUE names not in registry: {bad}"
+    assert len(set(ROTATION_QUEUE)) == len(ROTATION_QUEUE), "duplicates"
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rowed: set[str] = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = os.path.join(root, f)
+        if os.path.exists(p):
+            rowed |= set(json.load(open(p)))
+    uncovered = set(reg) - set(DRIVER_ORDER_FIRST) - rowed - set(ROTATION_QUEUE)
+    assert not uncovered, (
+        f"queries with no driver row, not windowed, not queued: "
+        f"{sorted(uncovered)}"
+    )
