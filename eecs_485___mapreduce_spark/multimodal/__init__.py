@@ -1463,6 +1463,48 @@ def build_jpeg_gray(doc_id: int) -> bytes:
     return head + bw.flush() + tail
 
 
+def _jpeg_encode_block(
+    bw: _JpegBitWriter, block: np.ndarray, prev_dc: int, dc_codes, ac_codes
+) -> int:
+    """Forward path for ONE level-shifted 8x8 block: float64 DCT, flat
+    quantization, DC DPCM + AC run/size Huffman with EOB/ZRL. Returns
+    the new DC predictor."""
+    coef = _jpeg_dct2(block)
+    zz = [
+        _round_half_up(coef.flat[_JPEG_ZIGZAG[i]] / _JPEG_QTABLE[i])
+        if coef.flat[_JPEG_ZIGZAG[i]] >= 0
+        else -_round_half_up(-coef.flat[_JPEG_ZIGZAG[i]] / _JPEG_QTABLE[i])
+        for i in range(64)
+    ]
+    diff = zz[0] - prev_dc
+    t = abs(diff).bit_length()
+    code, ln = dc_codes[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            code, ln = ac_codes[0x00]
+            bw.put(code, ln)
+            break
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        v = zz[k]
+        size = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+        k += 1
+    return zz[0]
+
+
 def build_jpeg_textured(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Serialize an arbitrary 8-bit grayscale image (dims multiples of
     8) through the REAL forward path: level shift, float64 DCT, flat
@@ -1490,51 +1532,21 @@ def build_jpeg_textured(img: np.ndarray, restart_interval: int = 0) -> bytes:
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
                 np.float64
             ) - 128
-            coef = _jpeg_dct2(block)
-            zz = [
-                _round_half_up(coef.flat[_JPEG_ZIGZAG[i]] / _JPEG_QTABLE[i])
-                if coef.flat[_JPEG_ZIGZAG[i]] >= 0
-                else -_round_half_up(-coef.flat[_JPEG_ZIGZAG[i]] / _JPEG_QTABLE[i])
-                for i in range(64)
-            ]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            t = abs(diff).bit_length()
-            code, ln = dc_codes[t]
-            bw.put(code, ln)
-            if t:
-                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            k = 1
-            while k < 64:
-                run = 0
-                while k < 64 and zz[k] == 0:
-                    run += 1
-                    k += 1
-                if k == 64:
-                    code, ln = ac_codes[0x00]
-                    bw.put(code, ln)
-                    break
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                v = zz[k]
-                size = abs(v).bit_length()
-                code, ln = ac_codes[(run << 4) | size]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-                k += 1
+            prev_dc = _jpeg_encode_block(bw, block, prev_dc, dc_codes, ac_codes)
     head, tail = _jpeg_segments(
         h, w, _JPEG_AC_BITS_FULL, _JPEG_AC_VALS_FULL, restart_interval
     )
     return head + bw.flush() + tail
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple | None:
-    """REAL baseline JPEG decode for 8-bit single-component images:
-    returns (width, height, n_blocks, pixel ndarray) or None for
-    anything outside that class (progressive, multi-component,
-    restart-interval, 16-bit quant, corrupt)."""
+def decode_jpeg_baseline(payload: bytes) -> tuple | None:
+    """REAL baseline JPEG decode for 8-bit images with 1x1 sampling
+    (grayscale or 4:4:4 color): returns (width, height,
+    n_blocks_per_component, [per-component float planes]) or None for
+    anything outside that class (progressive, subsampled chroma,
+    16-bit quant, corrupt). DRI/RSTn restart intervals are honored
+    (byte-aligned resync, all DC predictors reset, RST0..7 sequence
+    check)."""
     try:
         if bytes(payload[:2]) != b"\xff\xd8":
             return None
@@ -1542,8 +1554,10 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
         qt: dict[int, list[int]] = {}
         dc_tabs: dict[int, dict] = {}
         ac_tabs: dict[int, dict] = {}
-        w = h = comp_q = None
-        dc_sel = ac_sel = 0
+        w = h = None
+        comp_qs: list[int] = []
+        comp_ids: list[int] = []
+        sels: dict[int, tuple[int, int]] = {}
         restart_interval = 0
         entropy_start = None
         while i + 4 <= len(payload):
@@ -1563,9 +1577,14 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
                     j += 65
             elif marker == 0xC0:
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-                if prec != 8 or nc != 1:
+                if prec != 8 or nc not in (1, 3):
                     return None
-                comp_q = body[8]
+                for c in range(nc):
+                    cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if sampling != 0x11:
+                        return None  # subsampled chroma unsupported
+                    comp_ids.append(cid)
+                    comp_qs.append(tq)
             elif marker in (0xC1, 0xC2, 0xC3):
                 return None  # non-baseline SOF
             elif marker == 0xDD:
@@ -1581,11 +1600,18 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
                     (dc_tabs if tc_th >> 4 == 0 else ac_tabs)[tc_th & 15] = t
                     j += 17 + nv
             elif marker == 0xDA:
-                dc_sel, ac_sel = body[2] >> 4, body[2] & 15
+                ns = body[0]
+                for c in range(ns):
+                    cs, sel = body[1 + 2 * c], body[2 + 2 * c]
+                    sels[cs] = (sel >> 4, sel & 15)
                 entropy_start = i + 2 + ln
                 break
             i += 2 + ln
-        if entropy_start is None or w is None or comp_q not in qt:
+        if entropy_start is None or w is None or not comp_ids:
+            return None
+        if any(tq not in qt for tq in comp_qs) or any(
+            cid not in sels for cid in comp_ids
+        ):
             return None
         j = entropy_start
         while j + 1 < len(payload) and not (
@@ -1593,10 +1619,10 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
         ):
             j += 1
         br = _JpegBitReader(bytes(payload[entropy_start:j]))
-        q = np.array(qt[comp_q], dtype=np.float64)
+        qs = [np.array(qt[tq], dtype=np.float64) for tq in comp_qs]
         wb, hb = (w + 7) // 8, (h + 7) // 8
-        img = np.zeros((hb * 8, wb * 8))
-        prev_dc = 0
+        planes = [np.zeros((hb * 8, wb * 8)) for _ in comp_ids]
+        prev_dc = [0] * len(comp_ids)
         mcu = 0
         rst = 0
         for by in range(hb):
@@ -1604,37 +1630,64 @@ def decode_jpeg_gray(payload: bytes) -> tuple | None:
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     br.sync_restart(rst)
                     rst = (rst + 1) % 8
-                    prev_dc = 0
+                    prev_dc = [0] * len(comp_ids)
                 mcu += 1
-                zz = [0] * 64
-                t = _jpeg_read_huff(br, dc_tabs[dc_sel])
-                if t:
-                    prev_dc += _jpeg_extend(br.bits(t), t)
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = _jpeg_read_huff(br, ac_tabs[ac_sel])
-                    if rs == 0x00:
-                        break  # EOB
-                    if rs == 0xF0:
-                        k += 16
-                        continue  # ZRL
-                    run, size = rs >> 4, rs & 15
-                    k += run
-                    if k > 63 or size == 0:
-                        raise ValueError("bad AC symbol")
-                    zz[k] = _jpeg_extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64)
-                for idx in range(64):
-                    coef[_JPEG_ZIGZAG[idx]] = zz[idx] * q[idx]
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _jpeg_idct2(coef.reshape(8, 8)) + 128
-                )
-        px = np.clip(np.floor(img + 0.5), 0, 255).astype(np.int64)[:h, :w]
-        return (w, h, wb * hb, px)
+                for c, cid in enumerate(comp_ids):
+                    dc_sel, ac_sel = sels[cid]
+                    zz = [0] * 64
+                    t = _jpeg_read_huff(br, dc_tabs[dc_sel])
+                    if t:
+                        prev_dc[c] += _jpeg_extend(br.bits(t), t)
+                    zz[0] = prev_dc[c]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_read_huff(br, ac_tabs[ac_sel])
+                        if rs == 0x00:
+                            break  # EOB
+                        if rs == 0xF0:
+                            k += 16
+                            continue  # ZRL
+                        run, size = rs >> 4, rs & 15
+                        k += run
+                        if k > 63 or size == 0:
+                            raise ValueError("bad AC symbol")
+                        zz[k] = _jpeg_extend(br.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64)
+                    for idx in range(64):
+                        coef[_JPEG_ZIGZAG[idx]] = zz[idx] * qs[c][idx]
+                    planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _jpeg_idct2(coef.reshape(8, 8)) + 128
+                    )
+        return (w, h, wb * hb, [p[:h, :w] for p in planes])
     except (struct.error, ValueError, IndexError):
         return None
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple | None:
+    """Single-component wrapper over :func:`decode_jpeg_baseline`:
+    returns (width, height, n_blocks, int64 pixel ndarray)."""
+    r = decode_jpeg_baseline(payload)
+    if r is None or len(r[3]) != 1:
+        return None
+    w, h, nb, planes = r
+    px = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.int64)
+    return (w, h, nb, px)
+
+
+def decode_jpeg_color(payload: bytes) -> tuple | None:
+    """Three-component wrapper over :func:`decode_jpeg_baseline`:
+    JFIF YCbCr -> RGB conversion, returns (width, height, (h, w, 3)
+    int64 RGB array)."""
+    r = decode_jpeg_baseline(payload)
+    if r is None or len(r[3]) != 3:
+        return None
+    w, h, _, (y, cb, cr) = r
+    red = y + 1.402 * (cr - 128)
+    green = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    blue = y + 1.772 * (cb - 128)
+    rgb = np.stack([red, green, blue], axis=2)
+    return (w, h, np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.int64))
 
 
 def decode_jpeg_pixel_stats(payload: bytes) -> tuple | None:
@@ -1734,3 +1787,70 @@ def decode_aiff_pcm_stats(payload: bytes) -> tuple | None:
         return (n, int(np.abs(x).sum()), int(np.abs(x).max()), rms_milli)
     except (struct.error, ValueError):
         return None
+
+
+def build_jpeg_color_textured(
+    rgb: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """Serialize an arbitrary (h, w, 3) uint8 RGB image (dims
+    multiples of 8) as a baseline 4:4:4 COLOR JPEG: JFIF RGB->YCbCr,
+    per-component forward DCT + quantization, interleaved Y/Cb/Cr
+    MCUs with separate DC predictors (all sharing the flat quant
+    table and canonical Huffman tables — legal and simplest), plus
+    optional DRI/RSTn restart structure. Lossy; certified by the
+    color reconstruction-bound test."""
+    h, w, _ = rgb.shape
+    wb, hb = w // 8, h // 8
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [y, cb, cr]
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS_FULL, _JPEG_AC_VALS_FULL)
+    bw = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0, 0, 0]
+            mcu += 1
+            for c, plane in enumerate(planes):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
+                prev_dc[c] = _jpeg_encode_block(
+                    bw, block, prev_dc[c], dc_codes, ac_codes
+                )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(_JPEG_QTABLE))
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(
+            0xC4,
+            bytes([0x00])
+            + bytes(_JPEG_DC_BITS)
+            + bytes(_JPEG_DC_VALS)
+            + bytes([0x10])
+            + bytes(_JPEG_AC_BITS_FULL)
+            + bytes(_JPEG_AC_VALS_FULL),
+        )
+        + dri
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    )
+    return head + bw.flush() + b"\xff\xd9"

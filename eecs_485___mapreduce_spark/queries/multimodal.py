@@ -615,9 +615,11 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): per-partition Arrow batches, no shuffle, no
     driver payload transfer; DRI/RSTn restart intervals are decoded
-    (byte-aligned resync, DC reset, RST0..7 sequence check);
-    non-baseline (progressive, multi-component color) and corrupt
-    payloads surface as width=NULL rows.
+    (byte-aligned resync, DC reset, RST0..7 sequence check), and
+    4:4:4 YCbCr color decodes through the same core
+    (``multimodal.decode_jpeg_color``, reconstruction-bound-tested);
+    progressive/subsampled-chroma and corrupt payloads surface as
+    width=NULL rows.
 
     Reference parity: none (wordcount/grep only); SURVEY.md
     section 2.B multimodal family.

@@ -440,3 +440,35 @@ def test_jpeg_restart_markers_roundtrip_and_resync_guard():
     idx = bytes(pl).find(b"\xff\xd0")
     pl[idx + 1] = 0xD5
     assert decode_jpeg_gray(bytes(pl)) is None
+
+
+def test_jpeg_color_roundtrip_bound_and_type_guards():
+    """4:4:4 color JPEG: RGB -> JFIF YCbCr -> per-component DCT +
+    interleaved Huffman MCUs -> decode -> RGB reconstructs within the
+    quantization+colorspace error bound (with and without restart
+    markers); the grayscale and color wrappers refuse each other's
+    streams."""
+    import numpy as np
+
+    from eecs_485___mapreduce_spark.multimodal import (
+        build_jpeg_color_textured,
+        build_jpeg_gray,
+        decode_jpeg_color,
+        decode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(23)
+    rgb = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    base = None
+    for ri in (0, 3):
+        w, h, out = decode_jpeg_color(build_jpeg_color_textured(rgb, ri))
+        assert (w, h) == (24, 16)
+        err = np.abs(out.astype(np.float64) - rgb.astype(np.float64))
+        assert err.max() < 80 and err.mean() < 10
+        if base is None:
+            base = out
+        else:
+            assert np.array_equal(out, base)  # restarts change nothing
+
+    assert decode_jpeg_gray(build_jpeg_color_textured(rgb)) is None
+    assert decode_jpeg_color(build_jpeg_gray(37)) is None
