@@ -1158,3 +1158,86 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1000000.0) * num / den).cast("long").alias("kappa_micro"),
         )
     )
+
+
+# ------------------------------------ compression-ratio quality signal
+
+# zlib level pinned so the signal is a pure function of the text (the
+# byte-identical stdlib zlib ships on driver and executors alike).
+COMPRESS_LEVEL = 6
+
+
+@register(
+    "text_compression_census",
+    tags=("text", "udf", "pipeline", "stats"),
+    # No SQL oracle: DuckDB has no deflate function, so the driver runs
+    # its rows-only check; tests/test_text_operators.py recomputes the
+    # census exactly from the raw corpus (same pinned zlib level).
+    oracle=None,
+)
+def text_compression_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio census — the classic
+    repetitiveness/quality signal (highly compressible text is
+    boilerplate or degenerate repetition; barely-compressible text is
+    often binary junk or high-entropy noise; Gopher- and
+    FineWeb-style pipelines gate on exactly this): UTF-8 byte mass,
+    deflate (zlib level {lvl}) byte mass, and the per-source ratio in
+    milli-units, plus the extreme per-document ratios that bound the
+    source's spread.
+
+    Determinism: zlib's output for a given (input, level) is a pure
+    function shipped identically everywhere in this single-version
+    environment, and the census reports only integer byte sums and
+    floor-division ratios — stable across partitionings and runs. The
+    driver's check is rows-only by design (no SQL deflate exists);
+    the census is pinned instead by an exact recompute test over the
+    raw corpus.
+
+    Scale (100 TB): compression runs per-partition inside Arrow
+    batches (the embarrassingly-parallel map shape — no shuffle, no
+    driver payloads); only the per-source counters shuffle (the q1
+    partial+final agg shape). Wire a real gate by filtering on the
+    per-doc ratio before this rollup — same plan, one more scan-side
+    predicate.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B text/pipeline family.
+    """.format(lvl=COMPRESS_LEVEL)
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "raw_bytes": [len(b) for b in raw],
+                    "comp_bytes": [
+                        len(zlib.compress(b, COMPRESS_LEVEL)) for b in raw
+                    ],
+                }
+            )
+
+    per_doc = docs.select("source", "text").mapInPandas(
+        batches, "source string, raw_bytes long, comp_bytes long"
+    )
+    ratio = F.expr("comp_bytes * 1000 div greatest(raw_bytes, 1)")
+    return (
+        per_doc.select("source", "raw_bytes", "comp_bytes", ratio.alias("r"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.sum("comp_bytes").cast("bigint").alias("comp_bytes"),
+            F.expr("sum(comp_bytes) * 1000 div greatest(sum(raw_bytes), 1)")
+            .cast("bigint")
+            .alias("ratio_milli"),
+            F.min("r").cast("bigint").alias("min_doc_ratio_milli"),
+            F.max("r").cast("bigint").alias("max_doc_ratio_milli"),
+        )
+    )

@@ -182,3 +182,56 @@ def test_unicode_hygiene_nonzero_fixture_matches_duckdb(spark):
     for src, s_row in got.items():
         for k, v in s_row.items():
             assert want[src][k] == v, (src, k, v, want[src][k])
+
+
+def test_compression_census_matches_exact_recompute(spark):
+    """The rows-only compression census recomputed exactly from the
+    raw corpus with the same pinned zlib level — byte sums, ratios,
+    and per-doc extremes all integer-equal (this is the full
+    correctness pin standing in for the inexpressible SQL oracle)."""
+    import zlib
+
+    import duckdb
+
+    from eecs_485___mapreduce_spark.queries.text import (
+        COMPRESS_LEVEL,
+        text_compression_census,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    agg: dict[str, list] = {}
+    for s, t in rows:
+        b = (t or "").encode("utf-8")
+        c = len(zlib.compress(b, COMPRESS_LEVEL))
+        a = agg.setdefault(s, [0, 0, 0, []])
+        a[0] += 1
+        a[1] += len(b)
+        a[2] += c
+        a[3].append(c * 1000 // max(len(b), 1))
+    want = {
+        s: (
+            v[0],
+            v[1],
+            v[2],
+            v[2] * 1000 // max(v[1], 1),
+            min(v[3]),
+            max(v[3]),
+        )
+        for s, v in agg.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs,
+            r.raw_bytes,
+            r.comp_bytes,
+            r.ratio_milli,
+            r.min_doc_ratio_milli,
+            r.max_doc_ratio_milli,
+        )
+        for r in text_compression_census(spark, SF_SMALL).collect()
+    }
+    assert got == want
