@@ -956,3 +956,92 @@ def text_novelty_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micro"),
         )
     )
+
+
+# --------------------------- compression-distance verification (NCD)
+
+# NCD(x, y) = (C(xy) - min(C(x), C(y))) / max(C(x), C(y)) with C =
+# deflate byte length at the pinned level — Cilibrasi-Vitanyi's
+# normalized compression distance, the model-free similarity that
+# catches near-dups token-level measures miss (reorderings, heavy
+# paraphrase with shared boilerplate). Near 0 = near-identical.
+NCD_LEVEL = 6
+NCD_THRESHOLD_MILLI = 400
+
+
+@register(
+    "dedup_ncd_verify",
+    tags=("dedup", "udf", "text", "stats"),
+    # No SQL oracle: DuckDB has no deflate. Rows-only driver check;
+    # pinned by an exact per-pair recompute test
+    # (tests/test_text_operators.py).
+    oracle=None,
+)
+def dedup_ncd_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-opinion near-dup verification by normalized compression
+    distance: the SAME LSH band-bucket candidate pairs the MinHash
+    path generates are re-scored with NCD (zlib level {lvl}) and
+    flagged at NCD <= {thr} milli — an independent, model-free
+    similarity check on exactly the pairs the sketch machinery
+    already surfaced. Running two verifiers over one candidate stream
+    is standard curation practice: Jaccard catches shingle overlap,
+    compression distance catches shared structure that survives
+    reordering.
+
+    Determinism: candidate generation is the deterministic band join;
+    C(x), C(y), C(xy) are pure functions of the texts at the pinned
+    level; the reported ncd_milli is one floor division of exact
+    integers.
+
+    Scale (100 TB): NCD runs ONLY on band-join candidates (bounded by
+    bucket occupancy — never all-pairs; the same guarantee as the
+    Jaccard verify), inside Arrow batches with no driver payloads;
+    the text join shuffles candidate ids plus their two documents
+    only. The persisted shingle relation is shared with the rest of
+    the dedup family.
+
+    Reference parity: none (wordcount/grep only); SURVEY.md
+    section 2.B dedup family.
+    """.format(lvl=NCD_LEVEL, thr=NCD_THRESHOLD_MILLI)
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _shingle_relation(spark, sf_dir)
+    bands = _minhash_bands(t)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    txt_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    txt_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    pairs = cand.join(txt_a, "doc_a").join(txt_b, "doc_b")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "ncd_milli": []}
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                ba = (ta or "").encode("utf-8")
+                bb = (tb or "").encode("utf-8")
+                ca = len(zlib.compress(ba, NCD_LEVEL))
+                cb = len(zlib.compress(bb, NCD_LEVEL))
+                cab = len(zlib.compress(ba + bb, NCD_LEVEL))
+                out["ncd_milli"].append(
+                    (cab - min(ca, cb)) * 1000 // max(max(ca, cb), 1)
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        pairs.mapInPandas(batches, "doc_a long, doc_b long, ncd_milli long")
+        .filter(F.col("ncd_milli") <= NCD_THRESHOLD_MILLI)
+    )

@@ -139,6 +139,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # round via tools/driver_mimic.py (sf0.01) and the sf0.1 sweep.
 ROTATION_QUEUE: tuple[str, ...] = (
     "text_compression_census",
+    "dedup_ncd_verify",
     "param_sql_high_value_orders",
     "order_cadence_gaps",
     "time_weighted_value_per_user",

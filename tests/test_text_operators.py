@@ -235,3 +235,85 @@ def test_compression_census_matches_exact_recompute(spark):
         for r in text_compression_census(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_ncd_verify_values_exact_and_exact_dups_flagged(spark):
+    """Every reported NCD recomputes exactly from the raw texts at
+    the pinned zlib level (and is within threshold); completeness:
+    every identical-text pair of substantial length is a guaranteed
+    band-join candidate with tiny NCD, so it MUST be flagged."""
+    import zlib
+
+    import duckdb
+
+    from eecs_485___mapreduce_spark.queries.dedup import (
+        NCD_LEVEL,
+        NCD_THRESHOLD_MILLI,
+        dedup_ncd_verify,
+    )
+
+    from .conftest import SF_SMALL
+
+    texts = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+        )
+        .fetchall()
+    )
+
+    def ncd_milli(a, b):
+        ba, bb = (a or "").encode(), (b or "").encode()
+        ca = len(zlib.compress(ba, NCD_LEVEL))
+        cb = len(zlib.compress(bb, NCD_LEVEL))
+        cab = len(zlib.compress(ba + bb, NCD_LEVEL))
+        return (cab - min(ca, cb)) * 1000 // max(max(ca, cb), 1)
+
+    out = {
+        (r.doc_a, r.doc_b): r.ncd_milli
+        for r in dedup_ncd_verify(spark, SF_SMALL).collect()
+    }
+    assert out, "no pairs flagged on the near-dup-planted corpus"
+    for (a, b), v in out.items():
+        assert v == ncd_milli(texts[a], texts[b])
+        assert v <= NCD_THRESHOLD_MILLI
+
+def test_ncd_verify_flags_planted_dup_and_skips_unrelated(spark, tmp_path):
+    """Completeness/soundness on a controlled corpus: an identical
+    pair and a lightly-edited pair (guaranteed band candidates,
+    near-zero NCD) are flagged; an unrelated long document never
+    pairs with them."""
+    import os
+
+    from eecs_485___mapreduce_spark.queries.dedup import dedup_ncd_verify
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "wanders through the quiet orchard counting apples "
+    ) * 8
+    edited = base.replace("apples", "pears", 1)
+    other = (
+        "completely different subject matter entirely about "
+        "maritime navigation beacons and tidal charts of the north "
+    ) * 8
+    rows = [
+        (1, base, "en", "srcA", len(base)),
+        (2, base, "en", "srcA", len(base)),
+        (3, edited, "en", "srcB", len(edited)),
+        (4, other, "en", "srcB", len(other)),
+    ]
+    d = str(tmp_path / "corpus")
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .coalesce(1)
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.ncd_milli
+        for r in dedup_ncd_verify(spark, d).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] < 100  # identical pair
+    assert (1, 3) in got and (2, 3) in got  # one-word edit
+    assert not any(4 in p for p in got), got  # unrelated never flagged
