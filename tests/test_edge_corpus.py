@@ -566,3 +566,26 @@ def test_relational_query_matches_oracle_on_edge_star(
     assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
         f"{name}: values differ on the edge star schema"
     )
+
+
+def test_rows_only_compression_queries_survive_edge_corpus(spark, edge_dir):
+    """The two deflate-backed rows-only queries have no oracle for the
+    parametrized harness above, but they must still survive the edge
+    corpus: empty/whitespace/unicode text compresses without error,
+    zero-byte docs hit the division guards, and shingle-less docs can
+    never become NCD candidates."""
+    from eecs_485___mapreduce_spark.queries.dedup import dedup_ncd_verify
+    from eecs_485___mapreduce_spark.queries.text import text_compression_census
+
+    census = {r.source: r for r in text_compression_census(spark, edge_dir).collect()}
+    assert set(census) == {"srcA", "srcB", "srcC"}
+    for r in census.values():
+        assert r.comp_bytes > 0 and r.min_doc_ratio_milli >= 0
+    # srcA holds the empty + whitespace-only docs: the guard must have
+    # kept their per-doc ratios finite (ratio of 0-byte raw is 0/1)
+    assert census["srcA"].min_doc_ratio_milli >= 0
+
+    pairs = dedup_ncd_verify(spark, edge_dir).collect()
+    for r in pairs:
+        assert 0 <= r.ncd_milli <= 400
+        assert r.doc_a < r.doc_b
