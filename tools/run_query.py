@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     limit = 50
+    explain = "--explain" in args
+    if explain:
+        args.remove("--explain")
     if "--limit" in args:
         i = args.index("--limit")
         limit = int(args[i + 1])
@@ -52,6 +55,10 @@ def main() -> int:
 
     spark = get_spark(app_name=f"run-{name}")
     df = qs[name].fn(spark, sf_dir)
+    if explain:
+        from eecs_485___mapreduce_spark.plans import physical_plan
+
+        print(physical_plan(df))
     df.show(limit, truncate=40)
     print(f"({name} at {sf_dir}; showing up to {limit} rows)")
     release_scope(sf_dir)
