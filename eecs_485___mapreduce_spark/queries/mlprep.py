@@ -1163,3 +1163,110 @@ def bigram_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal_mnat"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------- contrastive negatives
+
+# Hash-bucketed negative sampling for contrastive / embedding training:
+# each anchor document draws K negatives from ONE deterministic probe
+# bucket, so candidate volume is anchors * (corpus / n_buckets) — never
+# the all-pairs cross join a naive sampler implies.
+NEG_N_ANCHORS = 50
+NEG_N_BUCKETS = 16
+NEG_K = 4
+
+
+@register(
+    "negative_pair_mining",
+    tags=("mlprep", "pipeline", "join", "window"),
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             {md5_long_sql("'neg:' || CAST(doc_id AS VARCHAR)")} AS h,
+             {md5_long_sql("'neg:' || CAST(doc_id AS VARCHAR)")} % {NEG_N_BUCKETS} AS bucket
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, source, (bucket + 1) % {NEG_N_BUCKETS} AS probe
+      FROM b ORDER BY h, doc_id LIMIT {NEG_N_ANCHORS}
+    ),
+    j AS (
+      SELECT a.doc_id AS doc_id, c.doc_id AS neg_doc_id, c.source AS neg_source,
+             {md5_long_sql("CAST(a.doc_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)")} AS ph
+      FROM a JOIN b c ON a.probe = c.bucket
+      WHERE c.source <> a.source AND c.doc_id <> a.doc_id
+    )
+    SELECT doc_id, neg_doc_id, neg_source, CAST(rn AS BIGINT) AS neg_rank
+    FROM (
+      SELECT j.*, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY ph, neg_doc_id) AS rn
+      FROM j
+    )
+    WHERE rn <= {NEG_K}
+    ORDER BY doc_id, neg_rank
+    """,
+)
+def negative_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed negative sampling: pick
+    ``NEG_N_ANCHORS`` anchor documents (smallest md5 rank — an
+    unbiased fixed-size sample), and for each anchor mine ``NEG_K``
+    negatives from a single probe bucket ((anchor_bucket + 1) mod B),
+    requiring a DIFFERENT source so the negatives are plausibly
+    semantically unrelated. Per-pair ordering is the md5 of the pair
+    id, so the chosen negatives are a pure function of the corpus —
+    re-runs and backfills reproduce the same training pairs.
+
+    Determinism: every choice (anchor set, candidate order) is an md5
+    rank; no RNG state anywhere.
+
+    Scale (100 TB): the anchor side is bounded (TakeOrdered top-N by
+    hash, then broadcast); candidates come from ONE bucket equi-join,
+    so the pair stream is |anchors| * corpus / B rows, tuned by B —
+    never the |corpus|^2 cross join. The per-anchor top-K is a
+    WindowGroupLimit (rank pushed below the sort). To mine hard
+    negatives instead of random ones, swap the probe-bucket key for an
+    IVF cell id from kmeans_assign_cells — same join shape.
+
+    Reference parity: none — no sampling surface in the reference;
+    SURVEY.md section 2.B training-pipeline family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        md5_long(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    b = docs.withColumn("bucket", F.col("h") % NEG_N_BUCKETS)
+    anchors = (
+        b.orderBy("h", "doc_id")
+        .limit(NEG_N_ANCHORS)
+        .select(
+            F.col("doc_id").alias("a_doc_id"),
+            F.col("source").alias("a_source"),
+            ((F.col("bucket") + 1) % NEG_N_BUCKETS).alias("probe"),
+        )
+    )
+    j = (
+        F.broadcast(anchors)
+        .join(b, anchors.probe == b.bucket)
+        .where((F.col("source") != F.col("a_source")) & (F.col("doc_id") != F.col("a_doc_id")))
+        .select(
+            F.col("a_doc_id").alias("adoc"),
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("source").alias("neg_source"),
+            md5_long(
+                F.concat_ws(":", F.col("a_doc_id").cast("string"), F.col("doc_id").cast("string"))
+            ).alias("ph"),
+        )
+    )
+    w = Window.partitionBy("adoc").orderBy("ph", "neg_doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NEG_K)
+        .select(
+            F.col("adoc").alias("doc_id"),
+            "neg_doc_id",
+            "neg_source",
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
+        .orderBy("doc_id", "neg_rank")
+    )

@@ -659,3 +659,95 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END"
         ).alias("recommended_salts"),
     )
+
+
+# ------------------------------------------ join-cardinality estimator
+
+# The other half of the planning pair with join_skew_profile: BEFORE
+# paying for a join, compute exactly how many rows it would emit —
+# from per-key count histograms, never from the join itself.
+
+
+@register(
+    "join_cardinality_estimate",
+    tags=("pipeline", "agg", "audit", "join"),
+    oracle="""
+    WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    oo AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    lp AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    pp AS (SELECT p_partkey AS k, COUNT(*) AS c FROM part GROUP BY 1),
+    oc AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cu AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+    pairs AS (
+      SELECT 'lineitem*orders@orderkey' AS join_name, lo.c AS cl, oo.c AS cr
+      FROM lo JOIN oo USING (k)
+      UNION ALL
+      SELECT 'lineitem*part@partkey', lp.c, pp.c FROM lp JOIN pp USING (k)
+      UNION ALL
+      SELECT 'orders*customer@custkey', oc.c, cu.c FROM oc JOIN cu USING (k)
+    )
+    SELECT join_name,
+           COUNT(*)                            AS n_join_keys,
+           CAST(SUM(cl) AS BIGINT)             AS left_matched_rows,
+           CAST(SUM(cr) AS BIGINT)             AS right_matched_rows,
+           CAST(SUM(cl * cr) AS BIGINT)        AS out_rows,
+           CAST(MAX(cl * cr) AS BIGINT)        AS max_key_out,
+           CAST(SUM(cl * cr) AS BIGINT) * 100
+             // CAST(SUM(cl) AS BIGINT)        AS amplification_pct
+    FROM pairs GROUP BY 1
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join output-size estimation from key histograms: for
+    each prospective equi-join, |A join B| = sum over matched keys of
+    count_A(k) * count_B(k) — computed WITHOUT executing the join.
+    Emits per join: matched key count, matched rows on each side, the
+    exact output row count, the hottest key's contribution, and the
+    output-vs-left amplification percent. This is the number that
+    decides shuffle-partition sizing and whether a join needs the
+    skew treatment BEFORE any executor touches a fact row.
+
+    Determinism: pure integer counts and products.
+
+    Scale (100 TB): each side collapses to a (key, count) histogram
+    with full map-side partial aggregation — the shuffle carries one
+    row per DISTINCT key, not one per fact row, then the histogram
+    join is tiny relative to the real join it predicts. At cluster
+    scale run the fact sides on TABLESAMPLE and scale counts by the
+    sampling rate; the amplification ratio is scale-free. The same
+    histograms feed join_skew_profile's salt recommendation.
+
+    Reference parity: none — the reference executes blind
+    (mapreduce/manager/__main__.py runs whatever M/R layout it is
+    given); SURVEY.md section 2.B pipeline/planning family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def hist(df: DataFrame, col: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+
+    def pair(left: DataFrame, right: DataFrame, name: str) -> DataFrame:
+        return (
+            left.withColumnRenamed("c", "cl")
+            .join(right.withColumnRenamed("c", "cr"), "k")
+            .select(F.lit(name).alias("join_name"), "cl", "cr")
+        )
+
+    pairs = (
+        pair(hist(li, "l_orderkey"), hist(orders, "o_orderkey"), "lineitem*orders@orderkey")
+        .unionByName(pair(hist(li, "l_partkey"), hist(part, "p_partkey"), "lineitem*part@partkey"))
+        .unionByName(pair(hist(orders, "o_custkey"), hist(customer, "c_custkey"), "orders*customer@custkey"))
+    )
+    return pairs.groupBy("join_name").agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum("cl").cast("long").alias("left_matched_rows"),
+        F.sum("cr").cast("long").alias("right_matched_rows"),
+        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("out_rows"),
+        F.max(F.col("cl") * F.col("cr")).cast("long").alias("max_key_out"),
+        F.expr("CAST(SUM(cl * cr) AS BIGINT) * 100 div CAST(SUM(cl) AS BIGINT)").alias(
+            "amplification_pct"
+        ),
+    )

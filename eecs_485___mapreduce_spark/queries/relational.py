@@ -913,3 +913,62 @@ def orders_iso_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("double").alias("total_value"),
         )
     )
+
+
+# ------------------------------------------- ordered string aggregation
+
+
+@register(
+    "listagg_parts_by_brand",
+    tags=("agg", "string"),
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_brand, p_type FROM part),
+    r AS (
+      SELECT p_brand, p_type,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_type) AS rn
+      FROM d
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_types,
+           string_agg(p_type, ',' ORDER BY p_type)
+             FILTER (WHERE rn <= 5)      AS top_types
+    FROM r GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def listagg_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with deterministic ordering: per brand, the
+    distinct part-type count and the five lexicographically-first
+    types joined into one comma string. Unordered collect is a
+    correctness trap (any shuffle reorder changes the output); the
+    contract here is collect -> array_sort -> slice -> join, which is
+    partitioning-independent.
+
+    Determinism: the aggregated set is DISTINCT and the join order is
+    a total lexicographic order on ASCII strings — identical in Spark
+    (array_sort, UTF-8 byte order) and DuckDB (binary collation).
+
+    Scale (100 TB): one shuffle on (brand, type) for the DISTINCT,
+    then a per-brand collect bounded by the type-domain size (150 in
+    TPC-H), never by fact rows — collect_set state stays KBs per
+    group. A group whose domain is unbounded should switch to the
+    group-limit form (row_number <= 5) BEFORE collecting; the slice
+    here caps output, not state, and is safe only because the domain
+    is a dimension attribute.
+
+    Reference parity: the reference's reducer concatenation is the
+    sorted-merge contract of wc_reduce.py (tests/testdata/exec/
+    wc_reduce.py:25-33); this is the same sorted-fold as a first-class
+    aggregate. SURVEY.md section 2.B string-function family.
+    """
+    part = load_table(spark, sf_dir, "part")
+    d = part.select("p_brand", "p_type").distinct()
+    return (
+        d.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("p_type")), 1, 5), ","
+            ).alias("top_types"),
+        )
+        .orderBy("p_brand")
+    )

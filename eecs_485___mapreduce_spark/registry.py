@@ -267,6 +267,9 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "udf_cogroup_merge_arrow",
     "udf_grouped_mad_arrow",
     "udf_arrow_scalar_bucket",
+    "join_cardinality_estimate",
+    "listagg_parts_by_brand",
+    "negative_pair_mining",
 )
 
 

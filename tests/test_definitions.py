@@ -136,3 +136,69 @@ def test_merkle_diff_counts_match_direct_drift(spark):
     )
     # repair narrows: leaf-level resync never exceeds group-level
     assert got["leaf"].rows_to_resync <= got["group"].rows_to_resync
+
+
+def test_join_cardinality_estimate_matches_real_join_counts(spark):
+    """The histogram product must equal the ACTUAL row count of each
+    predicted join — the whole point of the estimator is exactness."""
+    from eecs_485___mapreduce_spark.queries.pipeline import join_cardinality_estimate
+
+    got = {r.join_name: r for r in join_cardinality_estimate(spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    part = load_table(spark, SF_SMALL, "part")
+    customer = load_table(spark, SF_SMALL, "customer")
+    real = {
+        "lineitem*orders@orderkey": li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count(),
+        "lineitem*part@partkey": li.join(part, li.l_partkey == part.p_partkey).count(),
+        "orders*customer@custkey": orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count(),
+    }
+    assert {k: v.out_rows for k, v in got.items()} == real
+    for r in got.values():
+        assert r.max_key_out <= r.out_rows
+        assert r.amplification_pct == r.out_rows * 100 // r.left_matched_rows
+
+
+def test_listagg_is_sorted_prefix_of_distinct_types(spark):
+    from eecs_485___mapreduce_spark.queries.relational import listagg_parts_by_brand
+
+    part = load_table(spark, SF_SMALL, "part")
+    want = defaultdict(set)
+    for r in part.select("p_brand", "p_type").collect():
+        want[r.p_brand].add(r.p_type)
+    for r in listagg_parts_by_brand(spark, SF_SMALL).collect():
+        assert r.n_types == len(want[r.p_brand])
+        assert r.top_types == ",".join(sorted(want[r.p_brand])[:5])
+
+
+def test_negative_pairs_are_cross_source_and_deterministic(spark):
+    from eecs_485___mapreduce_spark.queries.mlprep import (
+        NEG_K,
+        NEG_N_ANCHORS,
+        negative_pair_mining,
+    )
+
+    rows = negative_pair_mining(spark, SF_SMALL).collect()
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "source").collect()
+    }
+    per_anchor = defaultdict(list)
+    for r in rows:
+        per_anchor[r.doc_id].append(r)
+        assert r.neg_source == src[r.neg_doc_id]
+        assert r.neg_source != src[r.doc_id]  # cross-source negatives only
+        assert r.neg_doc_id != r.doc_id
+    assert len(per_anchor) <= NEG_N_ANCHORS
+    for negs in per_anchor.values():
+        assert len(negs) <= NEG_K
+        assert [r.neg_rank for r in sorted(negs, key=lambda r: r.neg_rank)] == list(
+            range(1, len(negs) + 1)
+        )
+    # determinism: a second evaluation reproduces the identical pair set
+    again = negative_pair_mining(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
