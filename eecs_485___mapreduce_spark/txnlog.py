@@ -1,0 +1,638 @@
+"""Transaction-log table layout: lakehouse-style ACID-on-parquet.
+
+The 100 TB operational gap that plain parquet directories leave open:
+no atomic multi-file commits (readers see half-written data), no
+snapshot isolation (a reader mid-scan races a writer's overwrite), no
+time travel, and no safe copy-on-write deletes. Modern table formats
+(Delta Lake, Apache Iceberg — both public designs) close it with ONE
+idea: the table IS an append-only log of commits, each commit an
+atomic metadata file naming the data files it adds and removes; data
+files themselves are immutable.
+
+This module is that idea on the engine's own manifested-parquet
+substrate (sinks.py):
+
+- ``table_dir/_txnlog/00000000.json`` … — one JSON commit per version,
+  created with O_CREAT|O_EXCL: the filesystem's atomic put-if-absent
+  is the whole concurrency-control protocol (optimistic: two writers
+  racing to the same version — exactly one wins, the loser gets
+  ``TxnConflict`` and retries on the new snapshot). This is Delta's
+  documented protocol (log + atomic rename); on an object store the
+  same role is played by a conditional PUT.
+- data files live under ``table_dir/data/v{N}-{op}/`` — immutable,
+  uniquely owned by their commit, so a crashed writer leaves only an
+  ORPHAN directory no commit references: invisible to every reader,
+  reclaimed by ``txn_vacuum``.
+- readers replay the log (file-count-bounded metadata, no data I/O)
+  to a live file set, then scan ONLY those files. ``version=`` gives
+  time travel; concurrent commits never disturb an in-flight scan
+  because its files are immutable.
+- ``txn_delete_where`` is copy-on-write bounded by AFFECTED files:
+  a metadata-cheap pass finds which live files contain matching rows
+  (grouped by ``input_file_name``), only those are rewritten; the
+  untouched majority of a 100 TB table is carried forward by
+  reference in the log.
+- ``txn_compact`` is OPTIMIZE as a commit: rewrite the live set into
+  target-sized files, add new + remove old in one atomic version —
+  logically a no-op, so readers at any version see identical rows.
+
+Per-commit row/file counts are computed Spark-side and carried in the
+commit record (the same write-JSON-then-read-metadata pattern as
+``sinks.write_manifested_parquet`` — no driver materialization; the
+log is bounded by file count, never row count).
+
+Reference parity: the reference's sink contract is
+atomic-via-tmpdir-rename for ONE job's output
+(mapreduce/manager/__main__.py output directory handling); this is
+the same atomicity promise extended to multi-commit table lifetime.
+SURVEY.md section 2.B sinks/storage family.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TXNLOG_DIR = "_txnlog"
+DATA_DIR = "data"
+CHANGES_DIR = "_changes"
+
+
+class TxnConflict(RuntimeError):
+    """Another writer committed this version first — reread the
+    snapshot and retry (optimistic concurrency)."""
+
+
+# ------------------------------------------------------------- log I/O
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, TXNLOG_DIR)
+
+
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:08d}.json")
+
+
+def txn_history(table_dir: str) -> list[dict]:
+    """All commit records in version order — bounded metadata."""
+    commits = []
+    for p in sorted(glob.glob(os.path.join(_log_dir(table_dir), "*.json"))):
+        with open(p) as fh:
+            commits.append(json.load(fh))
+    return commits
+
+
+def _live_files(table_dir: str, version: int | None = None) -> list[str]:
+    """Replay the log up to ``version`` (inclusive; latest if None):
+    the live set is adds minus removes, in commit order."""
+    live: list[str] = []
+    for commit in txn_history(table_dir):
+        if version is not None and commit["version"] > version:
+            break
+        removed = set(commit.get("remove", []))
+        live = [f for f in live if f not in removed]
+        live.extend(e["file"] for e in commit.get("add", []))
+    return live
+
+
+def _commit(table_dir: str, record: dict) -> dict:
+    """Atomically publish one commit: O_CREAT|O_EXCL on the version
+    file is the put-if-absent that makes exactly one writer win."""
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    path = _commit_path(table_dir, record["version"])
+    payload = json.dumps(record, sort_keys=True)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError as exc:
+        raise TxnConflict(
+            f"version {record['version']} already committed in {table_dir}"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return record
+
+
+def _next_version(table_dir: str) -> int:
+    history = txn_history(table_dir)
+    return history[-1]["version"] + 1 if history else 0
+
+
+# -------------------------------------------------------- file metadata
+
+
+def _strip_uri(name: str) -> str:
+    """``input_file_name()`` yields ``file:///path``; the log stores
+    plain ``/path`` so entries compare equal to ``os.walk`` paths in
+    ``txn_vacuum`` (a mismatch there would delete live files)."""
+    if name.startswith("file:"):
+        name = "/" + name[len("file:") :].lstrip("/")
+    return name
+
+
+def _read_meta(per_file: DataFrame, meta_dir: str) -> list[dict]:
+    """Write a file-count-bounded ``(file, rows)`` relation as JSON and
+    read it back — the manifested-parquet pattern: Spark computes the
+    metadata, the driver reads one row per FILE, never per data row."""
+    per_file.coalesce(1).write.mode("overwrite").json(meta_dir)
+    entries = []
+    for part in glob.glob(os.path.join(meta_dir, "part-*")):
+        with open(part) as fh:
+            for line in fh:
+                if line.strip():
+                    row = json.loads(line)
+                    entries.append(
+                        {"file": _strip_uri(row["file"]), "rows": row["rows"]}
+                    )
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    return sorted(entries, key=lambda e: e["file"])
+
+
+def _file_stats(df_on_disk: DataFrame, meta_dir: str) -> list[dict]:
+    """Per-data-file row counts, computed by Spark grouped on
+    ``input_file_name`` — no driver collect."""
+    return _read_meta(
+        df_on_disk.groupBy(F.input_file_name().alias("file")).agg(
+            F.count(F.lit(1)).alias("rows")
+        ),
+        meta_dir,
+    )
+
+
+def _write_commit_data(
+    df: DataFrame, table_dir: str, version: int, op: str, num_files: int | None
+) -> list[dict]:
+    """Write ``df`` as this commit's immutable data directory and
+    return its per-file add entries. The directory name carries a
+    unique writer token (the Delta/Iceberg UUID-filename rule), so two
+    writers racing the SAME version never touch each other's files —
+    the loser's directory is an orphan no commit references,
+    invisible until vacuumed."""
+    out = os.path.join(
+        table_dir, DATA_DIR, f"v{version:08d}-{op}-{uuid.uuid4().hex[:12]}"
+    )
+    if num_files is not None:
+        df = df.repartition(num_files)
+    df.write.mode("overwrite").parquet(out)
+    back = df.sparkSession.read.parquet(out)
+    return _file_stats(back, os.path.join(out, "_meta"))
+
+
+def _write_changes(
+    tagged: DataFrame, table_dir: str, version: int
+) -> str:
+    """Materialize a commit's row-level change feed (rows tagged with
+    ``_change_type``) as an immutable directory. Cost ∝ rows the
+    commit actually touched — the affected-row stream the operation
+    already computed — exactly the Delta change-data-feed trade:
+    append/create commits write NOTHING here (their add-files ARE the
+    inserts; the reader synthesizes them)."""
+    out = os.path.join(
+        table_dir, CHANGES_DIR, f"v{version:08d}-{uuid.uuid4().hex[:12]}"
+    )
+    tagged.write.mode("overwrite").parquet(out)
+    return out
+
+
+# ------------------------------------------------------------- commits
+
+
+def txn_create(df: DataFrame, table_dir: str, num_files: int = 4) -> dict:
+    """Version 0: create the table."""
+    version = _next_version(table_dir)
+    if version != 0:
+        raise TxnConflict(f"table {table_dir} already exists at v{version - 1}")
+    add = _write_commit_data(df, table_dir, version, "create", num_files)
+    return _commit(
+        table_dir, {"version": version, "op": "create", "add": add, "remove": []}
+    )
+
+
+def txn_append(
+    df: DataFrame,
+    table_dir: str,
+    num_files: int = 4,
+    expect_version: int | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """Blind append: new files only, removes nothing — never conflicts
+    logically with other appends (a loser on the version race just
+    re-commits the same files at the next version). ``expect_version``
+    pins the version this writer believes it is committing (the
+    version it computed when it read its snapshot); if another writer
+    got there first the commit raises ``TxnConflict`` instead of
+    silently landing later in history."""
+    version = _next_version(table_dir) if expect_version is None else expect_version
+    add = _write_commit_data(df, table_dir, version, "append", num_files)
+    record = {"version": version, "op": "append", "add": add, "remove": []}
+    if extra:
+        record.update(extra)
+    return _commit(table_dir, record)
+
+
+def txn_delete_where(
+    spark: SparkSession, table_dir: str, predicate: str, num_files: int = 4
+) -> dict:
+    """Copy-on-write DELETE: rewrite ONLY the live files that contain
+    at least one matching row (found by a grouped
+    ``input_file_name`` pass — metadata-bounded result); every other
+    file is carried forward by reference. The rewrite keeps the
+    non-matching rows of affected files; the commit removes the old
+    affected files and adds their rewrites atomically."""
+    version = _next_version(table_dir)
+    live = _live_files(table_dir)
+    snap = spark.read.parquet(*live)
+    affected = _file_stats(
+        snap.where(F.expr(predicate)),
+        os.path.join(
+            table_dir, DATA_DIR, f"v{version:08d}-delete-scan-{uuid.uuid4().hex[:12]}"
+        ),
+    )
+    affected_files = [e["file"] for e in affected]
+    if not affected_files:
+        return _commit(
+            table_dir,
+            {"version": version, "op": "delete", "add": [], "remove": [],
+             "predicate": predicate},
+        )
+    affected_df = spark.read.parquet(*affected_files)
+    survivors = affected_df.where(~F.expr(predicate))
+    add = _write_commit_data(survivors, table_dir, version, "delete", num_files)
+    changes = _write_changes(
+        affected_df.where(F.expr(predicate)).withColumn(
+            "_change_type", F.lit("delete")
+        ),
+        table_dir,
+        version,
+    )
+    return _commit(
+        table_dir,
+        {
+            "version": version,
+            "op": "delete",
+            "add": add,
+            "remove": affected_files,
+            "predicate": predicate,
+            "changes": changes,
+        },
+    )
+
+
+def txn_update_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    num_files: int = 4,
+) -> dict:
+    """Copy-on-write UPDATE: rewrite ONLY the live files containing at
+    least one row matching ``predicate``; in the rewrite, matching
+    rows get each ``set_exprs`` column replaced by its SQL expression
+    (evaluated against the pre-update row, standard UPDATE semantics),
+    non-matching rows pass through, and every unaffected file is
+    carried forward by reference — same affected-file bound as
+    ``txn_delete_where``."""
+    version = _next_version(table_dir)
+    live = _live_files(table_dir)
+    snap = spark.read.parquet(*live)
+    affected = _file_stats(
+        snap.where(F.expr(predicate)),
+        os.path.join(
+            table_dir, DATA_DIR, f"v{version:08d}-update-scan-{uuid.uuid4().hex[:12]}"
+        ),
+    )
+    affected_files = [e["file"] for e in affected]
+    if not affected_files:
+        return _commit(
+            table_dir,
+            {"version": version, "op": "update", "add": [], "remove": [],
+             "predicate": predicate},
+        )
+    hit = F.expr(predicate)
+    affected_df = spark.read.parquet(*affected_files)
+    rewritten = affected_df.select(
+        *[
+            (
+                F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in affected_df.columns
+        ]
+    )
+    add = _write_commit_data(rewritten, table_dir, version, "update", num_files)
+    # postimage = the MATCHED preimage rows transformed (a re-filter of
+    # the output would be wrong when SET rewrites a predicate column)
+    matched = affected_df.where(hit)
+    postimage = matched.select(
+        *[
+            F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+            for c in affected_df.columns
+        ]
+    )
+    changes = _write_changes(
+        matched.withColumn("_change_type", F.lit("update_preimage")).unionByName(
+            postimage.withColumn("_change_type", F.lit("update_postimage"))
+        ),
+        table_dir,
+        version,
+    )
+    return _commit(
+        table_dir,
+        {
+            "version": version,
+            "op": "update",
+            "add": add,
+            "remove": affected_files,
+            "predicate": predicate,
+            "changes": changes,
+        },
+    )
+
+
+def txn_merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    num_files: int = 4,
+) -> dict:
+    """Copy-on-write MERGE (upsert): rows in ``source`` REPLACE live
+    rows with the same key, and keys not present are INSERTED — the
+    Delta ``MERGE … WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT
+    ALL`` shape. ``source`` must be key-unique (standard MERGE
+    precondition; duplicate source keys would make the result
+    order-dependent).
+
+    Scale contract: affected files are found by a key SEMI-join
+    grouped on ``input_file_name`` (output bounded by file count, AQE
+    picks broadcast when the source key set is small); ONLY those
+    files are rewritten (their non-matching rows + all of ``source``);
+    the untouched majority of a 100 TB table is carried forward by
+    reference in the log. A merge whose keys are all new degrades to
+    a pure insert commit that rewrites nothing."""
+    version = _next_version(table_dir)
+    live = _live_files(table_dir)
+    keys = source.select(*key_cols).distinct()
+    # Tag the file name BELOW the join (Spark's PreReadCheck rejects
+    # input_file_name above a multi-source join), then the key
+    # SEMI-join + file-distinct yields the affected set.
+    tagged = spark.read.parquet(*live).select(
+        F.input_file_name().alias("file"), *key_cols
+    )
+    affected = _read_meta(
+        tagged.join(keys, key_cols, "semi")
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("rows")),
+        os.path.join(
+            table_dir, DATA_DIR, f"v{version:08d}-merge-scan-{uuid.uuid4().hex[:12]}"
+        ),
+    )
+    affected_files = [e["file"] for e in affected]
+    if affected_files:
+        affected_df = spark.read.parquet(*affected_files)
+        survivors = affected_df.join(keys, key_cols, "anti")
+        new_data = survivors.unionByName(source)
+        preimage = affected_df.join(keys, key_cols, "semi")
+        matched_keys = preimage.select(*key_cols).distinct()
+        tag = F.when(
+            F.col("__matched").isNotNull(), F.lit("update_postimage")
+        ).otherwise(F.lit("insert"))
+        post_or_insert = (
+            source.join(
+                matched_keys.withColumn("__matched", F.lit(1)),
+                key_cols,
+                "left",
+            )
+            .withColumn("_change_type", tag)
+            .drop("__matched")
+        )
+        tagged = preimage.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(post_or_insert)
+    else:
+        new_data = source
+        tagged = source.withColumn("_change_type", F.lit("insert"))
+    add = _write_commit_data(new_data, table_dir, version, "merge", num_files)
+    changes = _write_changes(tagged, table_dir, version)
+    return _commit(
+        table_dir,
+        {
+            "version": version,
+            "op": "merge",
+            "add": add,
+            "remove": affected_files,
+            "key_cols": list(key_cols),
+            "changes": changes,
+        },
+    )
+
+
+def txn_compact(
+    spark: SparkSession,
+    table_dir: str,
+    num_files: int = 1,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE as a commit: rewrite the whole live set into
+    ``num_files`` right-sized files and swap them in atomically.
+    Logically a no-op — every version (including this one) reads the
+    same rows — so it can run any time without coordinating with
+    readers; concurrent appends conflict on the version race and
+    simply retry.
+
+    ``cluster_by`` range-partitions and sorts the rewrite on those
+    columns (Delta OPTIMIZE ZORDER's 1-D case): each output file then
+    owns a disjoint key range, so zone-map/min-max pruning
+    (sinks.read_manifest_pruned, parquet row-group stats) can skip
+    whole files on range probes instead of opening everything."""
+    version = _next_version(table_dir)
+    live = _live_files(table_dir)
+    snap = spark.read.parquet(*live)
+    if cluster_by:
+        snap = snap.repartitionByRange(num_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+        add = _write_commit_data(snap, table_dir, version, "compact", None)
+    else:
+        add = _write_commit_data(snap, table_dir, version, "compact", num_files)
+    return _commit(
+        table_dir,
+        {"version": version, "op": "compact", "add": add, "remove": live},
+    )
+
+
+def txn_stream_sink(table_dir: str, num_files: int = 4):
+    """Exactly-once Structured Streaming sink into a txnlog table:
+    ``df.writeStream.foreachBatch(txn_stream_sink(dir))``. The
+    standard Spark recipe for non-idempotent sinks — dedup on the
+    (queryable) ``batchId`` the engine replays after failure — made
+    atomic by the commit log: a batch lands either as one whole commit
+    carrying its ``batch_id`` or not at all, so a replayed batch is
+    recognized by log scan (metadata-bounded) and skipped, and a
+    version race with a concurrent writer retries the SAME batch at
+    the next version (still exactly once — the batch_id check reruns
+    after every conflict)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        while True:
+            committed = {c.get("batch_id") for c in txn_history(table_dir)}
+            if batch_id in committed:
+                return  # replayed micro-batch: already durably committed
+            try:
+                txn_append(
+                    batch_df,
+                    table_dir,
+                    num_files=num_files,
+                    expect_version=_next_version(table_dir),
+                    extra={"batch_id": batch_id},
+                )
+                return
+            except TxnConflict:
+                continue  # someone else won the version; re-check and retry
+
+    return write_batch
+
+
+# ------------------------------------------------------------- readers
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: replay the log (metadata only) to the
+    live file set at ``version`` (latest if None) and scan exactly
+    those immutable files. Later commits cannot disturb this scan."""
+    live = _live_files(table_dir, version)
+    if not live:
+        raise FileNotFoundError(f"no committed data in {table_dir} at v{version}")
+    # mergeSchema: commits may evolve the schema (append with new
+    # columns); the union schema is reconstructed from the live files'
+    # footers — metadata-bounded — and absent columns read as NULL.
+    return spark.read.option("mergeSchema", "true").parquet(*live)
+
+
+def txn_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: every row-level change in commits
+    ``from_version..to_version`` (inclusive; latest if None), tagged
+    ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} + ``_commit_version`` — what an incremental
+    consumer (e.g. the incremental-dedup index, a downstream IVM view)
+    reads instead of diffing full snapshots. Reads are bounded by the
+    rows those commits touched: create/append inserts come straight
+    from the commits' own add-files (nothing was written twice);
+    delete/update/merge read their materialized ``_changes``
+    directories; compaction is logically empty and contributes
+    nothing."""
+    parts = []
+    for commit in txn_history(table_dir):
+        v = commit["version"]
+        if v < from_version or (to_version is not None and v > to_version):
+            continue
+        if commit["op"] in ("create", "append"):
+            files = [e["file"] for e in commit["add"]]
+            if files:
+                parts.append(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*files)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+        elif commit.get("changes"):
+            parts.append(
+                spark.read.option("mergeSchema", "true")
+                .parquet(commit["changes"])
+                .withColumn("_commit_version", F.lit(v))
+            )
+    if not parts:
+        # e.g. a compaction-only range: logically nothing changed
+        return (
+            read_snapshot(spark, table_dir)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0))
+            .where(F.lit(False))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def apply_changes_to_count_view(
+    view: DataFrame, feed: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Incrementally maintain a ``GROUP BY key → cnt`` view from a
+    change feed (the count-based IVM rule): inserts and
+    update_postimages weigh +1, deletes and update_preimages −1; the
+    delta collapses to one row per touched key (map-side partial agg)
+    before merging with the view, and keys whose count reaches 0 drop
+    out. This is how a 100 TB derived index (e.g. the incremental
+    dedup key index) follows its base table for the cost of the DELTA,
+    never a snapshot recompute."""
+    w = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("cnt")
+    )
+    delta = feed.select(*key_cols, w).groupBy(*key_cols).agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return (
+        view.unionByName(delta)
+        .groupBy(*key_cols)
+        .agg(F.sum("cnt").alias("cnt"))
+        .where(F.col("cnt") > 0)
+    )
+
+
+def snapshot_stats(table_dir: str, version: int | None = None) -> dict:
+    """(files, rows) of a snapshot from the log alone — no data I/O.
+    The planning-phase numbers a 100 TB scan needs before it opens
+    anything."""
+    live = set(_live_files(table_dir, version))
+    rows = 0
+    for commit in txn_history(table_dir):
+        for entry in commit.get("add", []):
+            if entry["file"] in live:
+                rows += entry["rows"]
+    return {"files": len(live), "rows": rows}
+
+
+def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
+    """Reclaim data files referenced by NO retained version: keeps
+    every file live in any of the last ``retain_versions`` snapshots
+    (time travel works back exactly that far), deletes the rest —
+    including orphan directories from crashed writers. Returns
+    ``{deleted, kept}`` file counts."""
+    history = txn_history(table_dir)
+    if not history:
+        return {"deleted": 0, "kept": 0}
+    latest = history[-1]["version"]
+    cutoff = max(0, latest - retain_versions + 1)
+    keep: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        keep.update(_live_files(table_dir, v))
+    deleted = 0
+    data_root = os.path.join(table_dir, DATA_DIR)
+    for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+        for fname in filenames:
+            full = os.path.join(dirpath, fname)
+            if full not in keep and fname.endswith(".parquet"):
+                os.remove(full)
+                deleted += 1
+        if not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    return {"deleted": deleted, "kept": len(keep)}

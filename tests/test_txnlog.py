@@ -1,0 +1,392 @@
+"""Transaction-log table layout: the ACID-on-parquet contract.
+
+What must hold (the public Delta/Iceberg protocol, scaled to tests):
+atomic versioned commits, snapshot isolation (an old version's read
+set is immutable), time travel, copy-on-write deletes bounded by
+affected files, logically-no-op compaction, losers of the version
+race get TxnConflict, orphan files from crashed writers are invisible
+and vacuumable, and retained time travel survives vacuum.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eecs_485___mapreduce_spark import txnlog
+from eecs_485___mapreduce_spark.sources import load_table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """v0: orders with o_orderkey < 750; v1: append the rest
+    (orderkeys are dense 0..1499 at sf0.001, so both halves are
+    non-empty)."""
+    d = str(tmp_path / "orders_tbl")
+    orders = load_table(spark, SF_SMALL, "orders")
+    txnlog.txn_create(orders.where("o_orderkey < 750"), d, num_files=3)
+    txnlog.txn_append(orders.where("o_orderkey >= 750"), d, num_files=3)
+    return d, orders
+
+
+def test_create_append_time_travel(spark, table):
+    d, orders = table
+    total = orders.count()
+    v0 = orders.where("o_orderkey < 750").count()
+    assert txnlog.read_snapshot(spark, d).count() == total
+    assert txnlog.read_snapshot(spark, d, version=0).count() == v0
+    assert [c["op"] for c in txnlog.txn_history(d)] == ["create", "append"]
+    # log-only planning stats agree with the data
+    assert txnlog.snapshot_stats(d) == {"files": 6, "rows": total}
+    assert txnlog.snapshot_stats(d, version=0)["rows"] == v0
+
+
+def test_delete_where_is_copy_on_write_of_affected_files_only(spark, table):
+    d, orders = table
+    before = set(txnlog._live_files(d))
+    commit = txnlog.txn_delete_where(spark, d, "o_orderkey % 100 = 7", num_files=2)
+    # only files that actually contained matches were rewritten
+    assert set(commit["remove"]) <= before
+    assert commit["remove"], "predicate matches rows, so some file is affected"
+    carried = before - set(commit["remove"])
+    assert carried <= set(txnlog._live_files(d))  # untouched files carried by ref
+    # rows: exactly the matching rows disappeared, nothing else
+    want = orders.where("NOT (o_orderkey % 100 = 7)").count()
+    snap = txnlog.read_snapshot(spark, d)
+    assert snap.count() == want
+    assert snap.where("o_orderkey % 100 = 7").count() == 0
+    # time travel still sees the pre-delete table
+    assert txnlog.read_snapshot(spark, d, version=1).count() == orders.count()
+
+
+def test_delete_with_no_matches_commits_empty_change(spark, table):
+    d, _ = table
+    before = txnlog._live_files(d)
+    commit = txnlog.txn_delete_where(spark, d, "o_orderkey < 0")
+    assert commit["add"] == [] and commit["remove"] == []
+    assert txnlog._live_files(d) == before
+
+
+def test_compact_is_logical_noop_and_shrinks_files(spark, table):
+    d, orders = table
+    stats_before = txnlog.snapshot_stats(d)
+    checksum_before = txnlog.read_snapshot(spark, d).agg(
+        F.sum("o_orderkey").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    txnlog.txn_compact(spark, d, num_files=1)
+    stats_after = txnlog.snapshot_stats(d)
+    assert stats_after["rows"] == stats_before["rows"]
+    assert stats_after["files"] == 1 < stats_before["files"]
+    after = txnlog.read_snapshot(spark, d).agg(
+        F.sum("o_orderkey").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (after.s, after.n) == (checksum_before.s, checksum_before.n)
+    # pre-compaction versions still read the OLD files (snapshot isolation)
+    assert txnlog.read_snapshot(spark, d, version=1).count() == orders.count()
+
+
+def test_merge_upserts_and_rewrites_only_affected_files(spark, table):
+    d, orders = table
+    before = set(txnlog._live_files(d))
+    # source: 20 updated rows (priority overwritten) + 5 brand-new keys
+    updates = (
+        orders.where("o_orderkey < 20")
+        .withColumn("o_orderpriority", F.lit("0-MERGED"))
+    )
+    inserts = orders.where("o_orderkey < 5").withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1_000_000
+    )
+    commit = txnlog.txn_merge(
+        spark, d, updates.unionByName(inserts), ["o_orderkey"], num_files=2
+    )
+    assert commit["op"] == "merge"
+    assert commit["remove"], "matched keys live somewhere, files are affected"
+    assert set(commit["remove"]) <= before
+    carried = before - set(commit["remove"])
+    assert carried <= set(txnlog._live_files(d))  # untouched files by ref
+    snap = txnlog.read_snapshot(spark, d)
+    assert snap.count() == orders.count() + 5  # updates replace, inserts add
+    assert snap.where("o_orderpriority = '0-MERGED'").count() == 20
+    assert snap.where("o_orderkey >= 1000000").count() == 5
+    assert snap.select("o_orderkey").distinct().count() == snap.count()
+    # time travel still sees the pre-merge values
+    pre = txnlog.read_snapshot(spark, d, version=1)
+    assert pre.where("o_orderpriority = '0-MERGED'").count() == 0
+
+
+def test_update_where_rewrites_only_affected_files(spark, table):
+    d, orders = table
+    before = set(txnlog._live_files(d))
+    commit = txnlog.txn_update_where(
+        spark,
+        d,
+        "o_orderkey % 100 = 3",
+        {"o_orderpriority": "'9-UPDATED'", "o_totalprice": "o_totalprice * 2"},
+        num_files=2,
+    )
+    assert commit["op"] == "update" and commit["remove"]
+    assert set(commit["remove"]) <= before
+    assert (before - set(commit["remove"])) <= set(txnlog._live_files(d))
+    snap = txnlog.read_snapshot(spark, d)
+    n_hit = orders.where("o_orderkey % 100 = 3").count()
+    assert snap.count() == orders.count()  # UPDATE never changes row count
+    assert snap.where("o_orderpriority = '9-UPDATED'").count() == n_hit
+    # SET expressions evaluate against the pre-update row
+    want = orders.where("o_orderkey % 100 = 3").agg(
+        F.sum(F.col("o_totalprice") * 2).alias("s")
+    ).collect()[0].s
+    got = snap.where("o_orderkey % 100 = 3").agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()[0].s
+    assert abs(got - want) < 1e-6
+    # non-matching rows and time travel untouched
+    assert txnlog.read_snapshot(spark, d, version=1).where(
+        "o_orderpriority = '9-UPDATED'"
+    ).count() == 0
+
+
+def test_append_with_new_column_evolves_schema(spark, table):
+    d, orders = table
+    evolved = orders.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 3_000_000
+    ).withColumn("quality_score", F.lit(0.5))
+    txnlog.txn_append(evolved, d, num_files=1)
+    snap = txnlog.read_snapshot(spark, d)
+    assert "quality_score" in snap.columns
+    assert snap.count() == orders.count() + 10
+    # pre-evolution rows read the new column as NULL
+    assert snap.where("quality_score IS NULL").count() == orders.count()
+    assert snap.where("quality_score = 0.5").count() == 10
+
+
+def test_merge_with_all_new_keys_is_pure_insert(spark, table):
+    d, orders = table
+    before = txnlog._live_files(d)
+    inserts = orders.limit(7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 2_000_000
+    )
+    commit = txnlog.txn_merge(spark, d, inserts, ["o_orderkey"])
+    assert commit["remove"] == []  # nothing rewritten
+    assert set(before) <= set(txnlog._live_files(d))
+    assert txnlog.read_snapshot(spark, d).count() == orders.count() + 7
+
+
+def test_clustered_compact_gives_disjoint_file_ranges(spark, table):
+    d, orders = table
+    txnlog.txn_compact(spark, d, num_files=4, cluster_by=["o_orderkey"])
+    stats = txnlog.snapshot_stats(d)
+    assert stats["rows"] == orders.count()
+    assert 1 < stats["files"] <= 4
+    # each rewritten file owns a disjoint o_orderkey range (the
+    # property min/max zone maps prune on)
+    ranges = []
+    for f in txnlog._live_files(d):
+        row = spark.read.parquet(f).agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
+def test_change_feed_replays_every_commit(spark, table):
+    """The CDF contract: for every commit v,
+    snapshot(v) == snapshot(v-1) - (delete ∪ update_preimage)
+                               + (insert ∪ update_postimage),
+    row-for-row (exceptAll both directions empty). Exercises all five
+    ops: create/append (synthesized inserts), delete, update, merge,
+    and compaction (empty feed)."""
+    d, orders = table  # v0 create, v1 append
+    txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
+    txnlog.txn_update_where(  # v3
+        spark, d, "o_orderkey % 10 = 2", {"o_orderpriority": "'X-CDF'"}
+    )
+    src = orders.where("o_orderkey IN (4, 14)").unionByName(
+        orders.limit(3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 5_000_000
+        )
+    )
+    txnlog.txn_merge(spark, d, src, ["o_orderkey"])  # v4
+    txnlog.txn_compact(spark, d)  # v5
+    cols = txnlog.read_snapshot(spark, d).columns
+    for v in range(1, 6):
+        prev = txnlog.read_snapshot(spark, d, version=v - 1).select(*cols)
+        cur = txnlog.read_snapshot(spark, d, version=v).select(*cols)
+        feed = txnlog.txn_changes(spark, d, v, v)
+        assert set(feed.select("_commit_version").distinct().toPandas()[
+            "_commit_version"
+        ]) <= {v}
+        minus = feed.where(
+            "_change_type IN ('delete', 'update_preimage')"
+        ).select(*cols)
+        plus = feed.where(
+            "_change_type IN ('insert', 'update_postimage')"
+        ).select(*cols)
+        replayed = prev.exceptAll(minus).unionAll(plus)
+        assert replayed.exceptAll(cur).count() == 0, f"v{v}: extra rows"
+        assert cur.exceptAll(replayed).count() == 0, f"v{v}: missing rows"
+
+
+def test_change_feed_types_per_op(spark, table):
+    d, orders = table
+    txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
+    src = orders.where("o_orderkey IN (4, 14)").unionByName(
+        orders.limit(2).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 5_000_000
+        )
+    )
+    txnlog.txn_merge(spark, d, src, ["o_orderkey"])  # v3
+    n_del = orders.where("o_orderkey % 10 = 1").count()
+    by_type = {
+        (r._commit_version, r._change_type): r.n
+        for r in txnlog.txn_changes(spark, d, 0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type[(0, "insert")] == orders.where("o_orderkey < 750").count()
+    assert by_type[(2, "delete")] == n_del
+    assert by_type[(3, "update_preimage")] == 2
+    assert by_type[(3, "update_postimage")] == 2
+    assert by_type[(3, "insert")] == 2
+
+
+def test_change_feed_maintains_dedup_key_index_incrementally(spark, tmp_path):
+    """The production loop the CDF exists for: a derived dedup key
+    index (md5(canonical text) → live count) follows a documents
+    txn-table through append / delete / update by consuming ONLY the
+    change feed — and must equal a full snapshot recompute at every
+    step."""
+    from eecs_485___mapreduce_spark.functions import canonical_text
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.md5(canonical_text("text")).alias("k")
+    )
+    d = str(tmp_path / "docs_tbl")
+    txnlog.txn_create(docs.where("doc_id < 300"), d, num_files=2)
+
+    def recompute():
+        return (
+            txnlog.read_snapshot(spark, d)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    index = recompute()  # bootstrap at v0
+    txnlog.txn_append(docs.where("doc_id >= 300 AND doc_id < 400"), d)  # v1
+    txnlog.txn_delete_where(spark, d, "doc_id % 7 = 0")  # v2
+    txnlog.txn_update_where(  # v3: rewrites keys of the touched docs
+        spark, d, "doc_id % 11 = 3", {"k": "md5(k)"}
+    )
+    feed = txnlog.txn_changes(spark, d, 1, 3)
+    index = txnlog.apply_changes_to_count_view(index, feed, ["k"])
+    truth = recompute()
+    assert index.exceptAll(truth).count() == 0
+    assert truth.exceptAll(index).count() == 0
+    assert index.count() > 0
+
+
+def test_version_race_loser_gets_conflict(spark, table):
+    d, orders = table
+    # this writer read the table at v1 and intends to commit v2 —
+    # but a competing writer wins version 2 first
+    txnlog._commit(d, {"version": 2, "op": "append", "add": [], "remove": []})
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.txn_append(orders.limit(5), d, expect_version=2)
+    # and create on an existing table refuses outright
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.txn_create(orders.limit(5), d)
+
+
+def test_stream_sink_is_exactly_once_under_batch_replay(spark, table):
+    """foreachBatch is at-least-once; the txnlog sink's batch_id
+    commit dedup must make it exactly-once. Simulate the engine's
+    replay contract directly: deliver batch 0, REPLAY batch 0, then
+    batch 1 — the table must hold each batch's rows exactly once."""
+    d, orders = table
+    d2 = os.path.join(os.path.dirname(d), "stream_tbl")
+    sink = txnlog.txn_stream_sink(d2, num_files=1)
+    b0 = orders.limit(10)
+    b1 = orders.where("o_orderkey >= 10 AND o_orderkey < 25")
+    sink(b0, 0)
+    sink(b0, 0)  # replay after simulated failure
+    sink(b1, 1)
+    snap = txnlog.read_snapshot(spark, d2)
+    assert snap.count() == 25
+    assert [c.get("batch_id") for c in txnlog.txn_history(d2)] == [0, 1]
+
+
+def test_stream_sink_end_to_end_with_restart(spark, tmp_path):
+    """Real Structured Streaming drive: file source → foreachBatch
+    txnlog sink, availableNow drains with a shared checkpoint. Every
+    input row lands exactly once and each micro-batch is one atomic
+    commit (so readers never see a torn batch)."""
+    src = tmp_path / "src"
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, v string")
+            .parquet(str(src))
+            .writeStream.foreachBatch(txnlog.txn_stream_sink(tbl, num_files=1))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    spark.createDataFrame([(3, "c")], "k long, v string").write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()  # restart from checkpoint: only the new file
+    out = sorted(
+        (r.k, r.v) for r in txnlog.read_snapshot(spark, tbl).collect()
+    )
+    assert out == [(1, "a"), (2, "b"), (3, "c")]
+    assert all(
+        c.get("batch_id") is not None for c in txnlog.txn_history(tbl)
+    )
+
+
+def test_orphan_files_from_crashed_writer_are_invisible(spark, table):
+    d, orders = table
+    total = txnlog.read_snapshot(spark, d).count()
+    # a "crashed" writer: data directory written, commit never published
+    orphan_dir = os.path.join(d, txnlog.DATA_DIR, "v00000099-append-deadbeef")
+    orders.limit(10).write.parquet(orphan_dir)
+    assert txnlog.read_snapshot(spark, d).count() == total  # unchanged
+    # vacuum reclaims the orphan parquet files
+    n_orphans = len(glob.glob(os.path.join(orphan_dir, "*.parquet")))
+    assert n_orphans > 0
+    report = txnlog.txn_vacuum(d, retain_versions=10)
+    assert report["deleted"] >= n_orphans
+    assert glob.glob(os.path.join(orphan_dir, "*.parquet")) == []
+    assert txnlog.read_snapshot(spark, d).count() == total  # still unchanged
+
+
+def test_vacuum_retains_exactly_the_requested_time_travel(spark, table):
+    d, orders = table
+    txnlog.txn_compact(spark, d, num_files=1)  # v2 rewrites everything
+    # retain v1..v2: v1's file set (all pre-compaction files) survives
+    txnlog.txn_vacuum(d, retain_versions=2)
+    assert txnlog.read_snapshot(spark, d).count() == orders.count()
+    assert txnlog.read_snapshot(spark, d, version=1).count() == orders.count()
+    # retain only the latest: pre-compaction files are reclaimed, so
+    # the current snapshot survives but v1 time travel is gone
+    report = txnlog.txn_vacuum(d, retain_versions=1)
+    assert report["deleted"] > 0
+    assert txnlog.read_snapshot(spark, d).count() == orders.count()
+    with pytest.raises(Exception):
+        txnlog.read_snapshot(spark, d, version=1).count()
