@@ -2920,3 +2920,115 @@ def did_order_value_building(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_cents_milli"),
     )
     return base.unionByName(did)
+
+
+# --------------------------- fuzzy edit-distance join (q-gram prefix filter)
+
+FUZZY_K = 2  # edit-distance threshold
+FUZZY_Q = 2  # q-gram width
+# a string with <= FUZZY_K*FUZZY_Q q-grams can have ALL of them
+# destroyed by K edits, so the prefix pigeonhole needs this floor:
+FUZZY_MIN_LEN = FUZZY_K * FUZZY_Q + FUZZY_Q  # grams = len-q+1 > k*q
+
+
+@register(
+    "fuzzy_join_part_names",
+    tags=("similarity", "join", "string"),
+    oracle=f"""
+    WITH n AS (SELECT p_name AS name, COUNT(*) AS n_parts
+               FROM part GROUP BY p_name)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM n a JOIN n b
+      ON a.name < b.name AND levenshtein(a.name, b.name) <= {FUZZY_K}
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance <= {k}) self-join over the part-name
+    vocabulary — the entity-resolution primitive ("red widget" vs
+    "red widgets") — via q-gram PREFIX blocking, never all-pairs.
+
+    Algorithm: each name explodes into {q}-grams; grams are ordered
+    rare-first by (frequency, gram) and only each name's first
+    k*q + 1 = {p} prefix grams are indexed — K edits destroy at most
+    K*q grams, so two names within distance K MUST share a prefix
+    gram (pigeonhole). Candidates come from ONE equi-join on the
+    prefix gram; the exact ``levenshtein`` verify runs on candidates
+    only. Names too short for the pigeonhole (< {m} chars — K edits
+    could destroy every gram) fall back to one broadcast-tiny bucket
+    (empty on this corpus; bounded by the short-vocabulary size).
+
+    Scale (100 TB): the name relation is the DISTINCT vocabulary (a
+    GROUP BY of the scan — bounded by brand x noun combinatorics, not
+    row count), candidates are proportional to prefix-gram bucket
+    occupancy (prefix holds the RAREST grams = smallest buckets), and
+    the naive-quadratic oracle certifies the blocking has ZERO false
+    negatives. Same discipline as dedup_prefix_filter_jaccard.
+
+    Reference parity: none (no string-similarity surface);
+    SURVEY.md section 2.B similarity/string family.
+    """.format(k=FUZZY_K, q=FUZZY_Q, p=FUZZY_K * FUZZY_Q + 1, m=FUZZY_MIN_LEN)
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    grams = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(name) - {FUZZY_Q - 1}),"
+                f" i -> substring(name, i, {FUZZY_Q}))"
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_name = Window.partitionBy("name").orderBy("df", "g")
+    pre = (
+        grams.join(freq, "g")
+        .select("name", "g", F.row_number().over(w_name).alias("rn"))
+        .where(F.col("rn") <= FUZZY_K * FUZZY_Q + 1)
+        .select("name", "g")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    short = names.where(F.length("name") < FUZZY_MIN_LEN).select(
+        "name", F.lit(1).alias("k")
+    )
+    cand_short = (
+        short.alias("a")
+        .join(F.broadcast(short.alias("b")), "k")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+    )
+    verified = (
+        cand.unionByName(cand_short)
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") <= FUZZY_K)
+    )
+    na = names.select(
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+    )
+    nb = names.select(
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    return (
+        verified.join(na, "name_a")
+        .join(nb, "name_b")
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -270,6 +270,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "join_cardinality_estimate",
     "listagg_parts_by_brand",
     "negative_pair_mining",
+    "fuzzy_join_part_names",
 )
 
 

@@ -42,3 +42,49 @@ def test_mannwhitney_u_matches_pair_count_definition(spark):
     assert row.u_a_floor == int(u)  # floor of the (possibly .5) U
     want_rb = round(1000 * (2 * u / (len(a) * len(b)) - 1))
     assert row.rank_biserial_milli == want_rb
+
+
+def test_fuzzy_join_blocking_has_zero_false_negatives(spark):
+    """The q-gram prefix blocking must reproduce EXACTLY the naive
+    all-pairs levenshtein <= K self-join (the oracle replays it in
+    DuckDB; this pins the Spark side independently), and its plan must
+    stay cartesian-free (the short-bucket fallback is broadcast-tiny)."""
+    from eecs_485___mapreduce_spark.queries.mining import (
+        FUZZY_K,
+        fuzzy_join_part_names,
+    )
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.plans import assert_no_cartesian
+
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_join_part_names(spark, SF_SMALL).collect()
+    }
+    names = [
+        r.name
+        for r in load_table(spark, SF_SMALL, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i + 1 :]
+        if lev(a, b) <= FUZZY_K
+    }
+    assert got == want and want  # non-empty on this corpus
+    assert_no_cartesian(fuzzy_join_part_names(spark, SF_SMALL))
