@@ -10,4 +10,5 @@ from .catalog import TABLES, load_table, load_tables, register_views  # noqa: F4
 from .formats import read_csv, read_json  # noqa: F401
 from .rrtext import RoundRobinTextDataSource  # noqa: F401
 from .tailtext import TailTextDataSource  # noqa: F401
+from .txnfeed import TxnFeedDataSource  # noqa: F401
 from .text import read_text_dir  # noqa: F401

@@ -1,0 +1,189 @@
+"""Change-data-feed STREAMING DataSource over a txnlog table: a
+Spark 4 Python ``DataSourceStreamReader`` whose offsets ARE commit
+versions.
+
+``txnlog`` tables (txnlog.py) already expose a batch change feed
+(``txn_changes``); THIS source makes the same feed a first-class
+``readStream`` — the Delta-CDF-as-source shape — so incremental
+consumers (derived-index IVM, downstream enrichment) subscribe to
+commits instead of polling versions by hand:
+
+    spark.dataSource.register(TxnFeedDataSource)
+    feed = (spark.readStream.format("txnfeed")
+                 .option("path", table_dir).load())
+
+Offset model: the committed offset is ``{"version": n}`` — the count
+of commits fully emitted. ``latestOffset`` re-reads the commit log
+(file-count-bounded metadata); ``partitions(start, end)`` maps every
+DATA FILE of the new commits to one input partition (create/append
+inserts come straight from the commit's own add-files; delete/update/
+merge read their materialized ``_changes`` files; compaction is
+logically empty and contributes nothing) — so intra-batch parallelism
+equals file count and replaying a batch re-reads the same immutable
+files (offsets pin the slice, which is what makes downstream
+exactly-once sinks work). ``commit`` is a no-op: progress durability
+lives in the checkpoint, like the built-in file source.
+
+Rows carry the table's CURRENT snapshot schema plus ``_change_type``
+and ``_commit_version``; older files missing newly evolved columns
+null-fill them (the mergeSchema read rule). Reads yield Arrow
+RecordBatches, so no per-row Python. Operational caveat (same as any
+CDF consumer): ``txn_vacuum``'s retention window must cover consumer
+lag — vacuuming a version still unread by the stream deletes files
+its offsets reference.
+
+Reference parity: none — this is the continuous-ingest surface the
+reference never had; SURVEY.md section 2.B sources/streaming family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..txnlog import txn_history
+
+CHANGE_COLS = ("_change_type", "_commit_version")
+
+
+class ChangeFilePartition(InputPartition):
+    """One immutable data/changes file of one commit."""
+
+    def __init__(self, path: str, change_type: str | None, version: int):
+        self.path = path
+        # None => the file already carries its own _change_type column
+        self.change_type = change_type
+        self.version = version
+
+
+def _commit_files(commit: dict) -> list[tuple[str, str | None]]:
+    """(path, synthesized change_type or None) for one commit."""
+    import glob
+    import os
+
+    if commit["op"] in ("create", "append"):
+        return [(e["file"], "insert") for e in commit.get("add", [])]
+    changes = commit.get("changes")
+    if not changes:
+        return []
+    return [
+        (p, None)
+        for p in sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    ]
+
+
+class TxnFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("txnfeed requires .option('path', <table_dir>)")
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        # Option startingVersion=N would begin mid-log; default is the
+        # whole history (Delta's startingVersion=0 shape).
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        history = txn_history(self.path)
+        return {"version": history[-1]["version"] + 1 if history else 0}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[ChangeFilePartition]:
+        parts: list[ChangeFilePartition] = []
+        for commit in txn_history(self.path):
+            v = commit["version"]
+            if int(start["version"]) <= v < int(end["version"]):
+                parts.extend(
+                    ChangeFilePartition(p, ct, v)
+                    for p, ct in _commit_files(commit)
+                )
+        # Spark requires a non-empty partition list; a compaction-only
+        # range emits one empty partition.
+        return parts or [ChangeFilePartition("", "insert", int(start["version"]))]
+
+    def read(self, partition: ChangeFilePartition) -> Iterator:
+        if not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        arrays = []
+        for field in self.schema.fields:
+            if field.name == "_change_type":
+                if partition.change_type is None:
+                    arrays.append(table.column("_change_type").combine_chunks())
+                else:
+                    arrays.append(
+                        pa.array([partition.change_type] * n, pa.string())
+                    )
+            elif field.name == "_commit_version":
+                arrays.append(pa.array([partition.version] * n, pa.int64()))
+            elif field.name in table.column_names:
+                arrays.append(table.column(field.name).combine_chunks())
+            else:
+                # schema evolution: older files null-fill new columns
+                arrays.append(pa.nulls(n, _arrow_type(field.dataType)))
+        yield pa.RecordBatch.from_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in arrays],
+            names=[f.name for f in self.schema.fields],
+        )
+
+    def commit(self, end: dict) -> None:
+        return  # durability is the checkpoint's job
+
+
+def _arrow_type(spark_type):
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(spark_type)
+
+
+def _snapshot_schema(table_dir: str) -> StructType:
+    """CURRENT snapshot schema (mergeSchema union over live files'
+    footers — metadata only) + the two change columns."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from ..txnlog import _live_files
+
+    live = _live_files(table_dir)
+    if not live:
+        raise FileNotFoundError(f"no committed data in {table_dir}")
+    fields: dict[str, StructField] = {}
+    for path in live:
+        for f in pq.read_schema(path):
+            if f.name not in fields:
+                fields[f.name] = StructField(
+                    f.name, from_arrow_type(f.type, prefer_timestamp_ntz=False)
+                )
+    return StructType(
+        list(fields.values())
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+
+
+class TxnFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "txnfeed"
+
+    def schema(self) -> StructType:
+        return _snapshot_schema(self.options["path"])
+
+    def streamReader(self, schema: StructType) -> TxnFeedStreamReader:
+        return TxnFeedStreamReader(self.options, schema)

@@ -292,6 +292,97 @@ def test_change_feed_maintains_dedup_key_index_incrementally(spark, tmp_path):
     assert index.count() > 0
 
 
+def test_txnfeed_streaming_source_exactly_once_across_restarts(spark, table, tmp_path):
+    """readStream over the commit log (offsets = versions): one drain
+    emits every change of every commit exactly once; commits landing
+    after the drain are picked up by a restart from the same
+    checkpoint WITHOUT re-emitting; the consumed feed patches an empty
+    state into the current snapshot (the CDF replay rule, now through
+    a real checkpointed stream)."""
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    spark.dataSource.register(TxnFeedDataSource)
+    d, orders = table  # v0 create, v1 append
+    sink = str(tmp_path / "feed_sink")
+    ckpt = str(tmp_path / "feed_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("txnfeed")
+            .option("path", d)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.where("_change_type = 'insert'").count() == orders.count()
+    assert set(
+        r._commit_version
+        for r in got.select("_commit_version").distinct().collect()
+    ) == {0, 1}
+
+    txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
+    txnlog.txn_update_where(  # v3
+        spark, d, "o_orderkey % 10 = 2", {"o_orderpriority": "'X-FEED'"}
+    )
+    drain()  # restart: only v2..v3 are new
+    feed = spark.read.parquet(sink)
+    n_del = orders.where("o_orderkey % 10 = 1").count()
+    n_upd = orders.where("o_orderkey % 10 = 2").count()
+    assert feed.where("_change_type = 'delete'").count() == n_del
+    assert feed.where("_change_type = 'update_preimage'").count() == n_upd
+    assert feed.where("_change_type = 'update_postimage'").count() == n_upd
+    assert feed.where("_change_type = 'insert'").count() == orders.count()
+    # replaying the WHOLE consumed feed from empty state reproduces
+    # the current snapshot row-for-row
+    cols = txnlog.read_snapshot(spark, d).columns
+    plus = feed.where(
+        "_change_type IN ('insert', 'update_postimage')"
+    ).select(*cols)
+    minus = feed.where(
+        "_change_type IN ('delete', 'update_preimage')"
+    ).select(*cols)
+    replayed = plus.exceptAll(minus)
+    cur = txnlog.read_snapshot(spark, d).select(*cols)
+    assert replayed.exceptAll(cur).count() == 0
+    assert cur.exceptAll(replayed).count() == 0
+
+
+def test_txnfeed_null_fills_evolved_columns(spark, table, tmp_path):
+    """After schema evolution, a fresh feed subscription reads the
+    UNION schema: pre-evolution commits null-fill the new column."""
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    spark.dataSource.register(TxnFeedDataSource)
+    d, orders = table
+    evolved = orders.limit(4).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 9_000_000
+    ).withColumn("quality_score", F.lit(0.25))
+    txnlog.txn_append(evolved, d, num_files=1)  # v2 evolves the schema
+    sink = str(tmp_path / "evo_sink")
+    q = (
+        spark.readStream.format("txnfeed")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "evo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert "quality_score" in feed.columns
+    assert feed.where("quality_score IS NULL").count() == orders.count()
+    assert feed.where("quality_score = 0.25").count() == 4
+
+
 def test_version_race_loser_gets_conflict(spark, table):
     d, orders = table
     # this writer read the table at v1 and intends to commit v2 —
