@@ -247,6 +247,12 @@ def txn_delete_where(
     affected files and adds their rewrites atomically."""
     version = _next_version(table_dir)
     live = _live_files(table_dir)
+    if not live:  # emptied table: nothing to delete, no-op commit
+        return _commit(
+            table_dir,
+            {"version": version, "op": "delete", "add": [], "remove": [],
+             "predicate": predicate},
+        )
     snap = spark.read.parquet(*live)
     affected = _file_stats(
         snap.where(F.expr(predicate)),
@@ -300,6 +306,12 @@ def txn_update_where(
     ``txn_delete_where``."""
     version = _next_version(table_dir)
     live = _live_files(table_dir)
+    if not live:  # emptied table: nothing to update, no-op commit
+        return _commit(
+            table_dir,
+            {"version": version, "op": "update", "add": [], "remove": [],
+             "predicate": predicate},
+        )
     snap = spark.read.parquet(*live)
     affected = _file_stats(
         snap.where(F.expr(predicate)),
@@ -380,6 +392,17 @@ def txn_merge(
     version = _next_version(table_dir)
     live = _live_files(table_dir)
     keys = source.select(*key_cols).distinct()
+    if not live:  # emptied table: every key is new, pure insert
+        add = _write_commit_data(source, table_dir, version, "merge", num_files)
+        changes = _write_changes(
+            source.withColumn("_change_type", F.lit("insert")),
+            table_dir, version,
+        )
+        return _commit(
+            table_dir,
+            {"version": version, "op": "merge", "add": add, "remove": [],
+             "key_cols": list(key_cols), "changes": changes},
+        )
     # Tag the file name BELOW the join (Spark's PreReadCheck rejects
     # input_file_name above a multi-source join), then the key
     # SEMI-join + file-distinct yields the affected set.
@@ -454,6 +477,11 @@ def txn_compact(
     whole files on range probes instead of opening everything."""
     version = _next_version(table_dir)
     live = _live_files(table_dir)
+    if not live:  # emptied table: logically already compact
+        return _commit(
+            table_dir,
+            {"version": version, "op": "compact", "add": [], "remove": []},
+        )
     snap = spark.read.parquet(*live)
     if cluster_by:
         snap = snap.repartitionByRange(num_files, *cluster_by).sortWithinPartitions(

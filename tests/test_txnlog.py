@@ -383,6 +383,31 @@ def test_txnfeed_null_fills_evolved_columns(spark, table, tmp_path):
     assert feed.where("quality_score = 0.25").count() == 4
 
 
+def test_dml_on_emptied_table_is_safe(spark, table):
+    """Delete everything, then every op must still behave: delete/
+    update/compact become no-op commits, merge becomes a pure insert,
+    append revives the table."""
+    d, orders = table
+    txnlog.txn_delete_where(spark, d, "TRUE")  # v2 empties the table
+    with pytest.raises(Exception):
+        txnlog.read_snapshot(spark, d)
+    assert txnlog.snapshot_stats(d) == {"files": 0, "rows": 0}
+    for commit in (
+        txnlog.txn_delete_where(spark, d, "o_orderkey > 0"),
+        txnlog.txn_update_where(spark, d, "TRUE", {"o_totalprice": "0.0"}),
+        txnlog.txn_compact(spark, d),
+    ):
+        assert commit["add"] == [] and commit["remove"] == []
+    merged = txnlog.txn_merge(spark, d, orders.limit(5), ["o_orderkey"])
+    assert merged["remove"] == []
+    assert txnlog.read_snapshot(spark, d).count() == 5
+    # and the change feed stayed consistent through the whole history
+    feed = txnlog.txn_changes(spark, d, 0)
+    ins = feed.where("_change_type IN ('insert','update_postimage')").count()
+    dels = feed.where("_change_type IN ('delete','update_preimage')").count()
+    assert ins - dels == 5
+
+
 def test_version_race_loser_gets_conflict(spark, table):
     d, orders = table
     # this writer read the table at v1 and intends to commit v2 —

@@ -1,0 +1,111 @@
+"""Model-based test of the transaction log: random DML sequences
+(append / delete / update / merge / compact) applied both to a real
+txnlog table and to an in-memory Python model must agree after EVERY
+op — and time travel must reproduce every intermediate model state.
+
+This is the strongest ACID evidence the suite carries: the example
+tests in test_txnlog.py pin specific contracts; this one searches the
+op-sequence space for any divergence (lost rows on compaction,
+delete/update predicates leaking across files, merge double-applying
+on the rewrite path, stale live-sets after mixed histories)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F  # noqa: F401  (predicate parity)
+
+from eecs_485___mapreduce_spark import txnlog
+
+SCHEMA = "id long, val long"
+
+
+def _rows(pairs):
+    return sorted(pairs)
+
+
+# an op is a tuple: ("append", [(id, val), ...]) | ("delete", k, r)
+# | ("update", k, r, add) | ("merge", [(id, val), ...]) | ("compact",)
+_batch = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 5)), min_size=1, max_size=6
+).map(lambda b: list({i: v for i, v in b}.items()))  # key-unique
+
+_op = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(
+        st.just("update"), st.integers(2, 5), st.integers(0, 4), st.integers(1, 9)
+    ),
+    st.tuples(st.just("merge"), _batch),
+    st.tuples(st.just("compact")),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    first=_batch,
+    ops=st.lists(_op, min_size=1, max_size=5),
+)
+def test_random_dml_sequences_match_in_memory_model(spark, tmp_path_factory, first, ops):
+    d = str(tmp_path_factory.mktemp("model") / "tbl")
+    model: dict[int, int] = dict(first)
+    txnlog.txn_create(
+        spark.createDataFrame(list(first), SCHEMA), d, num_files=2
+    )
+    history = [dict(model)]  # model state AT each committed version
+
+    def snap(version=None):
+        return _rows(
+            (r.id, r.val)
+            for r in txnlog.read_snapshot(spark, d, version=version).collect()
+        )
+
+    for op in ops:
+        if op[0] == "append":
+            batch = [(i + 100 * len(history), v) for i, v in op[1]]
+            txnlog.txn_append(spark.createDataFrame(batch, SCHEMA), d, num_files=2)
+            model.update(dict(batch))
+        elif op[0] == "delete":
+            _, k, r = op
+            txnlog.txn_delete_where(spark, d, f"id % {k} = {r}", num_files=2)
+            model = {i: v for i, v in model.items() if i % k != r}
+        elif op[0] == "update":
+            _, k, r, add = op
+            txnlog.txn_update_where(
+                spark, d, f"id % {k} = {r}", {"val": f"val + {add}"}, num_files=2
+            )
+            model = {
+                i: (v + add if i % k == r else v) for i, v in model.items()
+            }
+        elif op[0] == "merge":
+            txnlog.txn_merge(
+                spark, d, spark.createDataFrame(list(op[1]), SCHEMA), ["id"],
+                num_files=2,
+            )
+            model.update(dict(op[1]))
+        else:
+            txnlog.txn_compact(spark, d, num_files=1)
+        history.append(dict(model))
+        if model:
+            assert snap() == _rows(model.items()), f"diverged after {op}"
+        else:
+            # a delete can empty the table: no live files, reads refuse
+            with pytest.raises(Exception):
+                snap()
+
+    # time travel reproduces every intermediate state
+    for v, state in enumerate(history):
+        if state:
+            assert snap(version=v) == _rows(state.items()), f"time travel v{v}"
+        else:
+            with pytest.raises(Exception):
+                snap(version=v)
+
+    # log-only stats agree with the final data
+    stats = txnlog.snapshot_stats(d)
+    assert stats["rows"] == len(model)
