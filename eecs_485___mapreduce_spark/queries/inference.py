@@ -1028,3 +1028,138 @@ def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_tot div 1000").cast("bigint").alias("jsd_micro"),
         )
     )
+
+
+# ------------------------------- Theil-Sen robust trend (median of slopes)
+
+
+@register(
+    "theilsen_monthly_revenue",
+    tags=("stats", "window", "agg"),
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    m0 AS (SELECT mi - MIN(mi) OVER () AS x, rev_cents FROM m),
+    sl AS (
+      SELECT CAST(ROUND(1000000.0 * (b.rev_cents - a.rev_cents)
+                        / (b.x - a.x)) AS BIGINT) AS s
+      FROM m0 a JOIN m0 b ON a.x < b.x
+    ),
+    rs AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+                  COUNT(*) OVER () AS n FROM sl),
+    med AS (SELECT CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                               THEN s END) AS BIGINT) AS s2,
+                   MAX(n) AS n_pairs
+            FROM rs),
+    resid AS (
+      SELECT 1000000.0 * m0.rev_cents
+               - (CAST(med.s2 AS DOUBLE) / 2.0) * m0.x AS r
+      FROM m0, med
+    ),
+    rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+                  COUNT(*) OVER () AS n FROM resid)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m0)   AS n_months,
+           (SELECT n_pairs FROM med)                   AS n_pairs,
+           (SELECT s2 FROM med)                        AS slope_micro_x2,
+           CAST(ROUND(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                            THEN r END)) AS BIGINT)    AS icept_micro_x2
+    FROM rr
+    """,
+)
+def theilsen_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes (and the median-residual intercept) — the
+    breakdown-point-29% complement to mining.py's least-squares OLS,
+    immune to the outlier months that pull a mean-based fit.
+
+    Determinism lane: revenue is exact integer cents; each pairwise
+    slope is quantized to integer micro-cents/month BEFORE ranking, so
+    the median selection compares BIGINTs; the only doubles are the
+    final fixed expression tree (sum of the two middle values / 2,
+    residuals against a 0-based month index so every product stays
+    < 2^53 — exactly representable).
+
+    Scale (100 TB): orders collapse to the CALENDAR-bounded month
+    relation first (one partial+final agg); the pairwise self-join and
+    both median windows run over months^2/2 rows (3.2k here, bounded
+    by calendar span squared, independent of row count) — the
+    bounded-relation global-window pattern every temporal statistic in
+    this package uses. Reference parity: none (no stats surface);
+    SURVEY.md section 2.B statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mi")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w_all = Window.partitionBy()
+    m0 = m.select(
+        (F.col("mi") - F.min("mi").over(w_all)).alias("x"), "rev_cents"
+    )
+    a, b = m0.alias("a"), m0.alias("b")
+    sl = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.round(
+            1000000.0
+            * (F.col("b.rev_cents") - F.col("a.rev_cents"))
+            / (F.col("b.x") - F.col("a.x"))
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    rs = sl.select(
+        "s",
+        F.row_number().over(Window.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    med = rs.agg(
+        F.sum(
+            F.when(
+                (F.col("rn") == F.expr("(n + 1) div 2"))
+                | (F.col("rn") == F.expr("(n + 2) div 2")),
+                F.col("s"),
+            )
+        )
+        .cast("bigint")
+        .alias("s2"),
+        F.max("n").cast("bigint").alias("n_pairs"),
+    )
+    resid = m0.crossJoin(F.broadcast(med)).select(
+        (
+            1000000.0 * F.col("rev_cents")
+            - (F.col("s2").cast("double") / 2.0) * F.col("x")
+        ).alias("r"),
+        "n_pairs",
+        "s2",
+    )
+    rr = resid.select(
+        "r",
+        "n_pairs",
+        "s2",
+        F.row_number().over(Window.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return rr.agg(
+        F.max("n").cast("bigint").alias("n_months"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("s2").alias("slope_micro_x2"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.expr("(n + 1) div 2"))
+                    | (F.col("rn") == F.expr("(n + 2) div 2")),
+                    F.col("r"),
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("icept_micro_x2"),
+    )

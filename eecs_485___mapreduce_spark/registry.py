@@ -271,6 +271,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "listagg_parts_by_brand",
     "negative_pair_mining",
     "fuzzy_join_part_names",
+    "theilsen_monthly_revenue",
 )
 
 

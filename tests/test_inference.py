@@ -257,3 +257,35 @@ def test_jsd_matches_direct_definition_and_bounds(con):
             jsd_micro,
             jsd * 1e6,
         )
+
+
+def test_theilsen_matches_direct_median_of_slopes(con):
+    """Recompute the Theil-Sen fit directly: exact integer cents per
+    month, all pairwise slopes, true median (statistics.median over
+    the quantized slopes) — the oracle's rank-window selection must
+    agree, and the intercept must be the median residual."""
+    import statistics
+
+    months = con.execute("""
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT),
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    x0 = months[0][0]
+    pts = [(mi - x0, cents) for mi, cents in months]
+    slopes = sorted(
+        round(1_000_000.0 * (y2 - y1) / (x2 - x1))
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    n = len(slopes)
+    s2 = slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]
+    med = s2 / 2.0
+    resid = sorted(1_000_000.0 * y - med * x for x, y in pts)
+    m = len(resid)
+    icept2 = round(resid[(m + 1) // 2 - 1] + resid[(m + 2) // 2 - 1])
+
+    row = con.execute(REGISTRY["theilsen_monthly_revenue"].oracle).fetchone()
+    assert row == (len(pts), n, s2, icept2)
+    # sanity: median selection != mean (the robustness is real)
+    assert med == statistics.median(slopes)
