@@ -896,3 +896,108 @@ def haar_energy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in levels[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ------------------- forecast backtest: MASE of the seasonal naive
+
+
+MASE_PERIOD = 24  # seasonal lag, hours
+
+
+@register(
+    "mase_seasonal_naive_hourly",
+    tags=("stats", "window", "timeseries"),
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 // 3600 AS hi,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    err AS (
+      SELECT t.event_type,
+             CASE WHEN p1.cnt IS NOT NULL THEN abs(t.cnt - p1.cnt) END AS e1,
+             CASE WHEN pm.cnt IS NOT NULL THEN abs(t.cnt - pm.cnt) END AS em
+      FROM c t
+      LEFT JOIN c p1 ON p1.event_type = t.event_type AND p1.hi = t.hi - 1
+      LEFT JOIN c pm ON pm.event_type = t.event_type
+                    AND pm.hi = t.hi - {MASE_PERIOD}
+    )
+    SELECT event_type,
+           CAST(COUNT(e1) AS BIGINT)           AS n_naive,
+           CAST(SUM(e1)   AS BIGINT)           AS abs_err_naive,
+           CAST(COUNT(em) AS BIGINT)           AS n_seasonal,
+           CAST(SUM(em)   AS BIGINT)           AS abs_err_seasonal,
+           CAST(ROUND(1000.0 * SUM(em) * COUNT(e1)
+                      / (COUNT(em) * SUM(e1))) AS BIGINT) AS mase_milli
+    FROM err GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def mase_seasonal_naive_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: MASE (mean absolute scaled error) of the
+    {m}-hour seasonal-naive forecast ``y_hat(t) = y(t-{m})`` per event
+    type, scaled by the one-step naive ``y(t-1)`` — the standard
+    scale-free answer to "does this series have exploitable daily
+    seasonality" (MASE < 1000 milli => the seasonal forecast beats
+    last-hour-carried-forward). Grid gaps are handled by equi-joining
+    each hour to hour-1 and hour-{m} DIRECTLY (never a row-offset lag,
+    which both fabricates comparisons across gaps and misaligns every
+    row after one), so a missing hour removes exactly its own
+    comparisons.
+
+    Determinism lane: counts and absolute errors are exact BIGINTs;
+    the only double is the final cross-multiplied ratio, rounded to
+    integer milli-units.
+
+    Scale (100 TB): events collapse to the CALENDAR-bounded
+    (type x hour) rollup in one partial+final agg; the two lag equi-joins and
+    the MASE census run over that rollup (|types| x span rows), never
+    the raw stream — the same bounded-grain discipline as the
+    ACF/CUSUM family above. Reference parity: none;
+    SURVEY.md section 2.B timeseries family.
+    """.format(m=MASE_PERIOD)
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").alias("hi"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    p1 = c.select(
+        "event_type", (F.col("hi") + 1).alias("hi"), F.col("cnt").alias("c1")
+    )
+    pm = c.select(
+        "event_type",
+        (F.col("hi") + MASE_PERIOD).alias("hi"),
+        F.col("cnt").alias("cm"),
+    )
+    err = (
+        c.join(p1, ["event_type", "hi"], "left")
+        .join(pm, ["event_type", "hi"], "left")
+        .select(
+            "event_type",
+            F.when(
+                F.col("c1").isNotNull(), F.abs(F.col("cnt") - F.col("c1"))
+            ).alias("e1"),
+            F.when(
+                F.col("cm").isNotNull(), F.abs(F.col("cnt") - F.col("cm"))
+            ).alias("em"),
+        )
+    )
+    return (
+        err.groupBy("event_type")
+        .agg(
+            F.count("e1").cast("bigint").alias("n_naive"),
+            F.sum("e1").cast("bigint").alias("abs_err_naive"),
+            F.count("em").cast("bigint").alias("n_seasonal"),
+            F.sum("em").cast("bigint").alias("abs_err_seasonal"),
+            F.round(
+                1000.0
+                * F.sum("em")
+                * F.count("e1")
+                / (F.count("em") * F.sum("e1"))
+            )
+            .cast("bigint")
+            .alias("mase_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -272,6 +272,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "negative_pair_mining",
     "fuzzy_join_part_names",
     "theilsen_monthly_revenue",
+    "mase_seasonal_naive_hourly",
 )
 
 

@@ -185,3 +185,39 @@ def test_haar_energy_satisfies_parseval_identity():
     assert lhs == rhs
     assert [r[0] for r in rows] == list(range(1, 9))
     assert [r[1] for r in rows] == [128, 64, 32, 16, 8, 4, 2, 1]
+
+
+def test_mase_gap_rule_and_formula_hand_computed(spark, tmp_path):
+    """A 30-hour single-type series with one MISSING hour: lags must
+    validate hour distance (the gap contributes no naive comparison
+    and poisons exactly one seasonal comparison), and MASE is the
+    cross-multiplied ratio of mean absolute errors."""
+    from eecs_485___mapreduce_spark.queries.temporal import (
+        MASE_PERIOD,
+        mase_seasonal_naive_hourly,
+    )
+
+    counts = {h: 10 + (h % 3) for h in range(30) if h != 7}  # hour 7 missing
+    rows = []
+    eid = 0
+    for h, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    hours = sorted(counts)
+    e1 = [abs(counts[b] - counts[a])
+          for a, b in zip(hours, hours[1:]) if b - a == 1]
+    em = [abs(counts[h] - counts[h - MASE_PERIOD])
+          for h in hours if h - MASE_PERIOD in counts]
+    row = mase_seasonal_naive_hourly(spark, d).collect()[0]
+    assert (row.n_naive, row.abs_err_naive) == (len(e1), sum(e1))
+    assert (row.n_seasonal, row.abs_err_seasonal) == (len(em), sum(em))
+    assert row.mase_milli == round(
+        1000.0 * sum(em) * len(e1) / (len(em) * sum(e1))
+    )
+    # the gap removed exactly its own comparisons: hours 7->8 and 6->7
+    # (27 one-step, not 28); all 6 seasonal pairs (24..29 vs 0..5)
+    # survive because hour 7's seasonal partner (31) is out of range
+    assert len(e1) == 27 and len(em) == 6
