@@ -1001,3 +1001,134 @@ def mase_seasonal_naive_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------- cross-correlation between event-type series (CCF)
+
+_CCF_LAGS = (-24, -1, 0, 1, 24)
+
+
+@register(
+    "ccf_event_types_hourly",
+    tags=("datetime", "stats", "events", "join"),
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT epoch_us(date_trunc('hour', MIN(ts))) // 3600000000 AS lo,
+                 epoch_us(date_trunc('hour', MAX(ts))) // 3600000000 AS hi
+          FROM events),
+    spine AS (SELECT t.event_type, s.hi
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (SELECT unnest(generate_series(lo, hi)) AS hi FROM b) s),
+    dense AS (
+      SELECT s.event_type, s.hi, COALESCE(h.n, 0) AS x
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hi = s.hi
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, c.event_type AS type_b, l.lag,
+             a.x AS x, c.x AS y
+      FROM dense a
+      JOIN (VALUES {", ".join(f"({lg})" for lg in _CCF_LAGS)}) AS l(lag)
+        ON TRUE
+      JOIN dense c
+        ON c.hi = a.hi + l.lag AND a.event_type < c.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, lag,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, lag, n_pairs,
+           ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0),
+                 6) AS ccf
+    FROM m ORDER BY type_a, type_b, lag
+    """,
+)
+def ccf_event_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every PAIR of event-type
+    hourly series at lags {lags} — does one behavior lead another
+    (views at hour t vs purchases at t+1), the pairwise companion to
+    the per-series ACF above. ccf(a, b, L) = Pearson r of
+    (x_a(t), x_b(t+L)) over the DENSE hourly grid (missing hours are
+    true zeros, exactly the ACF densification rule).
+
+    Determinism lane: identical to ACF — exact BIGINT moment sums,
+    then one fixed double expression rounded at 6 dp; NULLIF guards
+    constant series.
+
+    Scale (100 TB): the stream collapses once to the calendar-bounded
+    (type x hour) rollup; the lag alignment is an EQUI-join on the
+    hour index (types_a < types_b keeps each unordered pair once,
+    negative lags cover "b leads a"), so the pair relation is
+    |type pairs| x span x |lags| — bounded by calendar and the enum
+    domain, independent of event volume. Reference parity: none;
+    SURVEY.md section 2.B timeseries family.
+    """.format(lags=_CCF_LAGS)
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("hi"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = events.agg(
+        F.expr("unix_timestamp(date_trunc('hour', min(ts))) div 3600").alias("lo"),
+        F.expr("unix_timestamp(date_trunc('hour', max(ts))) div 3600").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hi")
+    )
+    types = events.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(hourly, ["event_type", "hi"], "left")
+        .select("event_type", "hi", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(lg) for lg in _CCF_LAGS])).alias("lag")
+    )
+    a = dense.alias("a").crossJoin(F.broadcast(lags))
+    c = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("x").alias("y"),
+    )
+    pairs = a.join(
+        c,
+        (F.col("hi_b") == F.col("a.hi") + F.col("lag"))
+        & (F.col("a.event_type") < F.col("type_b")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        "type_b",
+        "lag",
+        F.col("a.x").alias("x"),
+        "y",
+    )
+    m = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n_pairs"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n_pairs",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ccf"),
+    ).orderBy("type_a", "type_b", "lag")

@@ -273,6 +273,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "fuzzy_join_part_names",
     "theilsen_monthly_revenue",
     "mase_seasonal_naive_hourly",
+    "ccf_event_types_hourly",
 )
 
 

@@ -188,10 +188,10 @@ def test_haar_energy_satisfies_parseval_identity():
 
 
 def test_mase_gap_rule_and_formula_hand_computed(spark, tmp_path):
-    """A 30-hour single-type series with one MISSING hour: lags must
-    validate hour distance (the gap contributes no naive comparison
-    and poisons exactly one seasonal comparison), and MASE is the
-    cross-multiplied ratio of mean absolute errors."""
+    """A 30-hour single-type series with one MISSING hour: the lag
+    equi-joins must drop exactly the gap's own comparisons (hours 6->7
+    and 7->8), and MASE is the cross-multiplied ratio of mean absolute
+    errors."""
     from eecs_485___mapreduce_spark.queries.temporal import (
         MASE_PERIOD,
         mase_seasonal_naive_hourly,
@@ -221,3 +221,31 @@ def test_mase_gap_rule_and_formula_hand_computed(spark, tmp_path):
     # (27 one-step, not 28); all 6 seasonal pairs (24..29 vs 0..5)
     # survive because hour 7's seasonal partner (31) is out of range
     assert len(e1) == 27 and len(em) == 6
+
+
+def test_ccf_detects_a_known_shift_and_stays_equijoin(spark, tmp_path):
+    """Type 'bb' is type 'aa' delayed by exactly one hour: the CCF must
+    be 1.0 at lag +1 ('aa' leads 'bb') and below 1 at lag 0 — and the
+    lag alignment must plan as an equi-join (no cartesian)."""
+    from eecs_485___mapreduce_spark.plans import assert_no_cartesian
+    from eecs_485___mapreduce_spark.queries.temporal import (
+        ccf_event_types_hourly,
+    )
+
+    base = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]  # non-constant pattern
+    rows, eid = [], 0
+    for h, n in enumerate(base):
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                         1, "aa", 1.0, "{}"))
+            eid += 1
+        for _ in range(n):  # same pattern, one hour later
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h + 1),
+                         1, "bb", 1.0, "{}"))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = ccf_event_types_hourly(spark, d)
+    got = {r.lag: r.ccf for r in out.collect()}
+    assert got[1] == 1.0  # aa(t) == bb(t+1) exactly
+    assert got[0] < 1.0
+    assert_no_cartesian(out)
