@@ -1163,3 +1163,149 @@ def theilsen_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("icept_micro_x2"),
     )
+
+
+# --------------------- Kaplan-Meier survival of inter-order gaps
+
+
+@register(
+    "kaplan_meier_reorder_gaps",
+    tags=("stats", "window", "datetime"),
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders
+    ),
+    mx AS (SELECT MAX(day) AS horizon FROM d),
+    seq AS (
+      SELECT o_custkey, day,
+             LEAD(day) OVER (PARTITION BY o_custkey ORDER BY day, o_custkey)
+                 AS nxt
+      FROM (SELECT DISTINCT o_custkey, day FROM d)
+    ),
+    dur AS (
+      SELECT CASE WHEN nxt IS NULL THEN (SELECT horizon FROM mx) - day
+                  ELSE nxt - day END AS gap_days,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+      FROM seq
+    ),
+    census AS (
+      SELECT gap_days,
+             CAST(SUM(ev) AS BIGINT)     AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM dur GROUP BY gap_days
+    ),
+    risk AS (
+      SELECT gap_days, n_events, n_censored,
+             CAST(SUM(n_events + n_censored)
+                  OVER (ORDER BY gap_days DESC) AS BIGINT) AS n_risk
+      FROM census
+    ),
+    terms AS (
+      SELECT gap_days, n_events, n_censored, n_risk,
+             CASE WHEN n_events < n_risk
+                  THEN CAST(ROUND(1000000 * ln(1.0 - CAST(n_events AS DOUBLE)
+                                                     / n_risk)) AS BIGINT)
+             END AS t_micro,
+             CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+      FROM risk WHERE n_events > 0
+    )
+    SELECT gap_days, n_risk, n_events, n_censored,
+           CASE WHEN SUM(dead) OVER w > 0 THEN 0
+                ELSE CAST(ROUND(1000000 * exp(CAST(SUM(t_micro) OVER w
+                                                   AS DOUBLE) / 1000000))
+                          AS BIGINT)
+           END AS surv_micro
+    FROM terms
+    WINDOW w AS (ORDER BY gap_days ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY gap_days
+    """,
+)
+def kaplan_meier_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of the customer REORDER gap: how
+    long until a customer orders again, with each customer's final gap
+    (last order -> dataset horizon) right-CENSORED rather than
+    dropped — the churn/retention estimator naive gap averages get
+    wrong. S(t) = prod over event times <= t of (1 - d_i / n_i), with
+    n_i the at-risk count (gaps, censored included, of length >= t_i).
+
+    Determinism lane: risk/event counts are exact BIGINTs (the risk
+    set is a DESCENDING cumulative sum over the gap census, never a
+    per-gap rank); each factor's log is quantized to integer
+    MICRO-nats before the cumulative sum, so the product is one
+    deterministic exp over an exact integer; a d_i = n_i terminal
+    event pins survival to exactly 0 past it.
+
+    Scale (100 TB): orders collapse to per-customer ordered days (one
+    shuffle on the customer key), gaps to a census keyed by gap LENGTH
+    (bounded by the calendar span in days); every window runs over
+    that bounded census. Reference parity: none;
+    SURVEY.md section 2.B statistics family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_custkey", F.expr("unix_timestamp(o_orderdate) div 86400").alias("day")
+    ).distinct()
+    mx = d.agg(F.max("day").alias("horizon"))
+    w_cust = Window.partitionBy("o_custkey").orderBy("day", "o_custkey")
+    seq = d.select(
+        "o_custkey", "day", F.lead("day").over(w_cust).alias("nxt")
+    )
+    dur = seq.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("nxt").isNull(), F.col("horizon") - F.col("day"))
+        .otherwise(F.col("nxt") - F.col("day"))
+        .alias("gap_days"),
+        F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+    )
+    census = dur.groupBy("gap_days").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.col("gap_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = census.select(
+        "gap_days",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w_desc)
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    terms = risk.where(F.col("n_events") > 0).select(
+        "gap_days",
+        "n_events",
+        "n_censored",
+        "n_risk",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.round(
+                1000000
+                * F.log(
+                    1.0 - F.col("n_events").cast("double") / F.col("n_risk")
+                )
+            ).cast("bigint"),
+        ).alias("t_micro"),
+        F.when(F.col("n_events") >= F.col("n_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("dead"),
+    )
+    w_asc = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return terms.select(
+        "gap_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.sum("dead").over(w_asc) > 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.round(
+                1000000
+                * F.exp(F.sum("t_micro").over(w_asc).cast("double") / 1000000)
+            ).cast("bigint")
+        )
+        .alias("surv_micro"),
+    ).orderBy("gap_days")

@@ -274,6 +274,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "theilsen_monthly_revenue",
     "mase_seasonal_naive_hourly",
     "ccf_event_types_hourly",
+    "kaplan_meier_reorder_gaps",
 )
 
 

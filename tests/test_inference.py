@@ -289,3 +289,37 @@ def test_theilsen_matches_direct_median_of_slopes(con):
     assert row == (len(pts), n, s2, icept2)
     # sanity: median selection != mean (the robustness is real)
     assert med == statistics.median(slopes)
+
+
+def test_kaplan_meier_matches_textbook_product(con):
+    """Recompute KM directly: per-customer sorted order days, gaps with
+    the last one censored at the horizon, then the sequential product
+    S(t) = prod(1 - d_i/n_i). The oracle's risk sets and event counts
+    must be exact; survival may differ only by the documented micro-nat
+    quantization (< 1e-3 relative)."""
+    rows = con.execute("""
+        SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    by_cust: dict[int, list[int]] = {}
+    for c, day in rows:
+        by_cust.setdefault(c, []).append(day)
+    horizon = max(d for days in by_cust.values() for d in days)
+    durs = []  # (gap, event)
+    for days in by_cust.values():
+        for a, b in zip(days, days[1:]):
+            durs.append((b - a, 1))
+        durs.append((horizon - days[-1], 0))
+
+    got = con.execute(REGISTRY["kaplan_meier_reorder_gaps"].oracle).fetchall()
+    s = 1.0
+    prev = 1 << 62
+    for gap, n_risk, n_events, n_censored, surv_micro in got:
+        assert n_risk == sum(1 for g, _ in durs if g >= gap)
+        assert n_events == sum(1 for g, e in durs if g == gap and e == 1)
+        assert n_censored == sum(1 for g, e in durs if g == gap and e == 0)
+        s *= 1.0 - n_events / n_risk
+        assert abs(surv_micro / 1e6 - s) < 1e-3
+        assert surv_micro <= prev  # survival never increases
+        prev = surv_micro
+    assert got[0][0] >= 0 and len(got) > 50
