@@ -1270,3 +1270,175 @@ def negative_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "neg_rank")
     )
+
+
+# -------------- Naive Bayes source classifier (train -> confusion)
+
+_NB_SPLIT = 90  # curation.SPLIT_TRAIN_PCT: same md5 split key
+
+
+@register(
+    "naive_bayes_source_confusion",
+    tags=("stats", "join", "text", "pipeline"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS} AS tk,
+             {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+      FROM documents
+    ),
+    train_tok AS (SELECT source, unnest(tk) AS term FROM d
+                  WHERE h < {_NB_SPLIT}),
+    ctab AS (SELECT source, term, COUNT(*) AS c FROM train_tok GROUP BY 1, 2),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM ctab),
+    cls AS (
+      SELECT t.source, t.tot, p.n_s, p.n_train, vocab.v,
+             CAST(ROUND(1000 * ln(1.0 / (t.tot + vocab.v))) AS BIGINT)
+                 AS oov_milli,
+             CAST(ROUND(1000 * ln(CAST(p.n_s AS DOUBLE) / p.n_train))
+                  AS BIGINT) AS prior_milli
+      FROM (SELECT source, SUM(c) AS tot FROM ctab GROUP BY 1) t
+      JOIN (SELECT source, COUNT(*) AS n_s,
+                   SUM(COUNT(*)) OVER () AS n_train
+            FROM d WHERE h < {_NB_SPLIT} GROUP BY 1) p USING (source),
+           vocab
+    ),
+    delta AS (SELECT source, term,
+                     CAST(ROUND(1000 * ln(CAST(c + 1 AS DOUBLE))) AS BIGINT)
+                         AS d_milli
+              FROM ctab),
+    test AS (SELECT doc_id, source AS actual, tk,
+                    CAST(len(tk) AS BIGINT) AS t_doc
+             FROM d WHERE h >= {_NB_SPLIT}),
+    dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(tk) AS term FROM test) GROUP BY 1, 2),
+    known AS (
+      SELECT dt.doc_id, delta.source,
+             CAST(SUM(dt.k * delta.d_milli) AS BIGINT) AS known_milli
+      FROM dt JOIN delta ON dt.term = delta.term GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT test.doc_id, test.actual, cls.source,
+             COALESCE(known.known_milli, 0)
+               + test.t_doc * cls.oov_milli + cls.prior_milli AS score
+      FROM test CROSS JOIN cls
+      LEFT JOIN known ON known.doc_id = test.doc_id
+                     AND known.source = cls.source
+    ),
+    pred AS (
+      SELECT doc_id, actual, source AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, source) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def naive_bayes_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier (add-1 smoothing) on
+    the deterministic 90% md5 document split and report the held-out
+    CONFUSION MATRIX of predicted vs actual source — distributed
+    supervised model training as ONE aggregation (the per-class token
+    table IS the model), the real shape of large-scale NB/quality-
+    classifier training.
+
+    Determinism lane: each (class, term) weight collapses to
+    ``round(1000*ln(c+1))`` milli-nats (the lp − oov identity: with
+    add-1 smoothing, a zero-count class differs from a counted one by
+    exactly ln(c+1)), so every document score is an exact BIGINT
+    ``Σ k·Δ + T_doc·oov(s) + prior(s)`` and the argmax compares
+    integers with a class-name tie-break.
+
+    Scale (100 TB): training is one (class, term) shuffle with map-side
+    combine (model size = vocabulary x classes, independent of corpus
+    rows); scoring joins per-doc term COUNTS (not raw tokens) to the
+    model on the term key, and the per-(doc, class) assembly is a
+    broadcast of the |classes|-row stats relation — a 20x linear
+    fan-out of the test DOC relation, never of the token stream.
+    Reference parity: none; SURVEY.md section 2.B training-pipeline
+    family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        tokens("text").alias("tk"),
+        F.pmod(
+            md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            F.lit(100),
+        ).alias("h"),
+    )
+    train = docs.where(F.col("h") < _NB_SPLIT)
+    train_tok = train.select("source", F.explode("tk").alias("term"))
+    ctab = train_tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = ctab.agg(F.countDistinct("term").alias("v"))
+    priors = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    cls = (
+        ctab.groupBy("source")
+        .agg(F.sum("c").alias("tot"))
+        .join(priors, "source")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "source",
+            F.round(1000 * F.log(1.0 / (F.col("tot") + F.col("v"))))
+            .cast("bigint")
+            .alias("oov_milli"),
+            F.round(
+                1000 * F.log(F.col("n_s").cast("double") / F.col("n_train"))
+            )
+            .cast("bigint")
+            .alias("prior_milli"),
+        )
+    )
+    delta = ctab.select(
+        "source",
+        "term",
+        F.round(1000 * F.log((F.col("c") + 1).cast("double")))
+        .cast("bigint")
+        .alias("d_milli"),
+    )
+    test = docs.where(F.col("h") >= _NB_SPLIT).select(
+        "doc_id",
+        F.col("source").alias("actual"),
+        "tk",
+        F.size("tk").cast("bigint").alias("t_doc"),
+    )
+    dt = (
+        test.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    known = (
+        dt.join(delta, "term")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("k") * F.col("d_milli")).cast("bigint").alias("known_milli"))
+    )
+    scored = (
+        test.drop("tk")
+        .crossJoin(F.broadcast(cls))
+        .join(known, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "source",
+            (
+                F.coalesce("known_milli", F.lit(0))
+                + F.col("t_doc") * F.col("oov_milli")
+                + F.col("prior_milli")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "source")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("actual", F.col("source").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

@@ -275,6 +275,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "mase_seasonal_naive_hourly",
     "ccf_event_types_hourly",
     "kaplan_meier_reorder_gaps",
+    "naive_bayes_source_confusion",
 )
 
 

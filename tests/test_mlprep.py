@@ -147,3 +147,33 @@ def test_power_iteration_matches_exact_eigendecomposition(spark):
     assert abs(lam - wvals[-1]) / wvals[-1] < 1e-3
     # sign anchor: the largest-|component| dim is positive
     assert v[int(np.argmax(np.abs(v)))] > 0
+
+
+def test_naive_bayes_learns_a_separable_corpus(spark, tmp_path):
+    """On a corpus whose classes use disjoint vocabularies the
+    held-out confusion matrix must be perfectly diagonal (the
+    oracle-parity run certifies engine equality; this certifies the
+    classifier actually LEARNS). Also pins the md5 split: train and
+    test are disjoint by construction of the same hash rule."""
+    from eecs_485___mapreduce_spark.queries.mlprep import (
+        naive_bayes_source_confusion,
+    )
+
+    words = {
+        "alpha": ["ant", "apple", "arrow"],
+        "beta": ["bee", "bread", "brick"],
+        "gamma": ["goat", "grape", "glass"],
+    }
+    rows = []
+    for i in range(180):
+        src = list(words)[i % 3]
+        ws = words[src]
+        text = " ".join(ws[(i + j) % 3] for j in range(6))
+        rows.append((i, text, "en", src, len(text)))
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = naive_bayes_source_confusion(spark, d).collect()
+    assert sum(r.n_docs for r in out) > 0  # the 10% split is non-empty
+    assert all(r.actual == r.predicted for r in out), out
