@@ -1442,3 +1442,115 @@ def naive_bayes_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+# --------------- batching padding-waste census (random vs sorted)
+
+PAD_BATCH = 8  # sequences per batch
+
+
+@register(
+    "padding_waste_batching",
+    tags=("pipeline", "window", "agg"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             {md5_long_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+                 % {N_SHARDS} AS shard,
+             {md5_long_sql("'order:' || CAST(doc_id AS VARCHAR)")} AS ord
+      FROM documents
+    ),
+    strat AS (
+      SELECT 'random' AS strategy, shard, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                 AS pos
+      FROM d
+      UNION ALL
+      SELECT 'length_sorted', shard, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tok, ord, doc_id)
+      FROM d
+    ),
+    batches AS (
+      SELECT strategy, shard, (pos - 1) // {PAD_BATCH} AS batch,
+             COUNT(*) AS bsz,
+             CAST(SUM(n_tok) AS BIGINT) AS used,
+             CAST(MAX(n_tok) AS BIGINT) AS mx
+      FROM strat GROUP BY 1, 2, 3
+    )
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT)                 AS n_batches,
+           CAST(SUM(used) AS BIGINT)                AS real_tokens,
+           CAST(SUM(bsz * mx - used) AS BIGINT)     AS pad_tokens,
+           CAST(ROUND(1000.0 * SUM(used)
+                      / SUM(bsz * mx)) AS BIGINT)   AS utilization_milli
+    FROM batches GROUP BY strategy ORDER BY strategy
+    """,
+)
+def padding_waste_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste census of fixed-size-{b} training batches under
+    the two standard batching orders: the deterministic md5 shuffle
+    (``random``) vs length-sorted within each shard
+    (``length_sorted`` — the bucketing trick every large-scale trainer
+    uses). Each batch pads to its longest member; utilization = real
+    tokens / padded slots. The delta between the two rows IS the
+    measured value of length bucketing on this corpus.
+
+    Scale (100 TB): both orders derive from the SAME deterministic
+    shard/order keys as shuffle_shard_assignment (pure md5 of doc_id —
+    reproducible across re-runs/backfills); every window is
+    PARTITIONED BY shard (never a global sort), so per-partition state
+    is corpus/{ns} and the census is one partial+final agg on
+    (strategy, shard, batch). Reference parity: none;
+    SURVEY.md section 2.B training-pipeline family.
+    """.format(b=PAD_BATCH, ns=N_SHARDS)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        F.pmod(
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(N_SHARDS),
+        ).alias("shard"),
+        md5_long(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
+            "ord"
+        ),
+    )
+    w_rand = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    w_sort = Window.partitionBy("shard").orderBy("n_tok", "ord", "doc_id")
+    strat = docs.select(
+        F.lit("random").alias("strategy"),
+        "shard",
+        "n_tok",
+        F.row_number().over(w_rand).alias("pos"),
+    ).unionByName(
+        docs.select(
+            F.lit("length_sorted").alias("strategy"),
+            "shard",
+            "n_tok",
+            F.row_number().over(w_sort).alias("pos"),
+        )
+    )
+    batches = strat.groupBy(
+        "strategy", "shard", ((F.col("pos") - 1) / PAD_BATCH).cast("long").alias("batch")
+    ).agg(
+        F.count(F.lit(1)).alias("bsz"),
+        F.sum("n_tok").cast("bigint").alias("used"),
+        F.max("n_tok").cast("bigint").alias("mx"),
+    )
+    return (
+        batches.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("used").cast("bigint").alias("real_tokens"),
+            F.sum(F.col("bsz") * F.col("mx") - F.col("used"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                1000.0 * F.sum("used") / F.sum(F.col("bsz") * F.col("mx"))
+            )
+            .cast("bigint")
+            .alias("utilization_milli"),
+        )
+        .orderBy("strategy")
+    )

@@ -276,6 +276,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "ccf_event_types_hourly",
     "kaplan_meier_reorder_gaps",
     "naive_bayes_source_confusion",
+    "padding_waste_batching",
 )
 
 

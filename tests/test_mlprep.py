@@ -177,3 +177,22 @@ def test_naive_bayes_learns_a_separable_corpus(spark, tmp_path):
     out = naive_bayes_source_confusion(spark, d).collect()
     assert sum(r.n_docs for r in out) > 0  # the 10% split is non-empty
     assert all(r.actual == r.predicted for r in out), out
+
+
+def test_padding_waste_invariants(spark):
+    """Both strategies batch the SAME corpus, so real token mass and
+    batch count must be identical; length-sorting can only reduce
+    padding (equal at worst); utilization is the exact cross-ratio."""
+    from eecs_485___mapreduce_spark.queries.mlprep import (
+        padding_waste_batching,
+    )
+
+    rows = {r.strategy: r for r in padding_waste_batching(spark, SF_SMALL).collect()}
+    rnd, srt = rows["random"], rows["length_sorted"]
+    assert rnd.real_tokens == srt.real_tokens
+    assert rnd.n_batches == srt.n_batches
+    assert srt.pad_tokens <= rnd.pad_tokens
+    for r in (rnd, srt):
+        assert r.utilization_milli == round(
+            1000.0 * r.real_tokens / (r.real_tokens + r.pad_tokens)
+        )
