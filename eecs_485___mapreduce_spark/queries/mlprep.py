@@ -1554,3 +1554,82 @@ def padding_waste_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# ---------- aggregate-view IVM with retractions (insert + DELETE)
+
+_IVM_R_INS = md5_long_sql("'ivmins:' || CAST(o_orderkey AS VARCHAR)") + " % 20 = 0"
+_IVM_R_DEL = md5_long_sql("'ivmdel:' || CAST(o_orderkey AS VARCHAR)") + " % 20 = 0"
+
+
+@register(
+    "ivm_agg_retraction_daily",
+    tags=("agg", "pipeline", "datetime"),
+    oracle=f"""
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE ({_IVM_R_INS})
+       OR NOT ({_IVM_R_DEL})
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ivm_agg_retraction_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-view maintenance WITH RETRACTIONS: the stored daily
+    view (base = everything outside the insert batch) absorbs an
+    insert delta at weight +1 and a DELETE delta at weight −1 through
+    one weighted re-aggregation; days whose count reaches zero drop
+    out. The DuckDB oracle computes the final state DIRECTLY (filter,
+    no delta algebra), so a green driver row certifies the retraction
+    rule — the half of IVM the append-only merge
+    (events_incremental_hourly_merge) doesn't cover, and the batch
+    form of the txnlog change-feed count-view rule
+    (txnlog.apply_changes_to_count_view).
+
+    Scale (100 TB): each maintenance cycle aggregates ONLY the arriving
+    insert/delete batches (pushed-down predicate scans here, standing
+    in for the change feed) and merges |days|-sized partials — never a
+    history rescan. COUNT and SUM(cents) are algebraic: merge =
+    component-wise signed sum, exact in BIGINT.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.pmod(
+                md5_long(F.concat(F.lit("ivmins:"), F.col("o_orderkey").cast("string"))),
+                F.lit(20),
+            )
+            == 0
+        ).alias("is_ins"),
+        (
+            F.pmod(
+                md5_long(F.concat(F.lit("ivmdel:"), F.col("o_orderkey").cast("string"))),
+                F.lit(20),
+            )
+            == 0
+        ).alias("is_del"),
+    )
+
+    def agg_w(part, w):
+        return part.groupBy("day").agg(
+            (F.count(F.lit(1)) * w).alias("n_orders"),
+            (F.sum("cents") * w).alias("cents"),
+        )
+
+    base_view = agg_w(orders.where(~F.col("is_ins")), 1)  # the stored view
+    d_ins = agg_w(orders.where("is_ins"), 1)
+    d_del = agg_w(orders.where(F.col("is_del") & ~F.col("is_ins")), -1)
+    return (
+        base_view.unionByName(d_ins)
+        .unionByName(d_del)
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .where(F.col("n_orders") > 0)
+        .orderBy("day")
+    )

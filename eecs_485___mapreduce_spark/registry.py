@@ -277,6 +277,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "kaplan_meier_reorder_gaps",
     "naive_bayes_source_confusion",
     "padding_waste_batching",
+    "ivm_agg_retraction_daily",
 )
 
 
