@@ -22,6 +22,8 @@ step.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -546,4 +548,130 @@ def ir_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmi_relation(docs, min_count=PMI_MIN_COUNT)
         .orderBy(F.col("pmi_millinats").desc(), "bigram")
         .limit(PMI_TOPK)
+    )
+
+
+# ----------------------- NDCG@k evaluation of the BM25 ranking
+
+NDCG_K = 10
+# discount constants round(1e6 / log2(rank+1)) precomputed once in
+# Python and embedded IDENTICALLY in both engines (the package's
+# shared-constant discipline) — no per-row libm anywhere.
+_NDCG_DISCOUNT = tuple(
+    round(1_000_000 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)
+)
+
+
+def _ndcg_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    disc = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISCOUNT))
+    return f"""
+    WITH q(term) AS (VALUES {terms}),
+    disc(rk, d) AS (VALUES {disc}),
+    rel AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS rel
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) tok
+      JOIN q USING (term) GROUP BY doc_id
+    ),
+    bm25 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_fixed DESC, doc_id)
+                 AS rk
+      FROM ({_bm25_oracle().replace("LIMIT " + str(BM25_TOPK),
+                                     f"LIMIT {NDCG_K}")})
+    ),
+    dcg AS (
+      SELECT CAST(SUM(rel.rel * disc.d) AS BIGINT) AS dcg_units
+      FROM bm25 JOIN rel USING (doc_id) JOIN disc USING (rk)
+    ),
+    ideal AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk, rel
+      FROM rel ORDER BY rel DESC, doc_id LIMIT {NDCG_K}
+    ),
+    idcg AS (
+      SELECT CAST(SUM(ideal.rel * disc.d) AS BIGINT) AS idcg_units
+      FROM ideal JOIN disc USING (rk)
+    )
+    SELECT CAST({NDCG_K} AS BIGINT) AS k,
+           dcg.dcg_units,
+           idcg.idcg_units,
+           CAST(ROUND(1000.0 * dcg.dcg_units / idcg.idcg_units) AS BIGINT)
+               AS ndcg_milli
+    FROM dcg, idcg
+    """
+
+
+@register(
+    "ir_ndcg_bm25_eval",
+    tags=("text", "window", "stats"),
+    oracle=_ndcg_oracle(),
+)
+def ir_ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of the BM25 top-{k} against graded term-coverage
+    relevance (rel = distinct query terms present, 0..{nq}) — the
+    retrieval-quality eval loop: DCG follows BM25's rank order, IDCG
+    re-ranks the WHOLE corpus by relevance (so BM25 is penalized for
+    every relevant doc it leaves outside the top {k}).
+
+    Determinism lane: relevance grades and rank discounts are
+    integers (discounts are {k} shared precomputed constants), so
+    DCG/IDCG are exact BIGINT dot products; the single double is the
+    final ratio rounded to milli.
+
+    Scale (100 TB): relevance touches only docs containing a query
+    term (semi-join on the 3-term broadcast); both rankings are
+    top-{k} TakeOrdered/limit plans, never a global sort
+    materialization; the {k}-row discount relation broadcasts.
+    Reference parity: none; SURVEY.md section 2.B IR family.
+    """.format(k=NDCG_K, nq=len(BM25_QUERY_TERMS))
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string"
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    rel = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("bigint").alias("rel"))
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_NDCG_DISCOUNT)], "rk long, d long"
+    )
+    top = (
+        ir_bm25_topk(spark, sf_dir)
+        .orderBy(F.col("score_fixed").desc(), "doc_id")
+        .limit(NDCG_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_fixed").desc(), "doc_id"))
+            .alias("rk"),
+        )
+    )
+    dcg = (
+        top.join(rel, "doc_id")
+        .join(F.broadcast(disc), "rk")
+        .agg(F.sum(F.col("rel") * F.col("d")).cast("bigint").alias("dcg_units"))
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(NDCG_K)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
+            .alias("rk"),
+        )
+        .join(F.broadcast(disc), "rk")
+        .agg(F.sum(F.col("rel") * F.col("d")).cast("bigint").alias("idcg_units"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            F.lit(NDCG_K).cast("bigint").alias("k"),
+            "dcg_units",
+            "idcg_units",
+            F.round(1000.0 * F.col("dcg_units") / F.col("idcg_units"))
+            .cast("bigint")
+            .alias("ndcg_milli"),
+        )
     )

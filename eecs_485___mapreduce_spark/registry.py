@@ -278,6 +278,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "naive_bayes_source_confusion",
     "padding_waste_batching",
     "ivm_agg_retraction_daily",
+    "ir_ndcg_bm25_eval",
 )
 
 

@@ -80,3 +80,50 @@ def test_pmi_output_respects_min_count(spark):
     assert all(r.c_xy >= 20 for r in rows)
     vals = [r.pmi_millinats for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_ndcg_penalizes_crowded_out_relevant_doc(spark, tmp_path):
+    """Fixture where BM25's top-10 is NOT relevance-ideal: ten short
+    high-tf rel-2 docs crowd out one very long rel-3 doc (length
+    normalization crushes its score). NDCG must (a) drop below 1.0 and
+    (b) equal a pure-Python recompute of DCG/IDCG from the engine's
+    own BM25 ordering and the token sets."""
+    from eecs_485___mapreduce_spark.queries.ir import (
+        _NDCG_DISCOUNT,
+        BM25_QUERY_TERMS,
+        NDCG_K,
+        ir_bm25_topk,
+        ir_ndcg_bm25_eval,
+    )
+
+    rows = []
+    for i in range(10):  # rel-2 crowd: short, saturated tf
+        rows.append((i, "spark scan " * 5, "en", "s", 0))
+    # rel-3 straggler: all three terms once, buried in filler
+    rows.append((100, "spark scan window " + "filler " * 400, "en", "s", 0))
+    for i in range(200, 230):  # background docs, no query terms
+        rows.append((i, "lorem ipsum dolor sit amet", "en", "s", 0))
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    [got] = ir_ndcg_bm25_eval(spark, d).collect()
+    assert got.ndcg_milli < 1000  # the rel-3 doc was crowded out
+
+    rel = {}
+    for doc_id, text, *_ in rows:
+        r = sum(1 for t in BM25_QUERY_TERMS if t in text.split())
+        if r:
+            rel[doc_id] = r
+    order = [
+        r.doc_id
+        for r in ir_bm25_topk(spark, d)
+        .orderBy("score_fixed", ascending=False)
+        .collect()
+    ][:NDCG_K]
+    dcg = sum(rel.get(doc, 0) * d_ for doc, d_ in zip(order, _NDCG_DISCOUNT))
+    ideal = sorted(rel.values(), reverse=True)[:NDCG_K]
+    idcg = sum(r * d_ for r, d_ in zip(ideal, _NDCG_DISCOUNT))
+    assert (got.dcg_units, got.idcg_units) == (dcg, idcg)
+    assert got.ndcg_milli == round(1000.0 * dcg / idcg)
