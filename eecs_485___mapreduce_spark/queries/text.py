@@ -1241,3 +1241,115 @@ def text_compression_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("r").cast("bigint").alias("max_doc_ratio_milli"),
         )
     )
+
+
+# ----------- filter-threshold sweep: stopword ratio as an en-detector
+
+_SWEEP_THRESHOLDS = tuple(range(0, 500, 50))  # milli-ratio cutoffs
+
+
+@register(
+    "threshold_sweep_stopword_en",
+    tags=("text", "stats", "agg"),
+    oracle=f"""
+    WITH t AS (
+      SELECT (lang = 'en') AS is_en,
+             CAST(len(list_filter({_TOKS}, x -> x IN {{stop}})) AS BIGINT)
+                 AS n_stop,
+             CAST(len({_TOKS}) AS BIGINT) AS n
+      FROM documents
+    ),
+    sweep AS (
+      SELECT th.th, t.is_en,
+             (t.n > 0 AND 1000 * t.n_stop >= th.th * t.n) AS pred
+      FROM t, (VALUES {{ths}}) AS th(th)
+    ),
+    cm AS (
+      SELECT th AS threshold_milli,
+             CAST(SUM(CASE WHEN pred AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pred AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pred AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sweep GROUP BY 1
+    )
+    SELECT threshold_milli, tp, fp, fn, tn,
+           CAST(ROUND(1000.0 * tp / NULLIF(tp + fp, 0)) AS BIGINT)
+               AS precision_milli,
+           CAST(ROUND(1000.0 * tp / NULLIF(tp + fn, 0)) AS BIGINT)
+               AS recall_milli,
+           CAST(ROUND(2000.0 * tp / NULLIF(2 * tp + fp + fn, 0)) AS BIGINT)
+               AS f1_milli
+    FROM cm ORDER BY threshold_milli
+    """.replace("{stop}", _STOP_SQL).replace(
+        "{ths}", ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    ),
+)
+def threshold_sweep_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold tuning census: sweep {n} stopword-ratio cutoffs
+    for the "is this English?" gate (the stopword list is English, so
+    the ratio IS an en-score) and report the full confusion +
+    precision/recall/F1 per threshold — the curve a pipeline reads to
+    pick its filter operating point, computed in ONE pass.
+
+    Determinism lane: the predicate is cross-multiplied
+    (``1000*n_stop >= th*n`` — no per-row division anywhere), all
+    confusion cells are exact BIGINTs, and the three rates are final
+    rounded ratios with NULLIF guards.
+
+    Scale (100 TB): per-doc signals are scan-side array expressions;
+    the {n}-row threshold relation fans out BEFORE the aggregation so
+    one partial+final agg keyed by threshold produces the whole curve
+    — never {n} separate corpus passes. Reference parity: none;
+    SURVEY.md section 2.B training-pipeline family.
+    """.format(n=len(_SWEEP_THRESHOLDS))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(toks).cast("bigint").alias("n"),
+    )
+    ths = spark.createDataFrame(
+        [(t_,) for t_ in _SWEEP_THRESHOLDS], "th long"
+    )
+    sweep = t.crossJoin(F.broadcast(ths)).select(
+        "th",
+        "is_en",
+        (
+            (F.col("n") > 0)
+            & (1000 * F.col("n_stop") >= F.col("th") * F.col("n"))
+        ).alias("pred"),
+    )
+    cm = sweep.groupBy(F.col("th").alias("threshold_milli")).agg(
+        F.sum(F.when(F.col("pred") & F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "threshold_milli",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(1000.0 * tp / F.nullif(tp + fp, F.lit(0)))
+        .cast("bigint")
+        .alias("precision_milli"),
+        F.round(1000.0 * tp / F.nullif(tp + fn, F.lit(0)))
+        .cast("bigint")
+        .alias("recall_milli"),
+        F.round(2000.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)))
+        .cast("bigint")
+        .alias("f1_milli"),
+    ).orderBy("threshold_milli")

@@ -279,6 +279,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "padding_waste_batching",
     "ivm_agg_retraction_daily",
     "ir_ndcg_bm25_eval",
+    "threshold_sweep_stopword_en",
 )
 
 

@@ -317,3 +317,31 @@ def test_ncd_verify_flags_planted_dup_and_skips_unrelated(spark, tmp_path):
     assert (1, 2) in got and got[(1, 2)] < 100  # identical pair
     assert (1, 3) in got and (2, 3) in got  # one-word edit
     assert not any(4 in p for p in got), got  # unrelated never flagged
+
+
+def test_threshold_sweep_invariants(spark):
+    """Provable sweep invariants: every row partitions the same corpus
+    (cells sum to n_docs; tp+fn is the constant positive count), raising
+    the cutoff can only shrink the predicted-positive set (tp and fp
+    non-increasing, so recall non-increasing), and F1 is the exact
+    harmonic form of the reported cells."""
+    from eecs_485___mapreduce_spark.queries.text import (
+        threshold_sweep_stopword_en,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = threshold_sweep_stopword_en(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    n_docs = rows[0].tp + rows[0].fp + rows[0].fn + rows[0].tn
+    n_en = rows[0].tp + rows[0].fn
+    prev_tp, prev_fp = rows[0].tp, rows[0].fp
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n_docs
+        assert r.tp + r.fn == n_en
+        assert r.tp <= prev_tp and r.fp <= prev_fp
+        prev_tp, prev_fp = r.tp, r.fp
+        if 2 * r.tp + r.fp + r.fn:
+            assert r.f1_milli == round(
+                2000.0 * r.tp / (2 * r.tp + r.fp + r.fn)
+            )
