@@ -1353,3 +1353,167 @@ def threshold_sweep_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_milli"),
     ).orderBy("threshold_milli")
+
+
+# ------------- Brier score Murphy decomposition over the same bins
+
+
+@register(
+    "brier_decomposition_langid",
+    tags=("stats", "agg", "eval"),
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                       * 100 // length(text)
+             END AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+      FROM documents
+    ),
+    binned AS (
+      SELECT CASE WHEN p >= 100 THEN {_CAL_N_BINS - 1}
+                  ELSE p * {_CAL_N_BINS} // 100 END AS bin, p, o
+      FROM scored
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(o) AS BIGINT) AS so,
+                   CAST(SUM((p - 100 * o) * (p - 100 * o)) AS BIGINT) AS se
+            FROM binned),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(o) AS BIGINT) AS sok,
+             CAST(SUM(p * p) AS BIGINT) AS spp
+      FROM binned GROUP BY 1
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(1000000.0 * (CAST(sp - 100 * sok AS DOUBLE) / nk)
+                   * (CAST(sp - 100 * sok AS DOUBLE) / 10000)
+                   / tot.n) AS BIGINT) AS rel_t,
+        CAST(ROUND(1000000.0 * (CAST(tot.n * sok - nk * tot.so AS DOUBLE)
+                                / tot.n)
+                   * (CAST(tot.n * sok - nk * tot.so AS DOUBLE) / tot.n)
+                   / (nk * CAST(tot.n AS DOUBLE))) AS BIGINT) AS res_t,
+        CAST(ROUND(1000000.0 * (CAST(spp AS DOUBLE)
+                                - CAST(sp AS DOUBLE) * sp / nk)
+                   / (10000.0 * tot.n)) AS BIGINT) AS wbv_t
+      FROM bins, tot
+    )
+    SELECT tot.n AS n_docs,
+           CAST(ROUND(1000000.0 * tot.se / (10000.0 * tot.n)) AS BIGINT)
+               AS bs_micro,
+           CAST(SUM(rel_t) AS BIGINT) AS rel_micro,
+           CAST(SUM(res_t) AS BIGINT) AS res_micro,
+           CAST(SUM(wbv_t) AS BIGINT) AS wbv_micro,
+           CAST(ROUND(1000000.0 * tot.so * (tot.n - tot.so)
+                      / (CAST(tot.n AS DOUBLE) * tot.n)) AS BIGINT)
+               AS unc_micro
+    FROM terms, tot GROUP BY tot.n, tot.se, tot.so
+    """,
+)
+def brier_decomposition_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the ASCII-share
+    language scorer over the SAME 10 calibration bins as
+    calibration_bins_langid: BS = REL − RES + UNC + WBV (reliability −
+    resolution + uncertainty + within-bin variance — the exact
+    identity; the textbook 3-term form holds only for discrete
+    forecasts). REL says "how far are bin means from observed rates",
+    RES "how much do bins separate the base rate", UNC the base-rate
+    entropy, WBV the score scatter the binning hides.
+
+    Determinism lane: every bin moment (n_k, Σp, Σo, Σp², squared
+    error) is an exact BIGINT; each component's per-bin term is ONE
+    fixed double tree over those integers quantized to integer
+    micro-units BEFORE the cross-bin sum (sub-expressions stay under
+    2^53 by dividing early: (A/n_k)·(A/1e4)/N, never A²).
+
+    Scale (100 TB): two aggregations — the global moment row and the
+    10-bin moment relation — then constant-size arithmetic; scoring is
+    the same scan-side regex projection as the calibration census.
+    Reference parity: none; SURVEY.md section 2.B eval/stats family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.when(F.length("text") == 0, 0).otherwise(
+        F.expr(
+            r"length(regexp_replace(text, '[^\\x00-\\x7f]', '')) * 100"
+            " div length(text)"
+        )
+    )
+    binned = docs.select(
+        p.alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("o"),
+    ).select(
+        F.when(F.col("p") >= 100, _CAL_N_BINS - 1)
+        .otherwise(F.expr(f"p * {_CAL_N_BINS} div 100"))
+        .alias("bin"),
+        "p",
+        "o",
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o").cast("bigint").alias("so"),
+        F.sum((F.col("p") - 100 * F.col("o")) * (F.col("p") - 100 * F.col("o")))
+        .cast("bigint")
+        .alias("se"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("p").cast("bigint").alias("sp"),
+        F.sum("o").cast("bigint").alias("sok"),
+        F.sum(F.col("p") * F.col("p")).cast("bigint").alias("spp"),
+    )
+    t = bins.crossJoin(F.broadcast(tot))
+    a_rel = (F.col("sp") - 100 * F.col("sok")).cast("double")
+    a_res = (F.col("n") * F.col("sok") - F.col("nk") * F.col("so")).cast(
+        "double"
+    )
+    terms = t.select(
+        F.round(
+            1000000.0 * (a_rel / F.col("nk")) * (a_rel / 10000) / F.col("n")
+        )
+        .cast("bigint")
+        .alias("rel_t"),
+        F.round(
+            1000000.0
+            * (a_res / F.col("n"))
+            * (a_res / F.col("n"))
+            / (F.col("nk") * F.col("n").cast("double"))
+        )
+        .cast("bigint")
+        .alias("res_t"),
+        F.round(
+            1000000.0
+            * (
+                F.col("spp").cast("double")
+                - F.col("sp").cast("double") * F.col("sp") / F.col("nk")
+            )
+            / (10000.0 * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("wbv_t"),
+        "n",
+        "se",
+        "so",
+    )
+    return terms.groupBy("n", "se", "so").agg(
+        F.sum("rel_t").cast("bigint").alias("rel_micro"),
+        F.sum("res_t").cast("bigint").alias("res_micro"),
+        F.sum("wbv_t").cast("bigint").alias("wbv_micro"),
+    ).select(
+        F.col("n").alias("n_docs"),
+        F.round(1000000.0 * F.col("se") / (10000.0 * F.col("n")))
+        .cast("bigint")
+        .alias("bs_micro"),
+        "rel_micro",
+        "res_micro",
+        "wbv_micro",
+        F.round(
+            1000000.0
+            * F.col("so")
+            * (F.col("n") - F.col("so"))
+            / (F.col("n").cast("double") * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("unc_micro"),
+    )

@@ -280,6 +280,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "ivm_agg_retraction_daily",
     "ir_ndcg_bm25_eval",
     "threshold_sweep_stopword_en",
+    "brier_decomposition_langid",
 )
 
 

@@ -202,3 +202,52 @@ def test_negative_pairs_are_cross_source_and_deterministic(spark):
     # determinism: a second evaluation reproduces the identical pair set
     again = negative_pair_mining(spark, SF_SMALL).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_brier_decomposition_matches_textbook():
+    """Recompute BS, REL, RES, WBV, UNC directly from per-doc
+    (p, o) pairs with the textbook formulas; the oracle's quantized
+    components must match within per-bin rounding (<= 10 micro) and
+    satisfy the exact 4-term identity BS = REL - RES + UNC + WBV."""
+    import duckdb
+
+    import eecs_485___mapreduce_spark.queries.text  # noqa: F401
+    from eecs_485___mapreduce_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    pairs = con.execute("""
+        SELECT CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                         * 100 // length(text) END,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        FROM documents
+    """).fetchall()
+    n = len(pairs)
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for p, o in pairs:
+        bins.setdefault(min(p * 10 // 100, 9), []).append((p, o))
+    obar = sum(o for _, o in pairs) / n
+    bs = sum((p / 100 - o) ** 2 for p, o in pairs) / n
+    rel = res = wbv = 0.0
+    for members in bins.values():
+        nk = len(members)
+        pbar = sum(p for p, _ in members) / nk / 100
+        ok = sum(o for _, o in members) / nk
+        rel += nk * (pbar - ok) ** 2 / n
+        res += nk * (ok - obar) ** 2 / n
+        wbv += sum((p / 100 - pbar) ** 2 for p, _ in members) / n
+    unc = obar * (1 - obar)
+
+    [row] = con.execute(
+        REGISTRY["brier_decomposition_langid"].oracle
+    ).fetchall()
+    got = dict(zip(("n_docs", "bs", "rel", "res", "wbv", "unc"), row))
+    assert got["n_docs"] == n
+    for name, want in (("bs", bs), ("rel", rel), ("res", res),
+                       ("wbv", wbv), ("unc", unc)):
+        assert abs(got[name] - round(want * 1e6)) <= 10, (name, got[name], want)
+    assert abs(bs - (rel - res + unc + wbv)) < 1e-12  # exact identity
