@@ -3032,3 +3032,101 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# -------------- item-item collaborative filtering (co-order cosine)
+
+ITEMCF_K = 5
+
+
+@register(
+    "itemcf_topk_similar_parts",
+    tags=("join", "window", "stats"),
+    oracle=f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    m AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS m
+      FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    pop AS (SELECT l_partkey AS part, COUNT(*) AS n FROM po GROUP BY 1),
+    sym AS (
+      SELECT u AS part, v AS nb, m FROM m
+      UNION ALL
+      SELECT v, u, m FROM m
+    ),
+    scored AS (
+      SELECT sym.part, sym.nb,
+             CAST(ROUND(1000000.0 * sym.m
+                        / sqrt(CAST(p1.n AS DOUBLE) * p2.n)) AS BIGINT)
+                 AS sim_micro
+      FROM sym JOIN pop p1 ON p1.part = sym.part
+               JOIN pop p2 ON p2.part = sym.nb
+    )
+    SELECT part, nb, sim_micro, rk FROM (
+      SELECT part, nb, sim_micro,
+             ROW_NUMBER() OVER (PARTITION BY part
+                                ORDER BY sim_micro DESC, nb) AS rk
+      FROM scored)
+    WHERE rk <= {ITEMCF_K}
+    ORDER BY part, rk
+    """,
+)
+def itemcf_topk_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: the top-{k} most similar
+    parts per part by CO-ORDER COSINE sim(u, v) = m_uv / sqrt(n_u n_v)
+    (m = orders containing both, n = orders containing each) — the
+    classic neighborhood recommender, computed over the SAME persisted
+    co-order pair relation the triangle/BFS/SSSP family shares.
+
+    Determinism lane: m and n are exact BIGINTs; the cosine is one
+    double expression quantized to integer micro-units, so the per-part
+    top-{k} ranks integers with a neighbor-id tie-break.
+
+    Scale (100 TB): the pair stream is generated array-side per order
+    (fan-out bounded by lines-per-order², never a lineitem self-join
+    at scale), collapses once to (u, v, m); symmetrization doubles
+    that bounded relation; the per-part top-{k} plans as a running
+    WindowGroupLimit, never a global sort. Reference parity: none;
+    SURVEY.md section 2.B recommendation/mining family.
+    """.format(k=ITEMCF_K)
+    m = coorder_pair_counts(spark, sf_dir)
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pop = po.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sym = m.select(
+        F.col("u").alias("part"), F.col("v").alias("nb"), "m"
+    ).unionByName(
+        m.select(F.col("v").alias("part"), F.col("u").alias("nb"), "m")
+    )
+    scored = (
+        sym.join(pop, "part")
+        .join(
+            pop.select(F.col("part").alias("nb"), F.col("n").alias("n2")),
+            "nb",
+        )
+        .select(
+            "part",
+            "nb",
+            F.round(
+                1000000.0
+                * F.col("m")
+                / F.sqrt(F.col("n").cast("double") * F.col("n2"))
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("sim_micro").desc(), "nb")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ITEMCF_K)
+        .select("part", "nb", "sim_micro", F.col("rk").cast("int").alias("rk"))
+        .orderBy("part", "rk")
+    )

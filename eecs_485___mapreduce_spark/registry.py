@@ -281,6 +281,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "ir_ndcg_bm25_eval",
     "threshold_sweep_stopword_en",
     "brier_decomposition_langid",
+    "itemcf_topk_similar_parts",
 )
 
 

@@ -88,3 +88,36 @@ def test_fuzzy_join_blocking_has_zero_false_negatives(spark):
     }
     assert got == want and want  # non-empty on this corpus
     assert_no_cartesian(fuzzy_join_part_names(spark, SF_SMALL))
+
+
+def test_itemcf_topk_is_window_group_limit_and_cosine_exact(spark):
+    """The per-part top-k must plan as a running WindowGroupLimit (no
+    global sort) and the similarity must equal the exact cosine
+    recomputed from raw (order, part) incidence."""
+    from collections import Counter, defaultdict
+
+    from eecs_485___mapreduce_spark.queries.mining import (
+        itemcf_topk_similar_parts,
+    )
+
+    out = itemcf_topk_similar_parts(spark, SF_SMALL)
+    assert "WindowGroupLimit" in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    po = {
+        (r.l_orderkey, r.l_partkey)
+        for r in load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    n = Counter(p for _, p in po)
+    orders = defaultdict(set)
+    for o, p in po:
+        orders[p].add(o)
+    for r in rows[:200]:
+        m = len(orders[r.part] & orders[r.nb])
+        assert r.sim_micro == round(1e6 * m / (n[r.part] * n[r.nb]) ** 0.5)
+    # every listed part has <= K neighbors, ranked 1..K
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r.part].append(r.rk)
+    assert all(rks == list(range(1, len(rks) + 1)) for rks in by_part.values())
