@@ -1309,3 +1309,131 @@ def kaplan_meier_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("surv_micro"),
     ).orderBy("gap_days")
+
+
+# ---------------- split-conformal interval for token-count prediction
+
+CONF_ALPHA_PCT = 10  # 90% target coverage
+
+
+@register(
+    "conformal_token_interval",
+    tags=("stats", "text", "agg"),
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(len({_TOKS}) AS BIGINT) AS y,
+             CAST(length(text) AS BIGINT) AS x,
+             {md5_long_sql("'conf:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+                 AS is_calib
+      FROM documents
+    ),
+    fit AS (
+      SELECT CAST(ROUND(1000000.0 * SUM(y) / SUM(x)) AS BIGINT) AS slope_micro
+      FROM d WHERE is_calib
+    ),
+    resid AS (
+      SELECT d.is_calib,
+             abs(d.y - CAST(ROUND(CAST(fit.slope_micro AS DOUBLE) * d.x
+                                  / 1000000.0) AS BIGINT)) AS r
+      FROM d, fit
+    ),
+    calib AS (SELECT r, COUNT(*) AS cnt FROM resid WHERE is_calib GROUP BY r),
+    ranked AS (
+      SELECT r, SUM(cnt) OVER (ORDER BY r) AS cum,
+             SUM(cnt) OVER () AS n_calib
+      FROM calib
+    ),
+    q AS (
+      SELECT MIN(r) AS q_resid, CAST(MAX(n_calib) AS BIGINT) AS n_calib
+      FROM ranked
+      WHERE cum >= CAST(ceil((n_calib + 1) * (100 - {CONF_ALPHA_PCT}) / 100.0)
+                        AS BIGINT)
+    )
+    SELECT q.n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           q.q_resid,
+           CAST(SUM(CASE WHEN resid.r <= q.q_resid THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST(ROUND(1000.0 * SUM(CASE WHEN resid.r <= q.q_resid
+                                        THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS coverage_milli
+    FROM resid, q WHERE NOT resid.is_calib
+    GROUP BY q.n_calib, q.q_resid
+    """,
+)
+def conformal_token_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the token count of a
+    document predicted from its character length: fit one global ratio
+    on the 50% md5 calibration split, take the
+    ceil((n+1)(1−α))-smallest absolute residual as the interval
+    half-width q, and report held-out coverage — the
+    distribution-free finite-sample UQ recipe (marginal coverage
+    ≥ 1−α for exchangeable data), α = {a}%.
+
+    Determinism lane: residuals are exact integers (the only double is
+    the micro-quantized ratio fit); the conformal quantile is a
+    cumulative walk over the residual CENSUS (bounded by the residual
+    value domain, like every doc-length census here) — never a global
+    per-row rank; coverage cells are BIGINTs.
+
+    Scale (100 TB): one scan computes (y, x, split); the fit and the
+    census are partial+final aggs; the quantile walk and the coverage
+    join run over the bounded census + a 1-row broadcast. Reference
+    parity: none; SURVEY.md section 2.B statistics family.
+    """.format(a=CONF_ALPHA_PCT)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).cast("bigint").alias("y"),
+        F.length("text").cast("bigint").alias("x"),
+        (
+            F.pmod(
+                md5_long(
+                    F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(2),
+            )
+            == 0
+        ).alias("is_calib"),
+    )
+    fit = docs.where("is_calib").agg(
+        F.round(1000000.0 * F.sum("y") / F.sum("x"))
+        .cast("bigint")
+        .alias("slope_micro")
+    )
+    resid = docs.crossJoin(F.broadcast(fit)).select(
+        "is_calib",
+        F.abs(
+            F.col("y")
+            - F.round(
+                F.col("slope_micro").cast("double") * F.col("x") / 1000000.0
+            ).cast("bigint")
+        ).alias("r"),
+    )
+    calib = resid.where("is_calib").groupBy("r").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_walk = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = calib.select(
+        "r",
+        F.sum("cnt").over(w_walk).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_calib"),
+    )
+    q = ranked.where(
+        F.col("cum")
+        >= F.ceil(
+            (F.col("n_calib") + 1) * (100 - CONF_ALPHA_PCT) / 100.0
+        ).cast("bigint")
+    ).agg(F.min("r").alias("q_resid"), F.max("n_calib").alias("n_calib"))
+    test = resid.where(~F.col("is_calib")).crossJoin(F.broadcast(q))
+    return test.groupBy("n_calib", "q_resid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("r") <= F.col("q_resid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("covered"),
+        F.round(
+            1000.0
+            * F.sum(F.when(F.col("r") <= F.col("q_resid"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("coverage_milli"),
+    ).select("n_calib", "n_test", "q_resid", "covered", "coverage_milli")

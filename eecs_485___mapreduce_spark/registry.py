@@ -282,6 +282,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "threshold_sweep_stopword_en",
     "brier_decomposition_langid",
     "itemcf_topk_similar_parts",
+    "conformal_token_interval",
 )
 
 

@@ -323,3 +323,39 @@ def test_kaplan_meier_matches_textbook_product(con):
         assert surv_micro <= prev  # survival never increases
         prev = surv_micro
     assert got[0][0] >= 0 and len(got) > 50
+
+
+def test_conformal_quantile_rule_and_coverage(con):
+    """Recompute the split-conformal rule directly: same md5 split,
+    same quantized ratio fit, q = the ceil((n+1)(1-alpha))-smallest
+    calibration residual, coverage counted on the test half. The
+    finite-sample guarantee should also show up on this data
+    (coverage >= 88% for the 90% target)."""
+    import math
+
+    rows = con.execute("""
+        SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    t -> t <> '')) AS BIGINT),
+               CAST(length(text) AS BIGINT),
+               CAST(('0x' || substr(md5('conf:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 2 = 0
+        FROM documents
+    """).fetchall()
+    calib = [(y, x) for y, x, c in rows if c]
+    test = [(y, x) for y, x, c in rows if not c]
+    slope = round(1e6 * sum(y for y, _ in calib) / sum(x for _, x in calib))
+
+    def res(y, x):
+        return abs(y - round(slope * x / 1e6))
+
+    rs = sorted(res(y, x) for y, x in calib)
+    k = math.ceil((len(rs) + 1) * 0.9)
+    q = rs[k - 1]
+    covered = sum(1 for y, x in test if res(y, x) <= q)
+
+    [row] = con.execute(
+        REGISTRY["conformal_token_interval"].oracle
+    ).fetchall()
+    assert row == (len(calib), len(test), q, covered,
+                   round(1000.0 * covered / len(test)))
+    assert covered / len(test) >= 0.88
