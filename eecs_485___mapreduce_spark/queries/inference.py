@@ -1437,3 +1437,138 @@ def conformal_token_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_milli"),
     ).select("n_calib", "n_test", "q_resid", "covered", "coverage_milli")
+
+
+# ------------- Wasserstein-1 (earth mover) distance between sources
+
+
+@register(
+    "wasserstein_doclen_sources",
+    tags=("stats", "window", "join", "eval"),
+    oracle="""
+    WITH vals AS (
+      SELECT source, n_chars AS val, COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS t FROM vals GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    support AS (
+      SELECT DISTINCT source_a, source_b, val FROM (
+        SELECT p.source_a, p.source_b, v.val
+        FROM pairs p JOIN vals v ON v.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, v.val
+        FROM pairs p JOIN vals v ON v.source = p.source_b
+      )
+    ),
+    cum AS (
+      SELECT s.source_a, s.source_b, s.val,
+             SUM(COALESCE(va.cnt, 0)) OVER w AS ca,
+             SUM(COALESCE(vb.cnt, 0)) OVER w AS cb,
+             LEAD(s.val) OVER (PARTITION BY s.source_a, s.source_b
+                               ORDER BY s.val) AS nxt
+      FROM support s
+      LEFT JOIN vals va ON va.source = s.source_a AND va.val = s.val
+      LEFT JOIN vals vb ON vb.source = s.source_b AND vb.val = s.val
+      WINDOW w AS (PARTITION BY s.source_a, s.source_b ORDER BY s.val)
+    )
+    SELECT c.source_a, c.source_b,
+           CAST(ta.t AS BIGINT) AS n_a,
+           CAST(tb.t AS BIGINT) AS n_b,
+           CAST(SUM(ABS(c.ca * tb.t - c.cb * ta.t) * (c.nxt - c.val))
+                * 1000 // (ta.t * tb.t) AS BIGINT) AS w1_milli
+    FROM cum c
+    JOIN tot ta ON ta.source = c.source_a
+    JOIN tot tb ON tb.source = c.source_b
+    WHERE c.nxt IS NOT NULL
+    GROUP BY c.source_a, c.source_b, ta.t, tb.t
+    """,
+)
+def wasserstein_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover) distance between every PAIR of
+    sources' document-length distributions: W1 = ∫|F_a − F_b| dx,
+    the INTEGRAL companion to ks_doclen_sources' max gap — KS flags
+    the worst single point, W1 prices the total probability mass that
+    must move (in characters), which is what a mixture-rebalancing
+    decision actually costs.
+
+    Determinism: entirely integer — the CDF gap at each support step
+    is cross-multiplied (``|ca*Tb − cb*Ta|``), weighted by the exact
+    step width to the next support value, SUMMED in BIGINT, and
+    floor-divided to milli-characters once at the end. No libm, no
+    doubles. Headroom: Σ gap·Δx ≤ Ta·Tb·range — int64 to ~1e5-doc
+    sources at 1e5-char range; past that swap to DECIMAL(38,0).
+
+    Scale (100 TB): identical shape to the KS matrix — (source, value)
+    grain, S² pair fan-out over the census, pair-partitioned cumulative
+    windows with |support|-bounded occupancy. Reference parity: none;
+    SURVEY.md section 2.B eval/stats family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy("source", F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = vals.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("t"))
+    ta = tot.select(F.col("source").alias("source_a"), F.col("t").alias("t_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("t").alias("t_b"))
+    pairs = ta.join(
+        F.broadcast(tb), F.col("source_a") < F.col("source_b")
+    ).select("source_a", "source_b")
+    va = vals.select(
+        F.col("source").alias("source_a"), "val", F.col("cnt").alias("cnt_a")
+    )
+    vb = vals.select(
+        F.col("source").alias("source_b"),
+        F.col("val").alias("val_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    support = (
+        pairs.join(va.drop("cnt_a"), "source_a")
+        .select("source_a", "source_b", "val")
+        .unionAll(
+            pairs.join(vb.drop("cnt_b"), "source_b").select(
+                "source_a", "source_b", F.col("val_b").alias("val")
+            )
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("val")
+    w = wp.rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        support.join(va, ["source_a", "val"], "left")
+        .join(vb.withColumnRenamed("val_b", "val"), ["source_b", "val"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "val",
+            F.sum(F.coalesce("cnt_a", F.lit(0))).over(w).alias("ca"),
+            F.sum(F.coalesce("cnt_b", F.lit(0))).over(w).alias("cb"),
+            F.lead("val").over(wp).alias("nxt"),
+        )
+    )
+    return (
+        cum.where(F.col("nxt").isNotNull())
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "t_a", "t_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("t_b") - F.col("cb") * F.col("t_a"))
+                * (F.col("nxt") - F.col("val"))
+            ).alias("m_scaled")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("t_a").alias("n_a"),
+            F.col("t_b").alias("n_b"),
+            F.expr("m_scaled * 1000 div (t_a * t_b)")
+            .cast("bigint")
+            .alias("w1_milli"),
+        )
+    )

@@ -283,6 +283,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "brier_decomposition_langid",
     "itemcf_topk_similar_parts",
     "conformal_token_interval",
+    "wasserstein_doclen_sources",
 )
 
 

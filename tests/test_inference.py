@@ -359,3 +359,33 @@ def test_conformal_quantile_rule_and_coverage(con):
     assert row == (len(calib), len(test), q, covered,
                    round(1000.0 * covered / len(test)))
     assert covered / len(test) >= 0.88
+
+
+def test_wasserstein_matches_direct_emd(con):
+    """W1 between two sources must equal the direct earth-mover
+    computation (mean absolute difference of sorted quantile
+    functions is equivalent on equal-weight empirical distributions;
+    we recompute via the CDF-integral definition directly)."""
+    rows = con.execute("""
+        SELECT source, n_chars FROM documents
+        WHERE source IN ('src0', 'src1')
+    """).fetchall()
+    a = sorted(v for s, v in rows if s == "src0")
+    b = sorted(v for s, v in rows if s == "src1")
+    support = sorted(set(a) | set(b))
+    m_scaled = 0  # exact: sum |ca*Tb - cb*Ta| * step
+    for x, nxt in zip(support, support[1:]):
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        m_scaled += abs(ca * len(b) - cb * len(a)) * (nxt - x)
+
+    got = {
+        (ra, rb): (na, nb, w)
+        for ra, rb, na, nb, w in con.execute(
+            REGISTRY["wasserstein_doclen_sources"].oracle
+        ).fetchall()
+    }
+    na, nb, w_milli = got[("src0", "src1")]
+    assert (na, nb) == (len(a), len(b))
+    assert w_milli == m_scaled * 1000 // (len(a) * len(b))
+    assert len(got) == 20 * 19 // 2
