@@ -634,3 +634,48 @@ def test_inference_family_plans(spark):
     assert c["bhj"] + c["smj"] >= 1, c["plan"]
     c = _plan_counts(sprt_conversion_hourly(spark, SF_SMALL))
     assert "Exchange hashpartitioning(variant" in c["plan"], c["plan"]
+
+
+def test_session2_family_plans_cartesian_free(spark):
+    """The statistics/eval/recommendation additions must keep the
+    no-cartesian discipline (their only crossJoins are broadcast-tiny
+    scalar/constant relations: fitted ratios, class stats, discount
+    tables, 1-row medians)."""
+    from eecs_485___mapreduce_spark.queries.inference import (
+        conformal_token_interval,
+        kaplan_meier_reorder_gaps,
+        theilsen_monthly_revenue,
+        wasserstein_doclen_sources,
+    )
+    from eecs_485___mapreduce_spark.queries.mining import (
+        itemcf_topk_similar_parts,
+    )
+    from eecs_485___mapreduce_spark.queries.mlprep import (
+        ivm_agg_retraction_daily,
+        naive_bayes_source_confusion,
+        padding_waste_batching,
+    )
+    from eecs_485___mapreduce_spark.queries.temporal import (
+        ccf_event_types_hourly,
+        mase_seasonal_naive_hourly,
+    )
+    from eecs_485___mapreduce_spark.queries.text import (
+        brier_decomposition_langid,
+        threshold_sweep_stopword_en,
+    )
+
+    for q in (
+        theilsen_monthly_revenue,
+        kaplan_meier_reorder_gaps,
+        conformal_token_interval,
+        wasserstein_doclen_sources,
+        itemcf_topk_similar_parts,
+        naive_bayes_source_confusion,
+        padding_waste_batching,
+        ivm_agg_retraction_daily,
+        mase_seasonal_naive_hourly,
+        ccf_event_types_hourly,
+        brier_decomposition_langid,
+        threshold_sweep_stopword_en,
+    ):
+        assert_no_cartesian(q(spark, SF_SMALL))
