@@ -1572,3 +1572,102 @@ def wasserstein_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w1_milli"),
         )
     )
+
+
+# ----------------- exact Spearman rank correlation (census mid-ranks)
+
+
+@register(
+    "spearman_chars_tokens",
+    tags=("stats", "window", "join"),
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(length(text) AS BIGINT) AS x,
+             CAST(len({_TOKS}) AS BIGINT) AS y
+      FROM documents
+    ),
+    cx AS (SELECT x, COUNT(*) AS cnt FROM d GROUP BY x),
+    rx AS (
+      SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2
+      FROM cx
+    ),
+    cy AS (SELECT y, COUNT(*) AS cnt FROM d GROUP BY y),
+    ry AS (
+      SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2
+      FROM cy
+    ),
+    ranked AS (
+      SELECT CAST(rx.r2 AS BIGINT) AS a, CAST(ry.r2 AS BIGINT) AS b
+      FROM d JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM ranked
+    )
+    SELECT n,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 0.0),
+                 6) AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation between document length in
+    characters and in tokens — the monotone-association companion to
+    the Pearson moments elsewhere (robust to the heavy length tails
+    that distort Pearson).
+
+    The trick that makes exact tie-averaged ranks distributed: a
+    row's mid-rank depends only on its VALUE, so ranks come from the
+    bounded value CENSUS (cum-before + (cnt+1)/2, doubled to stay
+    integer) and broadcast back by an equi-join on the value key —
+    never a global per-row ranking. Pearson over the doubled ranks is
+    then exact BIGINT moment sums with one final double expression
+    (the shared ACF/CCF form).
+
+    Scale (100 TB): two value-census aggs (bounded by distinct
+    lengths), two census windows, two value-key joins back to the
+    scan, one moment agg. Reference parity: none;
+    SURVEY.md section 2.B statistics family.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.length("text").cast("bigint").alias("x"),
+        F.size(tokens("text")).cast("bigint").alias("y"),
+    )
+
+    def rank2(col):
+        census = docs.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return census.select(
+            col,
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("bigint")
+            .alias("r2"),
+        )
+
+    ranked = (
+        docs.join(rank2("x").withColumnRenamed("r2", "a"), "x")
+        .join(rank2("y").withColumnRenamed("r2", "b"), "y")
+        .select("a", "b")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    num = (n * F.col("sab") - sa * sb).cast("double")
+    den = F.sqrt((n * F.col("saa") - sa * sa).cast("double")) * F.sqrt(
+        (n * F.col("sbb") - sb * sb).cast("double")
+    )
+    return m.select(
+        "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho")
+    )

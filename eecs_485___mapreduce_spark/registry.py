@@ -284,6 +284,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "itemcf_topk_similar_parts",
     "conformal_token_interval",
     "wasserstein_doclen_sources",
+    "spearman_chars_tokens",
 )
 
 

@@ -389,3 +389,46 @@ def test_wasserstein_matches_direct_emd(con):
     assert (na, nb) == (len(a), len(b))
     assert w_milli == m_scaled * 1000 // (len(a) * len(b))
     assert len(got) == 20 * 19 // 2
+
+
+def test_spearman_matches_scipy_free_definition(con):
+    """Recompute Spearman directly: tie-averaged ranks by sorting, then
+    Pearson over the ranks (pure Python). The census mid-rank form must
+    agree to the reported 6 dp."""
+    pairs = con.execute("""
+        SELECT CAST(length(text) AS BIGINT),
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    t -> t <> '')) AS BIGINT)
+        FROM documents
+    """).fetchall()
+
+    def midranks(vs):
+        order = sorted(range(len(vs)), key=lambda i: vs[i])
+        r = [0.0] * len(vs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vs[order[j]] == vs[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2
+            for k in range(i, j):
+                r[order[k]] = mid
+            i = j
+        return r
+
+    ra = midranks([x for x, _ in pairs])
+    rb = midranks([y for _, y in pairs])
+    n = len(pairs)
+    sa, sb = sum(ra), sum(rb)
+    sab = sum(a * b for a, b in zip(ra, rb))
+    saa = sum(a * a for a in ra)
+    sbb = sum(b * b for b in rb)
+    rho = (n * sab - sa * sb) / (
+        (n * saa - sa * sa) ** 0.5 * (n * sbb - sb * sb) ** 0.5
+    )
+    [(got_n, got_rho)] = con.execute(
+        REGISTRY["spearman_chars_tokens"].oracle
+    ).fetchall()
+    assert got_n == n
+    assert abs(got_rho - rho) < 1e-5
+    assert got_rho > 0.5  # longer docs really do have more tokens
