@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_long_sql, shingles, tokens
+from ..functions import canonical_text, md5_long_sql, shingles, tokens
 from ..registry import register
 from ..sources import load_table
 
@@ -750,4 +750,81 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(cl * cr) AS BIGINT) * 100 div CAST(SUM(cl) AS BIGINT)").alias(
             "amplification_pct"
         ),
+    )
+
+
+# ---------------- gate ablation census (filter Venn attribution)
+
+
+@register(
+    "gate_ablation_census",
+    tags=("pipeline", "text", "agg"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_TOKS} AS toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+      FROM documents
+    ),
+    dup AS (SELECT k, COUNT(*) AS c FROM t GROUP BY k),
+    flags AS (
+      SELECT CASE WHEN len(t.toks) >= 10 AND len(t.toks) <= 1000
+                   AND len(list_distinct(t.toks)) * 5 >= len(t.toks)
+             THEN 1 ELSE 0 END AS passes_quality,
+             CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN dup.c = 1 THEN 1 ELSE 0 END AS is_unique,
+             CAST(len(t.toks) AS BIGINT) AS n_tok
+      FROM t JOIN dup ON dup.k = t.k
+    )
+    SELECT passes_quality, is_en, is_unique,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM flags GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def gate_ablation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-gate ablation: the full 2³ Venn census of the three
+    standard corpus gates — heuristic quality pass (the
+    text_quality_score rule), language (en), and exact-dup uniqueness
+    (md5 of canonical text seen once) — with doc and token mass per
+    cell. This is the attribution table a pipeline owner reads before
+    changing a gate: the (0,1,1) cell is exactly what tightening the
+    quality gate would additionally delete, and cells never
+    double-count the way sequential funnel stage counts do.
+
+    Scale (100 TB): quality/lang flags are scan-side; the dup flag is
+    ONE shuffle on the 128-bit canonical-text key (the dedup_exact
+    key, map-side combined); the census is an 8-row agg. Reference
+    parity: none; SURVEY.md section 2.B training-pipeline family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tok"),
+        F.md5(canonical_text("text")).alias("k"),
+    )
+    dup = t.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    flags = t.join(dup, "k").select(
+        F.when(
+            (F.col("n_tok") >= 10)
+            & (F.col("n_tok") <= 1000)
+            & (F.col("n_uniq_tok") * 5 >= F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.when(F.col("c") == 1, 1).otherwise(0).alias("is_unique"),
+        "n_tok",
+    )
+    return (
+        flags.groupBy("passes_quality", "is_en", "is_unique")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("passes_quality", "is_en", "is_unique")
     )

@@ -285,6 +285,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "conformal_token_interval",
     "wasserstein_doclen_sources",
     "spearman_chars_tokens",
+    "gate_ablation_census",
 )
 
 

@@ -271,3 +271,41 @@ def test_pit_join_matches_every_event_once(spark):
     )
     rows = pit_join_event_states(spark, SF_SMALL).collect()
     assert sum(r.n_events for r in rows) == total
+
+
+def test_gate_ablation_census_partitions_all_eight_cells(spark, tmp_path):
+    """Planted fixture hitting every Venn cell: the census must be a
+    TRUE partition (cells sum to the corpus; each planted doc lands in
+    exactly the predicted cell), unlike sequential funnel counts."""
+    from eecs_485___mapreduce_spark.queries.pipeline import (
+        gate_ablation_census,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog " * 2  # 16 distinct-ish
+    bad = "spam " * 40  # 40 tokens, 1 distinct -> fails 5x uniqueness rule
+    rows = []
+    i = 0
+    for q in (0, 1):
+        for en in (0, 1):
+            for uniq in (0, 1):
+                text = (good if q else bad) + f" marker{q}{en}{uniq}"
+                lang = "en" if en else "fr"
+                rows.append((i, text, lang, "s", len(text)))
+                i += 1
+                if not uniq:  # plant an exact duplicate
+                    rows.append((i, text, lang, "s", len(text)))
+                    i += 1
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r.passes_quality, r.is_en, r.is_unique): r.n_docs
+        for r in gate_ablation_census(spark, d).collect()
+    }
+    assert len(out) == 8
+    assert sum(out.values()) == len(rows)
+    for q in (0, 1):
+        for en in (0, 1):
+            assert out[(q, en, 1)] == 1  # the unique plant
+            assert out[(q, en, 0)] == 2  # the duplicated pair
