@@ -1132,3 +1132,159 @@ def ccf_event_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ccf"),
     ).orderBy("type_a", "type_b", "lag")
+
+
+# -------- partial autocorrelation (Durbin-Levinson, lags 1..3)
+
+
+@register(
+    "pacf_hourly_events",
+    tags=("datetime", "stats", "events", "window"),
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (SELECT t.event_type, s.hr
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                    FROM b) s),
+    dense AS (
+      SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS x
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hr = s.hr
+    ),
+    lagged AS (
+      SELECT event_type, lag, x, y FROM (
+        SELECT event_type, l.lag, x,
+               lead(x, l.lag) OVER (PARTITION BY event_type, l.lag
+                                    ORDER BY hr) AS y
+        FROM dense, (VALUES (1), (2), (3)) AS l(lag)
+      ) WHERE y IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT event_type, lag,
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+                   6) AS r
+      FROM m
+    ),
+    piv AS (
+      SELECT event_type,
+             MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM acf GROUP BY event_type
+    ),
+    lev AS (
+      SELECT event_type, r1, r2, r3,
+             (r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0.0) AS p22
+      FROM piv
+    )
+    SELECT event_type,
+           ROUND(r1, 6) AS pacf1,
+           ROUND(p22, 6) AS pacf2,
+           ROUND((r3 - (r1 - p22 * r1) * r2 - p22 * r1)
+                 / NULLIF((1.0 - r1 * r1) * (1.0 - p22 * p22), 0.0), 6)
+               AS pacf3
+    FROM lev ORDER BY event_type
+    """,
+)
+def pacf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the dense hourly event-count series
+    per type at lags 1-3 via the unrolled Durbin-Levinson recursion —
+    the Box-Jenkins AR-order screen the plain ACF can't give (an AR(1)
+    process has geometric ACF at every lag but PACF that CUTS OFF
+    after lag 1).
+
+    Determinism lane: the three ACF inputs are the package's exact
+    integer moment form ROUNDED AT 6 dp (a quantization barrier), and
+    the recursion on those quantized values is one identical double
+    expression tree per engine — φ22 = (r2−r1²)/(1−r1²), φ33 =
+    (r3 − φ21 r2 − φ22 r1)/((1−r1²)(1−φ22²)) with φ21 = r1(1−φ22).
+
+    Scale (100 TB): identical to the ACF — everything runs over the
+    calendar-bounded dense (type x hour) rollup; the recursion is
+    |types|-row arithmetic. Reference parity: none;
+    SURVEY.md section 2.B timeseries family.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    types = events.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(hourly, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    per_lag = []
+    for lag in (1, 2, 3):
+        w = Window.partitionBy("event_type").orderBy("hr")
+        per_lag.append(
+            dense.select(
+                "event_type",
+                F.lit(lag).alias("lag"),
+                F.col("x"),
+                F.lead("x", lag).over(w).alias("y"),
+            ).filter(F.col("y").isNotNull())
+        )
+    lagged = per_lag[0].unionByName(per_lag[1]).unionByName(per_lag[2])
+    m = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    acf = m.select(
+        "event_type",
+        "lag",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
+    )
+    piv = acf.groupBy("event_type").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / F.nullif(F.lit(1.0) - r1 * r1, F.lit(0.0))
+    lev = piv.select("event_type", "r1", "r2", "r3", p22.alias("p22"))
+    p22c = F.col("p22")
+    return lev.select(
+        "event_type",
+        F.round(r1, 6).alias("pacf1"),
+        F.round(p22c, 6).alias("pacf2"),
+        F.round(
+            (r3 - (r1 - p22c * r1) * r2 - p22c * r1)
+            / F.nullif(
+                (F.lit(1.0) - r1 * r1) * (F.lit(1.0) - p22c * p22c),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("pacf3"),
+    ).orderBy("event_type")

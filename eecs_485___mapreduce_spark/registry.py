@@ -286,6 +286,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "wasserstein_doclen_sources",
     "spearman_chars_tokens",
     "gate_ablation_census",
+    "pacf_hourly_events",
 )
 
 
