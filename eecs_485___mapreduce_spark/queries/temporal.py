@@ -1288,3 +1288,203 @@ def pacf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pacf3"),
     ).orderBy("event_type")
+
+
+# ------------- Hurst exponent (rescaled-range analysis, R/S)
+
+_HURST_SIZES = (8, 16, 32, 64)  # log2 sizes 3..6
+
+
+@register(
+    "hurst_rs_hourly",
+    tags=("datetime", "stats", "events", "window"),
+    oracle=f"""
+    WITH hrs AS (
+      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS eh FROM events
+    ),
+    mn AS (SELECT event_type, MIN(eh) AS lo, MAX(eh) AS hi
+           FROM hrs GROUP BY 1),
+    counts AS (
+      SELECT event_type, eh, COUNT(*) AS n FROM hrs GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type, lo,
+             unnest(generate_series(0, hi - lo)) AS idx
+      FROM mn
+    ),
+    dense AS (
+      SELECT sp.event_type, sp.idx, COALESCE(c.n, 0) AS x
+      FROM spine sp LEFT JOIN counts c
+        ON c.event_type = sp.event_type AND c.eh = sp.lo + sp.idx
+    ),
+    win AS (
+      SELECT d.event_type, s.s, d.idx // s.s AS w,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type, s.s, d.idx // s.s
+                                ORDER BY d.idx) AS j,
+             SUM(d.x) OVER (PARTITION BY d.event_type, s.s, d.idx // s.s
+                            ORDER BY d.idx) AS p,
+             SUM(d.x) OVER (PARTITION BY d.event_type, s.s, d.idx // s.s)
+                 AS total,
+             SUM(d.x * d.x) OVER (PARTITION BY d.event_type, s.s,
+                                  d.idx // s.s) AS sxx,
+             COUNT(*) OVER (PARTITION BY d.event_type, s.s, d.idx // s.s)
+                 AS wn
+      FROM dense d,
+           (VALUES {", ".join(f"({s})" for s in _HURST_SIZES)}) AS s(s)
+    ),
+    wstat AS (
+      SELECT event_type, s, w,
+             CAST(MAX(s * p - j * total) - MIN(s * p - j * total) AS BIGINT)
+                 AS r_scaled,
+             CAST(MAX(s * sxx - total * total) AS BIGINT) AS s2_scaled
+      FROM win WHERE wn = s
+      GROUP BY 1, 2, 3
+    ),
+    wlog AS (
+      SELECT event_type, s,
+             CAST(ROUND(1000000.0 * ln(r_scaled
+                                       / sqrt(CAST(s2_scaled AS DOUBLE)))
+                        / ln(2.0)) AS BIGINT) AS log2rs_micro
+      FROM wstat WHERE s2_scaled > 0 AND r_scaled > 0
+    ),
+    bysize AS (
+      SELECT event_type, s,
+             CAST(ROUND(AVG(CAST(log2rs_micro AS DOUBLE))) AS BIGINT)
+                 AS m_micro
+      FROM wlog GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT event_type,
+             MAX(CASE WHEN s = 8  THEN m_micro END) AS y3,
+             MAX(CASE WHEN s = 16 THEN m_micro END) AS y4,
+             MAX(CASE WHEN s = 32 THEN m_micro END) AS y5,
+             MAX(CASE WHEN s = 64 THEN m_micro END) AS y6
+      FROM bysize GROUP BY 1
+    )
+    SELECT event_type, y3 AS m8_micro, y4 AS m16_micro,
+           y5 AS m32_micro, y6 AS m64_micro,
+           CAST(ROUND((-3.0 * y3 - y4 + y5 + 3.0 * y6) / 10000.0) AS BIGINT)
+               AS hurst_milli
+    FROM piv ORDER BY event_type
+    """,
+)
+def hurst_rs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series per type via
+    classical rescaled-range (R/S) analysis over window sizes
+    {sizes}: H ≈ 0.5 for memoryless arrivals, > 0.5 for long-range
+    persistence (the burstiness diagnostic that decides whether
+    capacity planning can assume Poisson).
+
+    Determinism lane: within each window, the cumulative deviation is
+    kept EXACTLY integer by scaling through the window size
+    (c_j = s·prefix_j − j·total, R_scaled = max−min; s²·var =
+    s·Σx² − (Σx)² likewise), so the only libm is one
+    ln(R_scaled/√S²_scaled) per window, quantized to micro before
+    averaging; the final slope over the four (log2 s, mean) points is
+    the closed-form OLS (−3y₃−y₄+y₅+3y₆)/10 on exact integers.
+
+    Scale (100 TB): the stream collapses once to the calendar-bounded
+    dense grid; the 4-size fan-out multiplies the GRID, not the
+    stream; every window partition is ≤ 64 rows. Reference parity:
+    none; SURVEY.md section 2.B timeseries family.
+    """.format(sizes=_HURST_SIZES)
+    events = load_table(spark, sf_dir, "events")
+    hrs = events.select(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("eh")
+    )
+    mn = hrs.groupBy("event_type").agg(
+        F.min("eh").alias("lo"), F.max("eh").alias("hi")
+    )
+    counts = hrs.groupBy("event_type", "eh").agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        mn.select(
+            "event_type",
+            "lo",
+            F.explode(F.sequence(F.lit(0), F.col("hi") - F.col("lo"))).alias(
+                "idx"
+            ),
+        )
+        .join(
+            counts.select(
+                "event_type", F.col("eh").alias("abs_eh"), "n"
+            ),
+            (F.col("abs_eh") == F.col("lo") + F.col("idx"))
+            & (counts["event_type"] == mn["event_type"]),
+            "left",
+        )
+        .select(
+            mn["event_type"].alias("event_type"),
+            "idx",
+            F.coalesce("n", F.lit(0)).alias("x"),
+        )
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _HURST_SIZES])).alias("s")
+    )
+    fan = dense.crossJoin(F.broadcast(sizes)).withColumn(
+        "w", F.expr("idx div s")
+    )
+    wp = Window.partitionBy("event_type", "s", "w")
+    wo = wp.orderBy("idx")
+    win = fan.select(
+        "event_type",
+        "s",
+        "w",
+        F.row_number().over(wo).alias("j"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        F.sum("x").over(wp).alias("total"),
+        F.sum(F.col("x") * F.col("x")).over(wp).alias("sxx"),
+        F.count(F.lit(1)).over(wp).alias("wn"),
+    ).where(F.col("wn") == F.col("s"))
+    c = F.col("s") * F.col("p") - F.col("j") * F.col("total")
+    wstat = win.groupBy("event_type", "s", "w").agg(
+        (F.max(c) - F.min(c)).cast("bigint").alias("r_scaled"),
+        F.max(F.col("s") * F.col("sxx") - F.col("total") * F.col("total"))
+        .cast("bigint")
+        .alias("s2_scaled"),
+    )
+    wlog = wstat.where(
+        (F.col("s2_scaled") > 0) & (F.col("r_scaled") > 0)
+    ).select(
+        "event_type",
+        "s",
+        F.round(
+            1000000.0
+            * F.log(
+                F.col("r_scaled")
+                / F.sqrt(F.col("s2_scaled").cast("double"))
+            )
+            / F.log(F.lit(2.0))
+        )
+        .cast("bigint")
+        .alias("log2rs_micro"),
+    )
+    bysize = wlog.groupBy("event_type", "s").agg(
+        F.round(F.avg(F.col("log2rs_micro").cast("double")))
+        .cast("bigint")
+        .alias("m_micro")
+    )
+    piv = bysize.groupBy("event_type").agg(
+        F.max(F.when(F.col("s") == 8, F.col("m_micro"))).alias("y3"),
+        F.max(F.when(F.col("s") == 16, F.col("m_micro"))).alias("y4"),
+        F.max(F.when(F.col("s") == 32, F.col("m_micro"))).alias("y5"),
+        F.max(F.when(F.col("s") == 64, F.col("m_micro"))).alias("y6"),
+    )
+    return piv.select(
+        "event_type",
+        F.col("y3").alias("m8_micro"),
+        F.col("y4").alias("m16_micro"),
+        F.col("y5").alias("m32_micro"),
+        F.col("y6").alias("m64_micro"),
+        F.round(
+            (
+                -3.0 * F.col("y3")
+                - F.col("y4")
+                + F.col("y5")
+                + 3.0 * F.col("y6")
+            )
+            / 10000.0
+        )
+        .cast("bigint")
+        .alias("hurst_milli"),
+    ).orderBy("event_type")

@@ -287,6 +287,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "spearman_chars_tokens",
     "gate_ablation_census",
     "pacf_hourly_events",
+    "hurst_rs_hourly",
 )
 
 

@@ -286,3 +286,31 @@ def test_pacf_cuts_off_for_planted_ar1(spark, tmp_path):
     # acf query reports lags 1 and 24; recompute r2, r3 inline via pacf
     # identities instead: pacf1 must equal the lag-1 ACF exactly
     assert row.pacf1 == acf[1]
+
+
+def test_hurst_orders_persistent_above_noise(spark, tmp_path):
+    """A strongly trending (persistent) series must score a higher
+    Hurst exponent than an aperiodic hash-noise series — the ordering
+    R/S analysis exists to detect. Both planted over 128 hours."""
+    import hashlib
+
+    from eecs_485___mapreduce_spark.queries.temporal import hurst_rs_hourly
+
+    def noise(h):
+        return 10 + hashlib.md5(f"h:{h}".encode()).digest()[0] % 9
+
+    rows, eid = [], 0
+    for h in range(128):
+        for _ in range(noise(h)):  # memoryless-ish
+            rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h),
+                         1, "noisy", 1.0, "{}"))
+            eid += 1
+        for _ in range(5 + h // 4):  # monotone trend = maximal persistence
+            rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h),
+                         1, "trendy", 1.0, "{}"))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r.hurst_milli for r in hurst_rs_hourly(spark, d).collect()}
+    assert got["trendy"] > got["noisy"]
+    assert got["trendy"] > 700  # strong persistence
+    assert 300 < got["noisy"] < 750  # near the random-walk band
