@@ -462,6 +462,7 @@ def txn_compact(
     table_dir: str,
     num_files: int = 1,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> dict:
     """OPTIMIZE as a commit: rewrite the whole live set into
     ``num_files`` right-sized files and swap them in atomically.
@@ -471,10 +472,13 @@ def txn_compact(
     simply retry.
 
     ``cluster_by`` range-partitions and sorts the rewrite on those
-    columns (Delta OPTIMIZE ZORDER's 1-D case): each output file then
-    owns a disjoint key range, so zone-map/min-max pruning
-    (sinks.read_manifest_pruned, parquet row-group stats) can skip
-    whole files on range probes instead of opening everything."""
+    columns: each output file then owns a disjoint key range, so
+    zone-map/min-max pruning (sinks.read_manifest_pruned, parquet
+    row-group stats) can skip whole files on range probes instead of
+    opening everything. With ``zorder=True`` and exactly two numeric
+    cluster columns, the rewrite Morton-interleaves them instead
+    (Delta OPTIMIZE ZORDER): every file gets a bounded min-max box on
+    BOTH columns, so predicates on either prune."""
     version = _next_version(table_dir)
     live = _live_files(table_dir)
     if not live:  # emptied table: logically already compact
@@ -483,7 +487,34 @@ def txn_compact(
             {"version": version, "op": "compact", "add": [], "remove": []},
         )
     snap = spark.read.parquet(*live)
-    if cluster_by:
+    if cluster_by and len(cluster_by) == 2 and zorder:
+        # OPTIMIZE ZORDER: Morton-interleave the two min-max-normalized
+        # columns so BOTH get per-file bounds (sinks.write_zorder_parquet
+        # machinery, committed atomically like any other rewrite).
+        from .functions import zorder_key, zorder_norm
+
+        a, b = cluster_by
+        bounds = snap.agg(
+            F.min(a).alias("amin"),
+            F.max(a).alias("amax"),
+            F.min(b).alias("bmin"),
+            F.max(b).alias("bmax"),
+        )
+        snap = (
+            snap.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_z",
+                zorder_key(
+                    zorder_norm(F.col(a), F.col("amin"), F.col("amax")),
+                    zorder_norm(F.col(b), F.col("bmin"), F.col("bmax")),
+                ),
+            )
+            .repartitionByRange(num_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", "amin", "amax", "bmin", "bmax")
+        )
+        add = _write_commit_data(snap, table_dir, version, "compact", None)
+    elif cluster_by:
         snap = snap.repartitionByRange(num_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )

@@ -506,3 +506,44 @@ def test_vacuum_retains_exactly_the_requested_time_travel(spark, table):
     assert txnlog.read_snapshot(spark, d).count() == orders.count()
     with pytest.raises(Exception):
         txnlog.read_snapshot(spark, d, version=1).count()
+
+
+def test_zorder_compact_bounds_both_columns_per_file(spark, table):
+    """OPTIMIZE ZORDER as a commit: after a 2-D clustered compaction,
+    each live file's (o_orderkey, o_custkey) min-max box must span
+    well under the full domain on BOTH columns (the Z property — a
+    1-D sort would leave the second column unbounded), the table is
+    logically unchanged, and time travel still works."""
+    d, orders = table
+    before = txnlog.read_snapshot(spark, d).agg(
+        F.sum("o_orderkey").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    txnlog.txn_compact(
+        spark, d, num_files=8, cluster_by=["o_orderkey", "o_custkey"],
+        zorder=True,
+    )
+    after = txnlog.read_snapshot(spark, d).agg(
+        F.sum("o_orderkey").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (after.s, after.n) == (before.s, before.n)
+    live = txnlog._live_files(d)
+    assert len(live) == 8
+    dom_a = orders.agg(
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("w")
+    ).collect()[0].w
+    dom_b = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("w")
+    ).collect()[0].w
+    spans_a, spans_b = [], []
+    for f in live:
+        r = spark.read.parquet(f).agg(
+            (F.max("o_orderkey") - F.min("o_orderkey")).alias("wa"),
+            (F.max("o_custkey") - F.min("o_custkey")).alias("wb"),
+        ).collect()[0]
+        spans_a.append(r.wa)
+        spans_b.append(r.wb)
+    # balance: the AVERAGE per-file span is well under the domain on
+    # BOTH axes (a 1-D sort gives ~domain on the second axis)
+    assert sum(spans_a) / len(spans_a) < 0.6 * dom_a
+    assert sum(spans_b) / len(spans_b) < 0.6 * dom_b
+    assert txnlog.read_snapshot(spark, d, version=1).count() == orders.count()
