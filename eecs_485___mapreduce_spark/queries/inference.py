@@ -1671,3 +1671,113 @@ def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho")
     )
+
+
+# -------- Benjamini-Hochberg FDR over the pairwise KS drift matrix
+
+FDR_Q_PCT = 5  # target false-discovery rate
+
+
+@register(
+    "fdr_drift_decisions",
+    tags=("stats", "window", "eval"),
+    oracle=f"""
+    WITH ks AS ({{KS}}),
+    p AS (
+      SELECT source_a, source_b,
+             CAST(ROUND(1000000 * LEAST(1.0,
+                 2.0 * exp(-2.0 * (ks_micro / 1000000.0)
+                               * (ks_micro / 1000000.0)
+                               * (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))))
+                  AS BIGINT) AS p_micro
+      FROM ks
+    ),
+    ranked AS (
+      SELECT source_a, source_b, p_micro,
+             ROW_NUMBER() OVER (ORDER BY p_micro, source_a, source_b)
+                 AS rk,
+             COUNT(*) OVER () AS m
+      FROM p
+    ),
+    thresh AS (
+      SELECT COALESCE(MAX(rk), 0) AS k_max FROM ranked
+      WHERE p_micro * m * 100 <= rk * {FDR_Q_PCT} * 1000000
+    )
+    SELECT r.source_a, r.source_b, r.p_micro,
+           CAST(r.rk AS BIGINT) AS rk,
+           CAST(CASE WHEN r.rk <= t.k_max THEN 1 ELSE 0 END AS BIGINT)
+               AS is_drifted
+    FROM ranked r, thresh t
+    ORDER BY r.rk
+    """,
+)
+def fdr_drift_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR decisions over the pairwise KS drift
+    matrix: each pair's asymptotic two-sample KS p-value (one-term
+    ``2·exp(−2·D²·n_eff)``, n_eff = n_a·n_b/(n_a+n_b)) is ranked and
+    the standard step-up rule keeps every pair with
+    p_(k) ≤ k·q/m at q = {q}% — turning 190 drift NUMBERS into
+    multiple-testing-corrected drift DECISIONS (the raw per-pair 5%
+    cutoff would expect ~10 false alarms on a null matrix).
+
+    Determinism lane: the p-value is one fixed double tree over the
+    already-quantized integer ks_micro and exact counts, rounded to
+    micro; the BH comparison is cross-multiplied in integers
+    (``p·m·100 ≤ k·q·1e6``); ties rank by pair name.
+
+    Scale (100 TB): everything downstream of the KS matrix runs on the
+    S²/2-row pair relation (190 rows here — bounded by the source
+    enum, not the corpus); the matrix itself keeps the bounded
+    (source, value) census shape documented at ks_doclen_sources.
+    Reference parity: none; SURVEY.md section 2.B eval/stats family.
+    """.format(q=FDR_Q_PCT)
+    ks = ks_doclen_sources(spark, sf_dir)
+    n_eff = F.col("n_a").cast("double") * F.col("n_b") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    d = F.col("ks_micro") / 1000000.0
+    p = ks.select(
+        "source_a",
+        "source_b",
+        F.round(
+            1000000
+            * F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * d * d * n_eff))
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    w = Window.orderBy("p_micro", "source_a", "source_b")
+    ranked = p.select(
+        "source_a",
+        "source_b",
+        "p_micro",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    thresh = ranked.where(
+        F.col("p_micro") * F.col("m") * 100
+        <= F.col("rk") * FDR_Q_PCT * 1000000
+    ).agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k_max"))
+    return (
+        ranked.crossJoin(F.broadcast(thresh))
+        .select(
+            "source_a",
+            "source_b",
+            "p_micro",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.when(F.col("rk") <= F.col("k_max"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_drifted"),
+        )
+        .orderBy("rk")
+    )
+
+
+# fdr_drift_decisions reuses the ks_doclen_sources oracle verbatim as
+# its KS CTE (one source of truth for the matrix definition).
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["fdr_drift_decisions"].oracle = _REG["fdr_drift_decisions"].oracle.replace(
+    "{KS}", _REG["ks_doclen_sources"].oracle
+)

@@ -288,6 +288,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "gate_ablation_census",
     "pacf_hourly_events",
     "hurst_rs_hourly",
+    "fdr_drift_decisions",
 )
 
 

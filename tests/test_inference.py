@@ -432,3 +432,34 @@ def test_spearman_matches_scipy_free_definition(con):
     assert got_n == n
     assert abs(got_rho - rho) < 1e-5
     assert got_rho > 0.5  # longer docs really do have more tokens
+
+
+def test_fdr_step_up_rule_matches_direct_bh(con):
+    """Recompute BH directly: p-values from the one-term KS
+    approximation, sorted; keep ranks up to max{k: p_(k) <= k*q/m}.
+    The engine's decisions must match set-for-set, and the step-up
+    property must hold (everything below a kept rank is kept)."""
+    import math
+
+    import eecs_485___mapreduce_spark.queries.inference  # noqa: F401
+
+    ks = con.execute(REGISTRY["ks_doclen_sources"].oracle).fetchall()
+    ps = []
+    for sa, sb, na, nb, ks_micro in ks:
+        d = ks_micro / 1e6
+        ne = na * nb / (na + nb)
+        p = round(1e6 * min(1.0, 2.0 * math.exp(-2.0 * d * d * ne)))
+        ps.append((p, sa, sb))
+    ps.sort()
+    m = len(ps)
+    k_max = 0
+    for k, (p, _, _) in enumerate(ps, 1):
+        if p * m * 100 <= k * 5 * 1_000_000:
+            k_max = k
+    want = {(sa, sb) for p, sa, sb in ps[:k_max]}
+
+    rows = con.execute(REGISTRY["fdr_drift_decisions"].oracle).fetchall()
+    got = {(sa, sb) for sa, sb, p, rk, sig in rows if sig}
+    assert got == want
+    ranks_sig = [rk for *_, rk, sig in rows if sig]
+    assert ranks_sig == list(range(1, len(ranks_sig) + 1))  # step-up
