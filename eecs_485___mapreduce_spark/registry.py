@@ -55,89 +55,10 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # round-3 oracle fixes (CAST(SUM(..) AS BIGINT) — DuckDB types
-    # SUM(integer) as HUGEINT, which the driver's hasher canonicalizes
-    # differently than BIGINT; Spark values were already verified
-    # equal). These four were the only red rows in r1 ∪ r2 and MUST be
-    # re-checked this round.
-    "string_part_stats",
-    "q12_delay_priority",
-    "text_pii_audit",
-    "null_semantics_events",
-    # added or changed this round (need a fresh driver row) — extended
-    # as queries land; test_registry_order.py pins every name to a real
-    # registry entry.
-    "kmeans_cell_profile",
-    "rolling_1h_user_value",  # ts epoch now via unix_timestamp (NTZ-safe)
-    # round-3 curation module (queries/curation.py)
-    "split_train_val_test",
-    "text_tfidf_top_terms",
-    "embedding_quantize_int8",
-    "scd2_user_state",
-    "cohort_retention",
-    "sample_weighted_topk",
-    "outlier_orders_robust_z",
-    "fuzzy_match_customer_supplier",
-    "events_incremental_hourly_merge",
-    "daily_active_users_cumulative",
-    "source_overlap_matrix",
-    # round-3 ml-prep module (queries/mlprep.py)
-    "text_unigram_logprob",
-    "source_mixture_weights",
-    "snapshot_diff_documents",
-    "merge_upsert_orders",
-    "shuffle_shard_assignment",
-    "embedding_gram_matrix",
-    # round-3 IR module (queries/ir.py)
-    "ir_inverted_index",
-    "ir_bm25_topk",
-    "ir_pmi_collocations",
-    # round-3 audit module (queries/audit.py)
-    "fk_integrity_audit",
-    "seq_pattern_conversion",
-    "skyline_orders_price_date",
-    "session_overlap_topk",
-    "basket_part_lift",
-    # round-3 survivorship (queries/dedup.py)
-    "dedup_survivorship",
-    # round-3 graph/sketch module (queries/graph.py)
-    "pagerank_customer_supplier",
-    "approx_users_hll_mergeable",
-    "variant_props_stats",
-    "unpivot_lineitem_measures",
-    "user_decay_score",
-    "ntile_price_bands",
-    "text_chunk_windows",
-    # rounded at fixed precision this round (DuckDB's decimal->double
-    # cast is 1 ulp off past 2^53 — found by the sf0.1 sweep)
-    "stats_quantity_price",
-    "zipf_coverage_by_source",
-    "profile_orders_columns",
-    "training_manifest",
-    # malformed-JSON robustness fixes this round (edge-events harness)
-    "json_events",
-    # valid-vector guard added this round (edge-embeddings harness)
-    "similarity_topk_cosine",
-    "dedup_embedding_cosine",
-    "embedding_label_centroids",
-    "dedup_chunk_windows",
-    # round-3 mining module (queries/mining.py) — the other three
-    # mining queries (triangles, LLR, entropy) ride the judge's full
-    # mimic run this round and rotate into the window next round
-    "dedup_prefix_filter_jaccard",
-    "regr_qty_price_by_nation",
-)
-
-# Round-4 rotation queue — every registered query that has NO driver
-# row yet (r1/r2 green rows in CORRECTNESS_r0*.json cover the rest;
-# the round-3 window above covers its 50). Round 4 rebuilds
-# DRIVER_ORDER_FIRST from the head of this queue (50 per round) and
-# rotates the remainder forward. Machine-checked:
-# tests/test_registry_order.py asserts every registered name is
-# windowed, prior-rowed, or queued — so a new query cannot silently
-# miss its future driver row. All queue entries were verified this
-# round via tools/driver_mimic.py (sf0.01) and the sf0.1 sweep.
-ROTATION_QUEUE: tuple[str, ...] = (
+    # Round-4 window: the 50 oldest never-driver-rowed queries, promoted
+    # verbatim from the head of round 3's ROTATION_QUEUE (registration
+    # order = age). All were verified green via tools/driver_mimic.py at
+    # sf0.01 (and the sf0.1 sweep) when they were added.
     "text_compression_census",
     "dedup_ncd_verify",
     "param_sql_high_value_orders",
@@ -188,6 +109,18 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "attribution_first_last_touch",
     "rfm_customer_segments",
     "pareto_revenue_parts",
+)
+
+# Round-5 rotation queue — every registered query that has NO driver
+# row yet (r1/r2/r3 green rows in CORRECTNESS_r0*.json cover the rest;
+# the round-4 window above covers its 50). Round 5 rebuilds
+# DRIVER_ORDER_FIRST from the head of this queue (50 per round) and
+# rotates the remainder forward. Machine-checked:
+# tests/test_registry_order.py asserts every registered name is
+# windowed, prior-rowed, or queued — so a new query cannot silently
+# miss its future driver row. Queries added in round 4 are appended at
+# the tail as they land.
+ROTATION_QUEUE: tuple[str, ...] = (
     "hazard_view_to_purchase",
     "abtest_conversion_ztest",
     "laspeyres_price_index_monthly",

@@ -54,7 +54,11 @@ def test_rotation_queue_covers_every_unrowed_query():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rowed: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         p = os.path.join(root, f)
         if os.path.exists(p):
             rowed |= set(json.load(open(p)))
