@@ -113,7 +113,18 @@ class TxnFeedStreamReader(DataSourceStreamReader):
         if not partition.path:
             return
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        def to_declared(col, spark_type):
+            # Schema evolution can leave older files with a narrower
+            # physical type (e.g. int32 file vs int64 union schema);
+            # cast to the DECLARED source schema like the batch
+            # mergeSchema read widens, instead of failing at runtime
+            # with a batch/schema type mismatch.
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            want = _arrow_type(spark_type)
+            return pc.cast(col, want) if col.type != want else col
 
         table = pq.read_table(partition.path)
         n = table.num_rows
@@ -121,7 +132,9 @@ class TxnFeedStreamReader(DataSourceStreamReader):
         for field in self.schema.fields:
             if field.name == "_change_type":
                 if partition.change_type is None:
-                    arrays.append(table.column("_change_type").combine_chunks())
+                    arrays.append(
+                        to_declared(table.column("_change_type"), field.dataType)
+                    )
                 else:
                     arrays.append(
                         pa.array([partition.change_type] * n, pa.string())
@@ -129,7 +142,7 @@ class TxnFeedStreamReader(DataSourceStreamReader):
             elif field.name == "_commit_version":
                 arrays.append(pa.array([partition.version] * n, pa.int64()))
             elif field.name in table.column_names:
-                arrays.append(table.column(field.name).combine_chunks())
+                arrays.append(to_declared(table.column(field.name), field.dataType))
             else:
                 # schema evolution: older files null-fill new columns
                 arrays.append(pa.nulls(n, _arrow_type(field.dataType)))

@@ -253,7 +253,10 @@ def txn_delete_where(
             {"version": version, "op": "delete", "add": [], "remove": [],
              "predicate": predicate},
         )
-    snap = spark.read.parquet(*live)
+    # mergeSchema everywhere DML reads data files: the affected set may
+    # span pre- and post-evolution files; a single-file-inferred schema
+    # would silently drop evolved columns from the rewrite.
+    snap = spark.read.option("mergeSchema", "true").parquet(*live)
     affected = _file_stats(
         snap.where(F.expr(predicate)),
         os.path.join(
@@ -267,13 +270,16 @@ def txn_delete_where(
             {"version": version, "op": "delete", "add": [], "remove": [],
              "predicate": predicate},
         )
-    affected_df = spark.read.parquet(*affected_files)
-    survivors = affected_df.where(~F.expr(predicate))
+    affected_df = spark.read.option("mergeSchema", "true").parquet(*affected_files)
+    # SQL DELETE removes rows where the predicate is TRUE; under
+    # three-valued logic a NULL predicate must KEEP the row, so the
+    # survivor filter is NOT(coalesce(p, FALSE)) — a bare NOT(p) would
+    # silently drop NULL-predicate rows from both table and feed.
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    survivors = affected_df.where(~hit)
     add = _write_commit_data(survivors, table_dir, version, "delete", num_files)
     changes = _write_changes(
-        affected_df.where(F.expr(predicate)).withColumn(
-            "_change_type", F.lit("delete")
-        ),
+        affected_df.where(hit).withColumn("_change_type", F.lit("delete")),
         table_dir,
         version,
     )
@@ -312,7 +318,7 @@ def txn_update_where(
             {"version": version, "op": "update", "add": [], "remove": [],
              "predicate": predicate},
         )
-    snap = spark.read.parquet(*live)
+    snap = spark.read.option("mergeSchema", "true").parquet(*live)
     affected = _file_stats(
         snap.where(F.expr(predicate)),
         os.path.join(
@@ -327,7 +333,7 @@ def txn_update_where(
              "predicate": predicate},
         )
     hit = F.expr(predicate)
-    affected_df = spark.read.parquet(*affected_files)
+    affected_df = spark.read.option("mergeSchema", "true").parquet(*affected_files)
     rewritten = affected_df.select(
         *[
             (
@@ -406,8 +412,10 @@ def txn_merge(
     # Tag the file name BELOW the join (Spark's PreReadCheck rejects
     # input_file_name above a multi-source join), then the key
     # SEMI-join + file-distinct yields the affected set.
-    tagged = spark.read.parquet(*live).select(
-        F.input_file_name().alias("file"), *key_cols
+    tagged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*live)
+        .select(F.input_file_name().alias("file"), *key_cols)
     )
     affected = _read_meta(
         tagged.join(keys, key_cols, "semi")
@@ -419,7 +427,9 @@ def txn_merge(
     )
     affected_files = [e["file"] for e in affected]
     if affected_files:
-        affected_df = spark.read.parquet(*affected_files)
+        affected_df = spark.read.option("mergeSchema", "true").parquet(
+            *affected_files
+        )
         survivors = affected_df.join(keys, key_cols, "anti")
         new_data = survivors.unionByName(source)
         preimage = affected_df.join(keys, key_cols, "semi")
@@ -486,7 +496,7 @@ def txn_compact(
             table_dir,
             {"version": version, "op": "compact", "add": [], "remove": []},
         )
-    snap = spark.read.parquet(*live)
+    snap = spark.read.option("mergeSchema", "true").parquet(*live)
     if cluster_by and len(cluster_by) == 2 and zorder:
         # OPTIMIZE ZORDER: Morton-interleave the two min-max-normalized
         # columns so BOTH get per-file bounds (sinks.write_zorder_parquet
@@ -674,24 +684,40 @@ def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     """Reclaim data files referenced by NO retained version: keeps
     every file live in any of the last ``retain_versions`` snapshots
     (time travel works back exactly that far), deletes the rest —
-    including orphan directories from crashed writers. Returns
-    ``{deleted, kept}`` file counts."""
+    including orphan directories from crashed writers — and reclaims
+    the ``_changes`` directories of commits OLDER than the retained
+    window (``txn_changes``/``txnfeed`` reads starting before the
+    window fail afterwards, the same retention coupling as Delta's
+    CDF). Returns ``{deleted, kept, changes_deleted}`` file counts.
+
+    Log entries store absolute paths (``input_file_name`` is absolute);
+    both sides of every membership test are ``os.path.realpath``-
+    normalized so a relative ``table_dir`` cannot make live files look
+    unreferenced (which would destroy the table)."""
     history = txn_history(table_dir)
     if not history:
-        return {"deleted": 0, "kept": 0}
+        return {"deleted": 0, "kept": 0, "changes_deleted": 0}
     latest = history[-1]["version"]
     cutoff = max(0, latest - retain_versions + 1)
     keep: set[str] = set()
     for v in range(cutoff, latest + 1):
-        keep.update(_live_files(table_dir, v))
+        keep.update(os.path.realpath(f) for f in _live_files(table_dir, v))
     deleted = 0
-    data_root = os.path.join(table_dir, DATA_DIR)
+    data_root = os.path.join(os.path.realpath(table_dir), DATA_DIR)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for fname in filenames:
-            full = os.path.join(dirpath, fname)
+            full = os.path.realpath(os.path.join(dirpath, fname))
             if full not in keep and fname.endswith(".parquet"):
                 os.remove(full)
                 deleted += 1
         if not os.listdir(dirpath):
             os.rmdir(dirpath)
-    return {"deleted": deleted, "kept": len(keep)}
+    changes_deleted = 0
+    for commit in history:
+        changes = commit.get("changes")
+        if commit["version"] < cutoff and changes and os.path.isdir(changes):
+            changes_deleted += len(
+                glob.glob(os.path.join(changes, "*.parquet"))
+            )
+            shutil.rmtree(changes, ignore_errors=True)
+    return {"deleted": deleted, "kept": len(keep), "changes_deleted": changes_deleted}

@@ -547,3 +547,127 @@ def test_zorder_compact_bounds_both_columns_per_file(spark, table):
     assert sum(spans_a) / len(spans_a) < 0.6 * dom_a
     assert sum(spans_b) / len(spans_b) < 0.6 * dom_b
     assert txnlog.read_snapshot(spark, d, version=1).count() == orders.count()
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, table):
+    """SQL DELETE three-valued logic: a row whose predicate evaluates
+    to NULL is KEPT (it is not 'matched'), both in the table and in the
+    change feed. Regression for the where(~p) survivor filter, which
+    silently dropped NULL-predicate rows of affected files."""
+    d, orders = table
+    # One file mixing TRUE-predicate and NULL-predicate rows: flag is 1
+    # for even keys and NULL otherwise (WHEN without OTHERWISE).
+    extra = (
+        orders.limit(20)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+        .withColumn(
+            "flag", F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).cast("int")
+        )
+    )
+    n_true = extra.where("flag = 1").count()
+    n_null = extra.where("flag IS NULL").count()
+    assert n_true > 0 and n_null > 0, "fixture must mix TRUE and NULL rows"
+    txnlog.txn_append(extra, d, num_files=1)
+    commit = txnlog.txn_delete_where(spark, d, "flag = 1")
+    snap = txnlog.read_snapshot(spark, d)
+    # only the TRUE rows were deleted; NULL-predicate rows of the SAME
+    # affected file survive, as do all pre-evolution (flag-less) rows
+    assert snap.count() == orders.count() + n_null
+    assert snap.where("o_orderkey >= 5000000 AND flag IS NULL").count() == n_null
+    assert snap.where("flag = 1").count() == 0
+    # the change feed carries exactly the TRUE rows as deletes
+    feed = txnlog.txn_changes(spark, d, commit["version"], commit["version"])
+    assert feed.where("_change_type = 'delete'").count() == n_true
+    assert feed.count() == n_true
+
+
+def test_vacuum_with_relative_table_dir_keeps_live_files(
+    spark, table, monkeypatch
+):
+    """The log stores absolute paths (input_file_name); vacuum must
+    normalize the walked paths too, or a RELATIVE table_dir makes every
+    live file look unreferenced and destroys the table."""
+    d, orders = table
+    total = orders.count()
+    monkeypatch.chdir(os.path.dirname(d))
+    report = txnlog.txn_vacuum(os.path.basename(d), retain_versions=1)
+    assert report["deleted"] == 0, "every file is live in the latest snapshot"
+    assert txnlog.read_snapshot(spark, d).count() == total
+
+
+def test_dml_across_schema_evolution_keeps_evolved_columns(spark, table):
+    """A DML op whose affected set spans pre- and post-evolution files
+    must rewrite with the UNION schema (mergeSchema), not a
+    single-file-inferred schema that drops the evolved column."""
+    d, orders = table
+    evolved = (
+        orders.limit(10)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 7_000_000)
+        .withColumn("quality_score", F.lit(0.5))
+    )
+    txnlog.txn_append(evolved, d, num_files=1)  # v2 evolves the schema
+    # predicate matches rows in BOTH pre- and post-evolution files
+    commit = txnlog.txn_update_where(
+        spark,
+        d,
+        "o_orderkey % 100 = 3 OR o_orderkey >= 7000000",
+        {"o_orderpriority": "'9-EVOLVED'"},
+    )
+    assert len(commit["remove"]) >= 2, "affected set must span both eras"
+    snap = txnlog.read_snapshot(spark, d)
+    assert "quality_score" in snap.columns
+    assert snap.where("quality_score = 0.5").count() == 10
+    assert snap.count() == orders.count() + 10
+    n_hit = snap.where("o_orderpriority = '9-EVOLVED'").count()
+    assert n_hit == orders.where("o_orderkey % 100 = 3").count() + 10
+
+
+def test_vacuum_reclaims_changes_dirs_outside_retention(spark, table):
+    """The change feed's _changes directories follow the same retention
+    window as data files: commits older than the retained versions lose
+    their feed (documented CDF/retention coupling), retained ones keep
+    it readable."""
+    d, _ = table
+    c2 = txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
+    c3 = txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 2")  # v3
+    assert os.path.isdir(c2["changes"]) and os.path.isdir(c3["changes"])
+    report = txnlog.txn_vacuum(d, retain_versions=1)  # cutoff = v3
+    assert report["changes_deleted"] > 0
+    assert not os.path.isdir(c2["changes"])
+    assert os.path.isdir(c3["changes"])
+    assert txnlog.txn_changes(spark, d, 3, 3).count() > 0
+
+
+def test_txnfeed_casts_narrow_files_to_declared_schema(spark, tmp_path):
+    """Type-width evolution: the feed's declared schema comes from the
+    FIRST live file owning each column; a later file with a narrower
+    physical type (int32 vs int64) must be cast to the declared type,
+    not fail the Arrow batch/schema check at runtime."""
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    spark.dataSource.register(TxnFeedDataSource)
+    d = str(tmp_path / "widen_tbl")
+    wide = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").cast("long").alias("x")
+    )
+    txnlog.txn_create(wide, d, num_files=1)
+    narrow = spark.range(5, 10).select(
+        F.col("id").alias("k"), F.col("id").cast("int").alias("x")
+    )
+    txnlog.txn_append(narrow, d, num_files=1)  # int32 file under int64 schema
+    sink = str(tmp_path / "widen_sink")
+    q = (
+        spark.readStream.format("txnfeed")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "widen_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert feed.count() == 10
+    assert feed.schema["x"].dataType.simpleString() == "bigint"
+    assert feed.agg(F.sum("x").alias("s")).collect()[0].s == sum(range(10))
