@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     graph,
     inference,
     ir,
+    lakehouse,
     mining,
     mlprep,
     multimodal,

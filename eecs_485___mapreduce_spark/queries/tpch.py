@@ -1430,3 +1430,63 @@ def trending_parts_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= TRENDING_TOPK)
     )
+
+
+# ----------------------------------------------------------- TPC-H Q17
+
+
+@register(
+    "q17_small_quantity_revenue",
+    tags=("join", "subquery", "agg"),
+    oracle=f"""
+    WITH li_b AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#4'
+    ), pa AS (
+      SELECT l_partkey,
+             CAST(SUM({_d('l_quantity')}) AS DOUBLE) / COUNT(*) AS aq
+      FROM li_b GROUP BY 1
+    )
+    SELECT CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM li_b JOIN pa USING (l_partkey)
+    WHERE l_quantity < 0.4 * aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if orders below 40% of a part's mean quantity were no
+    longer taken, over one brand (the correlated scalar subquery
+    `l_quantity < 0.4 * (SELECT AVG .. WHERE same part)` decorrelated
+    into a per-part aggregate join — the standard Catalyst rewrite,
+    done explicitly so both engines run the same shape).
+
+    Scale: the brand dim filter broadcasts FIRST, so the per-part
+    average is computed only over the brand's lineitems (TPC-H spec
+    semantics — the correlated subquery is per-part, and every
+    surviving probe row belongs to the brand) — one shuffle on
+    l_partkey for the aggregate, the threshold probe joins on the same
+    key and reuses the partitioning. The full-table average never
+    computes.
+
+    Determinism: aq is exact-decimal-sum / count (one double
+    division), the 0.4 * aq threshold is the same two IEEE ops on both
+    engines, and the revenue sum is DECIMAL-exact cast once.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    brand = t["part"].where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li_b = (
+        t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .drop("p_partkey")
+    )
+    pa = li_b.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        li_b.join(pa, "l_partkey")
+        .where(F.col("l_quantity") < 0.4 * F.col("aq"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"))
+    )

@@ -222,6 +222,11 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "pacf_hourly_events",
     "hurst_rs_hourly",
     "fdr_drift_decisions",
+    # round-4 additions
+    "q17_small_quantity_revenue",
+    "txnlog_dml_snapshot",
+    "txnlog_cdf_type_counts",
+    "txnlog_time_travel_counts",
 )
 
 
