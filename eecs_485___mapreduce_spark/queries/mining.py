@@ -3130,3 +3130,138 @@ def itemcf_topk_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "nb", "sim_micro", F.col("rk").cast("int").alias("rk"))
         .orderBy("part", "rk")
     )
+
+
+# --------------------------- asymmetric containment (doc-in-doc) join
+
+CONT_MILLI = 800  # containment threshold t = 0.8 on the CONTAINED side
+
+
+@register(
+    "dedup_containment_pairs",
+    tags=("dedup", "join", "text"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id,
+               list_filter({_SHINGLES}, x -> x IS NOT NULL AND x <> '') AS s
+        FROM documents)
+      WHERE len(s) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS term FROM t),
+    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    pre AS (
+      SELECT doc_id, term FROM (
+        SELECT tok.doc_id, tok.term,
+               ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY df.df, tok.term) AS rn,
+               COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+        FROM tok JOIN df ON tok.term = df.term)
+      WHERE rn <= sz - (({CONT_MILLI} * sz + 999) // 1000) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM pre a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+    ),
+    scored AS (
+      SELECT d1, d2,
+             len(f1.s) AS n_tok1, len(f2.s) AS n_tok2,
+             len(list_intersect(f1.s, f2.s)) AS n_common
+      FROM cand JOIN t f1 ON d1 = f1.doc_id JOIN t f2 ON d2 = f2.doc_id
+    )
+    SELECT d1, d2, n_tok1, n_tok2, n_common,
+           CAST(ROUND(1000.0 * n_common / n_tok1) AS BIGINT)
+               AS containment_milli
+    FROM scored
+    WHERE 1000 * n_common >= {CONT_MILLI} * n_tok1
+    ORDER BY containment_milli DESC, d1, d2
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment pairs: (d1, d2) where at least
+    {t}/1000 of d1's 3-word shingle set appears in d2 — the doc-in-doc
+    signal (quoted articles, wrapped boilerplate, partial mirrors)
+    that symmetric Jaccard misses by construction: a short document
+    fully embedded in a long one has tiny Jaccard but containment 1.0.
+    This is the duplicate class sub-document corpus curation targets
+    (cf. the exact-substring dedup line of work) expressed set-wise.
+
+    Algorithm: same rare-first prefix pigeonhole as
+    dedup_prefix_filter_jaccard, adapted to the asymmetric measure —
+    C(A in B) >= t requires A to share a token among the first
+    |A| - ceil(t*|A|) + 1 of A's (df, term)-ordered shingles, with NO
+    constraint on where it falls in B. Candidates therefore join the
+    CONTAINED side's prefix against the FULL inverted index, then the
+    exact intersection verifies; the threshold compare is integer
+    cross-multiplied. Zero false negatives.
+
+    Scale (100 TB): prefix entries hold each doc's RAREST shingles, so
+    the prefix-vs-index equi-join fans out by df of rare terms (small
+    buckets), never all-pairs; the verify join carries candidate pairs
+    only. Both directions of a mutual near-dup pair emit independently
+    — downstream keeps the shorter side as the removal candidate. The
+    shingle relation is the dedup family's shared persisted cache.
+
+    Reference parity: none (reference has no similarity surface);
+    SURVEY.md section 2.B dedup family.
+    """.format(t=CONT_MILLI)
+    t = (
+        _shingle_relation(spark, sf_dir)
+        .select("doc_id", F.filter(F.col("sh"), lambda x: x != F.lit("")).alias("s"))
+        .where(F.size("s") > 0)
+    )
+    tok = t.select("doc_id", F.explode("s").alias("term"))
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    pre = (
+        tok.join(df, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.row_number().over(w_doc.orderBy("df", "term")).alias("rn"),
+            F.count(F.lit(1)).over(w_doc).alias("sz"),
+        )
+        .where(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"({CONT_MILLI} * sz + 999) div 1000")
+            + F.lit(1)
+        )
+        .select("doc_id", "term")
+    )
+    a = pre.alias("a")
+    b = tok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    f1 = t.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    f2 = t.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+    scored = (
+        cand.join(f1, "d1")
+        .join(f2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size("s1").alias("n_tok1"),
+            F.size("s2").alias("n_tok2"),
+            F.size(F.array_intersect("s1", "s2")).alias("n_common"),
+        )
+    )
+    return scored.where(
+        1000 * F.col("n_common") >= CONT_MILLI * F.col("n_tok1")
+    ).select(
+        "d1",
+        "d2",
+        "n_tok1",
+        "n_tok2",
+        "n_common",
+        F.round(1000.0 * F.col("n_common") / F.col("n_tok1"), 0)
+        .cast("long")
+        .alias("containment_milli"),
+    )

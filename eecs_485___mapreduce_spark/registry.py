@@ -227,6 +227,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "txnlog_dml_snapshot",
     "txnlog_cdf_type_counts",
     "txnlog_time_travel_counts",
+    "dedup_containment_pairs",
 )
 
 

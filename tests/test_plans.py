@@ -679,3 +679,29 @@ def test_session2_family_plans_cartesian_free(spark):
         threshold_sweep_stopword_en,
     ):
         assert_no_cartesian(q(spark, SF_SMALL))
+
+
+def test_q17_broadcasts_brand_dim_single_fact_join(spark):
+    """Q17's docstring claims the brand dim broadcasts ahead of the
+    per-part average (hint-driven, so it survives the 100 TB regime)
+    and the threshold probe is the only shuffled join. The brand-
+    filtered lineitem subtree appears twice (aggregate input + probe),
+    so the hinted broadcast shows up twice — never as a shuffle."""
+    from eecs_485___mapreduce_spark.queries.tpch import q17_small_quantity_revenue
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = _plan_counts(q17_small_quantity_revenue(spark, SF_SMALL))
+        assert c["bhj"] == 2, f"brand dim not broadcast\n{c['plan']}"
+        assert c["smj"] == 1, f"expected 1 shuffled partkey join\n{c['plan']}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert_no_cartesian(q17_small_quantity_revenue(spark, SF_SMALL))
+
+
+def test_containment_pairs_never_cross_join(spark):
+    """Containment candidates come from the prefix-vs-index equi-join;
+    an all-pairs plan would be quadratic in the corpus."""
+    from eecs_485___mapreduce_spark.queries.mining import dedup_containment_pairs
+
+    assert_no_cartesian(dedup_containment_pairs(spark, SF_SMALL))
