@@ -675,3 +675,136 @@ def ir_ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_milli"),
         )
     )
+
+
+# --------------------------- sparse tf-idf doc-doc cosine top-k
+
+DOC_COS_DF_CAP = 64  # similarity subspace: informative terms only
+DOC_COS_TOPK = 30
+
+
+@register(
+    "ir_doc_cosine_topk",
+    tags=("ir", "similarity", "join", "topk"),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      GROUP BY 1 HAVING COUNT(*) <= {DOC_COS_DF_CAP}
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, term,
+             CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000, 0)
+                  AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, dot,
+           CAST(ROUND(1000.0 * dot / (sqrt(CAST(x.n2 AS DOUBLE))
+                                      * sqrt(CAST(y.n2 AS DOUBLE))), 0)
+                AS BIGINT) AS cos_milli
+    FROM dots JOIN norms x ON d1 = x.doc_id JOIN norms y ON d2 = y.doc_id
+    ORDER BY cos_milli DESC, d1, d2
+    LIMIT {DOC_COS_TOPK}
+    """,
+)
+def ir_doc_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most similar document PAIRS by sparse TF-IDF cosine over
+    the inverted index — the lexical doc-doc similarity complementing
+    the dense embedding path (queries/similarity.py) and the set-based
+    Jaccard/containment paths (queries/mining.py): weighted sparse
+    vectors catch topical near-duplication that survives paraphrase.
+
+    The similarity space is restricted to informative terms
+    (df <= {cap}) on BOTH the dot products and the norms — the
+    standard stopword-pruned sparse all-pairs setup (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search" prunes by exactly
+    this high-df/low-weight mass): dropping ubiquitous terms bounds
+    every posting list, and with them each term's pair fan-out, at
+    {cap}^2.
+
+    Determinism: weights are quantized to integer micro-units BEFORE
+    any pairing, so dots and norms are exact bigint sums under any
+    partitioning; the final cosine is one double expression both
+    engines evaluate on identical integers (sqrt is IEEE
+    correctly-rounded), rounded to milli-units; the top-k orders on
+    the unique (cos_milli, d1, d2).
+
+    Scale (100 TB): tf is the corpus's (doc, term) rollup (shared
+    scoped-persist with text_tfidf_top_terms — one tokenize+agg pass
+    feeds both queries); the pair join fans out only within df-capped
+    posting lists (candidates ~ sum_t df_t^2 over RARE terms, never
+    all-pairs — the same no-n^2 discipline the dedup family pins); the
+    weight relation persists once and feeds norms and both join sides.
+    """.format(k=DOC_COS_TOPK, cap=DOC_COS_DF_CAP)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = scoped_persist(
+        ("tfidf_tf", sf_dir),
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DOC_COS_DF_CAP)
+    )
+    w = scoped_persist(
+        ("doccos_w", sf_dir),
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        ),
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
+    b = w.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("d1"), F.col("n2").alias("n2_1"))
+    n2r = norms.select(F.col("doc_id").alias("d2"), F.col("n2").alias("n2_2"))
+    return (
+        dots.join(n1, "d1")
+        .join(n2r, "d2")
+        .select(
+            "d1",
+            "d2",
+            "dot",
+            F.round(
+                F.lit(1000.0)
+                * F.col("dot")
+                / (
+                    F.sqrt(F.col("n2_1").cast("double"))
+                    * F.sqrt(F.col("n2_2").cast("double"))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("cos_milli"),
+        )
+        .orderBy(F.col("cos_milli").desc(), "d1", "d2")
+        .limit(DOC_COS_TOPK)
+    )

@@ -307,3 +307,141 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_DP_EPS_MILLI).cast("long").alias("eps_milli"),
         )
     )
+
+
+# ------------------------------------------------- t-closeness audit
+
+T_CLOSENESS_MILLI = 250  # release gate: EMD(group, global) <= 0.25
+
+
+@register(
+    "t_closeness_audit",
+    tags=("privacy", "join", "agg", "window"),
+    oracle=f"""
+    WITH j AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority AS p
+      FROM customer JOIN orders ON o_custkey = c_custkey
+    ),
+    cats AS (SELECT DISTINCT p FROM j),
+    grps AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_g
+             FROM j GROUP BY 1, 2),
+    cellc AS (SELECT c_nationkey, c_mktsegment, p, COUNT(*) AS c
+              FROM j GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.n_g, cats.p,
+             COALESCE(cellc.c, 0) AS c
+      FROM grps g CROSS JOIN cats
+      LEFT JOIN cellc USING (c_nationkey, c_mktsegment, p)
+    ),
+    gcum AS (
+      SELECT c_nationkey, c_mktsegment, n_g, p,
+             SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY p) AS cum
+      FROM grid
+    ),
+    gall AS (SELECT p, COUNT(*) AS gc FROM j GROUP BY 1),
+    globcum AS (SELECT p, SUM(gc) OVER (ORDER BY p) AS gcum_v FROM gall),
+    tot AS (SELECT COUNT(*) AS n_tot,
+                   CAST(COUNT(DISTINCT p) AS BIGINT) AS m FROM j),
+    scored AS (
+      SELECT c_nationkey, c_mktsegment, n_g,
+             SUM(ABS(cum * n_tot - gcum_v * n_g)) AS emd_num,
+             MAX(n_tot) AS n_tot, MAX(m) AS m
+      FROM gcum JOIN globcum USING (p) CROSS JOIN tot
+      WHERE p < (SELECT MAX(p) FROM cats)
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(n_g AS BIGINT) AS n_g,
+           CAST(ROUND(1000.0 * emd_num / (n_g * n_tot * (m - 1)), 0)
+                AS BIGINT) AS emd_milli,
+           ROUND(1000.0 * emd_num / (n_g * n_tot * (m - 1)), 0)
+               > {T_CLOSENESS_MILLI} AS t_breach
+    FROM scored
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census completing the k-anonymity / l-diversity /
+    t-closeness release-audit trio: per quasi-identifier group
+    (nation, market segment), the Earth Mover's Distance between the
+    group's sensitive-attribute distribution (order priority — an
+    ordinal 5-point scale) and the global one. A group whose
+    distribution diverges beyond t leaks the sensitive attribute even
+    when k and l pass (Li, Li & Venkatasubramanian, ICDE 2007).
+
+    Ordered-categorical EMD = mean absolute cumulative-distribution
+    gap over the m-1 category boundaries. The division is CLEARED
+    before any aggregation: per boundary the gap is the exact bigint
+    |cum_g * N - cum_global * n_g|, summed order-free, with ONE double
+    division + milli rounding at the end — the same cross-multiplied
+    discipline as the KS/Wasserstein queries.
+
+    Scale (100 TB): one shuffle builds the (QI, sensitive) cell counts
+    (map-side partial agg); everything after operates on the
+    |groups| x m dense grid — QI-bounded, never row-bounded. The dense
+    grid (groups CROSS JOIN categories) is what keeps missing cells
+    aligned at zero on both engines.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    j = t["customer"].join(
+        t["orders"], F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("p"))
+    cats = j.select("p").distinct()
+    grps = j.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    cellc = j.groupBy("c_nationkey", "c_mktsegment", "p").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        grps.crossJoin(F.broadcast(cats))
+        .join(cellc, ["c_nationkey", "c_mktsegment", "p"], "left")
+        .select(
+            "c_nationkey", "c_mktsegment", "n_g", "p",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("p")
+    gcum = grid.select(
+        "c_nationkey", "c_mktsegment", "n_g", "p",
+        F.sum("c").over(wg).alias("cum"),
+    )
+    glob = j.groupBy("p").agg(F.count(F.lit(1)).alias("gc"))
+    globcum = glob.select(
+        "p", F.sum("gc").over(Window.orderBy("p")).alias("gcum_v")
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.countDistinct("p").alias("m"),
+        F.max("p").alias("p_max"),
+    )
+    scored = (
+        gcum.join(globcum, "p")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("p") < F.col("p_max"))
+        .groupBy("c_nationkey", "c_mktsegment", "n_g")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum") * F.col("n_tot")
+                    - F.col("gcum_v") * F.col("n_g")
+                )
+            ).alias("emd_num"),
+            F.max("n_tot").alias("n_tot"),
+            F.max("m").alias("m"),
+        )
+    )
+    emd = F.round(
+        F.lit(1000.0)
+        * F.col("emd_num")
+        / (F.col("n_g") * F.col("n_tot") * (F.col("m") - 1)),
+        0,
+    )
+    return scored.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_g").cast("long").alias("n_g"),
+        emd.cast("long").alias("emd_milli"),
+        (emd > T_CLOSENESS_MILLI).alias("t_breach"),
+    )

@@ -228,6 +228,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "txnlog_cdf_type_counts",
     "txnlog_time_travel_counts",
     "dedup_containment_pairs",
+    "ir_doc_cosine_topk",
+    "t_closeness_audit",
 )
 
 
