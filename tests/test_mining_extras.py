@@ -121,3 +121,94 @@ def test_itemcf_topk_is_window_group_limit_and_cosine_exact(spark):
     for r in rows:
         by_part[r.part].append(r.rk)
     assert all(rks == list(range(1, len(rks) + 1)) for rks in by_part.values())
+
+
+def test_containment_prefix_filter_has_zero_false_negatives(spark):
+    """The contained-side prefix pigeonhole must reproduce EXACTLY the
+    naive all-pairs containment >= t over the shingle sets: brute-force
+    every ordered doc pair at sf0.001 and compare."""
+    from eecs_485___mapreduce_spark.queries.dedup import _shingle_relation
+    from eecs_485___mapreduce_spark.queries.mining import (
+        CONT_MILLI,
+        dedup_containment_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    rows = (
+        _shingle_relation(spark, SF_SMALL)
+        .select(
+            "doc_id",
+            F.filter(F.col("sh"), lambda x: x != F.lit("")).alias("s"),
+        )
+        .where(F.size("s") > 0)
+        .collect()
+    )
+    sets = {r.doc_id: frozenset(r.s) for r in rows}
+    want = set()
+    ids = sorted(sets)
+    for d1 in ids:
+        s1 = sets[d1]
+        for d2 in ids:
+            if d1 == d2:
+                continue
+            common = len(s1 & sets[d2])
+            if 1000 * common >= CONT_MILLI * len(s1):
+                want.add((d1, d2, len(s1), len(sets[d2]), common))
+    got = {
+        (r.d1, r.d2, r.n_tok1, r.n_tok2, r.n_common)
+        for r in dedup_containment_pairs(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus must contain at least one containment pair"
+
+
+def test_doc_cosine_topk_matches_bruteforce(spark):
+    """ir_doc_cosine_topk's index-join dots must equal the brute-force
+    sparse dot products over the quantized weight vectors (same df cap),
+    and the returned top-k must be the global (cos, d1, d2) head."""
+    import math
+
+    from eecs_485___mapreduce_spark.queries.ir import (
+        DOC_COS_DF_CAP,
+        DOC_COS_TOPK,
+        ir_doc_cosine_topk,
+    )
+    import pyspark.sql.functions as F
+
+    from eecs_485___mapreduce_spark.functions import tokens
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term")).collect()
+    tf: dict[tuple, int] = {}
+    for r in tok:
+        tf[(r.doc_id, r.term)] = tf.get((r.doc_id, r.term), 0) + 1
+    df: dict[str, int] = {}
+    for (_d, t), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    vecs: dict[int, dict[str, int]] = {}
+    for (d, t), c in tf.items():
+        if df[t] <= DOC_COS_DF_CAP:
+            w = round(c * math.log((n_docs + 1.0) / (df[t] + 1.0)) * 1_000_000)
+            vecs.setdefault(d, {})[t] = w
+    scored = []
+    ids = sorted(vecs)
+    for i, d1 in enumerate(ids):
+        v1 = vecs[d1]
+        n1 = sum(w * w for w in v1.values())
+        for d2 in ids[i + 1 :]:
+            v2 = vecs[d2]
+            dot = sum(w * v2[t] for t, w in v1.items() if t in v2)
+            if dot:
+                n2 = sum(w * w for w in v2.values())
+                cm = round(1000.0 * dot / (math.sqrt(n1) * math.sqrt(n2)))
+                scored.append((-cm, d1, d2, dot))
+    scored.sort()
+    want = [(d1, d2, dot, -neg) for neg, d1, d2, dot in scored[:DOC_COS_TOPK]]
+    got = [
+        (r.d1, r.d2, r.dot, r.cos_milli)
+        for r in ir_doc_cosine_topk(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    assert len(got) == DOC_COS_TOPK
