@@ -1348,3 +1348,101 @@ def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source", "pos")
         .limit(CURRICULUM_HEAD)
     )
+
+
+# --------------------------------- quantile normalization across sources
+
+
+@register(
+    "quantile_normalize_doclen",
+    tags=("curation", "window", "join"),
+    oracle="""
+    WITH d AS (SELECT doc_id, source, length(text) AS len FROM documents),
+    src AS (
+      SELECT source, doc_id, len,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY len, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM d
+    ),
+    pooled AS (
+      SELECT len AS plen,
+             ROW_NUMBER() OVER (ORDER BY len, doc_id) AS p
+      FROM d
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    mapped AS (
+      SELECT source, r, n_s, len, plen
+      FROM src CROSS JOIN tot
+      JOIN pooled ON p = (r * n + n_s - 1) // n_s
+    )
+    SELECT source,
+           CAST(((r - 1) * 10) // n_s + 1 AS BIGINT) AS decile,
+           COUNT(*) AS n,
+           CAST(SUM(plen) AS BIGINT) AS sum_norm_len,
+           CAST(SUM(len) AS BIGINT) AS sum_raw_len
+    FROM mapped
+    GROUP BY 1, 2
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources — the
+    distribution-alignment transform (classic in bioinformatics, used
+    in corpus mixing to make per-source quality/length scores
+    comparable before gating): each document's length is replaced by
+    the POOLED distribution's value at the equivalent quantile
+    (pooled position ceil(r·N / n_s) for within-source rank r), so
+    every source ends up with the same marginal distribution. Output
+    is the per-(source, decile) census of raw vs normalized mass —
+    identical sum_norm_len profiles across sources is the defining
+    invariant.
+
+    Exactness: ranks are total orders on (len, doc_id); the quantile
+    map is pure integer arithmetic (ceil via (r·N + n_s − 1) div n_s);
+    sums are exact bigints.
+
+    Scale (100 TB): NO single-partition window anywhere — both the
+    within-source rank and the pooled rank use the TeraSort pattern
+    (functions.distributed_rank: range shuffle + broadcast prefix
+    offsets); the within-source rank derives from the global
+    (source, len, doc_id) rank minus each source's broadcast base
+    offset, so one ranged relation serves every source regardless of
+    skew. The quantile map is an integer equi-join (src on target
+    position, pooled on position). The DuckDB oracle uses plain
+    windows — same math, different physical plan.
+    """
+    from ..functions import distributed_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("len")
+    )
+    ranked = distributed_rank(
+        d, ["source", "len", "doc_id"], ("qn_src_rank", sf_dir), rank_alias="g"
+    )
+    smin = ranked.groupBy("source").agg(
+        F.min("g").alias("g0"), F.count(F.lit(1)).alias("n_s")
+    )
+    src = (
+        ranked.join(F.broadcast(smin), "source")
+        .withColumn("r", F.col("g") - F.col("g0") + F.lit(1))
+    )
+    pooled = distributed_rank(
+        d.select("len", "doc_id"),
+        ["len", "doc_id"],
+        ("qn_pool_rank", sf_dir),
+        rank_alias="p",
+    ).select(F.col("p"), F.col("len").alias("plen"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    mapped = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("pt", F.expr("(r * n + n_s - 1) div n_s"))
+        .join(pooled, F.col("pt") == F.col("p"))
+    )
+    return mapped.groupBy(
+        "source",
+        (F.expr("((r - 1) * 10) div n_s") + 1).cast("long").alias("decile"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("plen").alias("sum_norm_len"),
+        F.sum("len").cast("long").alias("sum_raw_len"),
+    )

@@ -230,6 +230,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "dedup_containment_pairs",
     "ir_doc_cosine_topk",
     "t_closeness_audit",
+    "quantile_normalize_doclen",
 )
 
 

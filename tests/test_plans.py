@@ -705,3 +705,20 @@ def test_containment_pairs_never_cross_join(spark):
     from eecs_485___mapreduce_spark.queries.mining import dedup_containment_pairs
 
     assert_no_cartesian(dedup_containment_pairs(spark, SF_SMALL))
+
+
+def test_quantile_normalize_ranks_are_range_partitioned(spark):
+    """Both ranks (within-source and pooled) must come from the
+    TeraSort pattern — range shuffle + per-partition-id windows — never
+    one ORDER BY window over the whole corpus; the quantile map itself
+    must be an equi-join, not a cartesian."""
+    from eecs_485___mapreduce_spark.queries.curation import (
+        quantile_normalize_doclen,
+    )
+
+    df = quantile_normalize_doclen(spark, SF_SMALL)
+    plan = physical_plan(df)
+    low = plan.lower()
+    assert "rangepartitioning" in low, plan
+    assert "hashpartitioning(_pid" in low, plan
+    assert_no_cartesian(df)
