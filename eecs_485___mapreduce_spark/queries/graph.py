@@ -21,7 +21,7 @@ queries/mlprep.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scoped_persist
@@ -575,4 +575,117 @@ def coorder_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_ln_micro",
             "alpha_milli",
         )
+    )
+
+
+# -------------------------------------- label propagation communities
+
+LPA_ITERS = 2
+LPA_TOPK = 25
+
+_LPA_PAIRS_SQL = """
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    l0 AS (SELECT node, node AS lbl FROM nodes)
+"""
+
+
+def _lpa_oracle() -> str:
+    sql = "WITH " + _LPA_PAIRS_SQL
+    for i in range(1, LPA_ITERS + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT s.src AS node, l.lbl, COUNT(*) AS cnt
+      FROM sym s JOIN l{i - 1} l ON s.dst = l.node
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl) AS rk
+        FROM c{i}) WHERE rk = 1
+    )"""
+    sql += f"""
+    SELECT lbl AS community, COUNT(*) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM l{LPA_ITERS}
+    GROUP BY 1
+    ORDER BY n_nodes DESC, community
+    LIMIT {LPA_TOPK}
+    """
+    return sql
+
+
+@register(
+    "lpa_communities_coorder",
+    tags=("graph", "join", "iterative"),
+    oracle=_lpa_oracle(),
+)
+def lpa_communities_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation communities over the part
+    co-order graph (Raghavan et al. 2007), {iters} unrolled
+    iterations: every node starts as its own label and repeatedly
+    adopts the most frequent label among its neighbors — the
+    clustering primitive between connected components (pure
+    reachability) and modularity methods. Output: the {k} largest
+    communities with an integer membership checksum.
+
+    Determinism: synchronous updates (no update-order dependence) and
+    an exact tie-break — most frequent label, then SMALLEST — make
+    every iteration a pure function of the edge set, so the unrolled
+    DuckDB CTEs replay it value-for-value.
+
+    Scale (100 TB): each iteration is ONE equi-join of the persisted
+    symmetric edge list against the |V|-row label relation, a
+    (node, label) partial+final count, and a per-node running top-1
+    (WindowGroupLimit — never a full per-node sort). Cost per
+    iteration tracks |E|, the label relations persist per hop, and the
+    fixed unroll keeps the plan static — the same discipline as the
+    BFS/SSSP/PageRank family sharing this edge relation.
+
+    Reference parity: none (the reference has no join operator);
+    committed graph family, SURVEY.md section 2.B.
+    """.format(iters=LPA_ITERS, k=LPA_TOPK)
+    from .mining import coorder_pairs
+
+    pairs = coorder_pairs(spark, sf_dir)
+    sym = scoped_persist(
+        ("lpa.sym", sf_dir),
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
+    for i in range(1, LPA_ITERS + 1):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = scoped_persist(
+            (f"lpa.l{i}", sf_dir),
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "lbl"),
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("sum_node"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(LPA_TOPK)
     )

@@ -231,6 +231,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "ir_doc_cosine_topk",
     "t_closeness_audit",
     "quantile_normalize_doclen",
+    "lpa_communities_coorder",
 )
 
 

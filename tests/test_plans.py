@@ -722,3 +722,15 @@ def test_quantile_normalize_ranks_are_range_partitioned(spark):
     assert "rangepartitioning" in low, plan
     assert "hashpartitioning(_pid" in low, plan
     assert_no_cartesian(df)
+
+
+def test_lpa_iteration_is_group_limit_not_full_sort(spark):
+    """Each LPA iteration's argmax-label pick must plan the running
+    top-1 (WindowGroupLimit), and the iteration joins must never
+    degenerate to a cartesian."""
+    from eecs_485___mapreduce_spark.queries.graph import lpa_communities_coorder
+
+    df = lpa_communities_coorder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert_no_cartesian(df)
