@@ -98,6 +98,13 @@ EDGE_QUERIES = [
     "multimodal_png_pixel_stats",
     "multimodal_gif_pixel_stats",
     "multimodal_jpeg_pixel_stats",
+    # round-4 additions (document-shaped): containment and sparse
+    # cosine must drop empty/whitespace shingle sets identically on
+    # both engines; quantile normalization must map the tiny per-source
+    # ranks (n_s as small as 2) onto the 8-row pooled distribution
+    "dedup_containment_pairs",
+    "ir_doc_cosine_topk",
+    "quantile_normalize_doclen",
 ]
 
 
