@@ -689,11 +689,13 @@ DOC_COS_TOPK = 30
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
     dfreq AS (
       SELECT term, COUNT(*) AS df FROM tf
-      GROUP BY 1 HAVING COUNT(*) <= {DOC_COS_DF_CAP}
+      GROUP BY 1
+      HAVING COUNT(*) <= GREATEST({DOC_COS_DF_CAP},
+                                  (SELECT n_docs FROM n) // 8)
     ),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
       SELECT doc_id, term,
              CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000, 0)
@@ -725,7 +727,10 @@ def ir_doc_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors catch topical near-duplication that survives paraphrase.
 
     The similarity space is restricted to informative terms
-    (df <= {cap}) on BOTH the dot products and the norms — the
+    (df <= max({cap}, N/8) — the relative leg keeps the subspace
+    non-degenerate on fixed-vocabulary corpora where every term's df
+    grows with N; production corpora with open vocabularies tune the
+    absolute leg) on BOTH the dot products and the norms — the
     standard stopword-pruned sparse all-pairs setup (Bayardo et al.,
     WWW'07 "Scaling Up All Pairs Similarity Search" prunes by exactly
     this high-df/low-weight mass): dropping ubiquitous terms bounds
@@ -756,7 +761,12 @@ def ir_doc_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= DOC_COS_DF_CAP)
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("df")
+            <= F.greatest(F.lit(DOC_COS_DF_CAP), F.expr("n_docs div 8"))
+        )
+        .drop("n_docs")
     )
     w = scoped_persist(
         ("doccos_w", sf_dir),

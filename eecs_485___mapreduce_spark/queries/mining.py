@@ -3148,20 +3148,20 @@ CONT_MILLI = 800  # containment threshold t = 0.8 on the CONTAINED side
         FROM documents)
       WHERE len(s) > 0
     ),
-    tok AS (SELECT doc_id, unnest(s) AS term FROM t),
+    tok AS (SELECT doc_id, len(s) AS sz, unnest(s) AS term FROM t),
     df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
     pre AS (
-      SELECT doc_id, term FROM (
-        SELECT tok.doc_id, tok.term,
+      SELECT doc_id, sz, term FROM (
+        SELECT tok.doc_id, tok.sz, tok.term,
                ROW_NUMBER() OVER (PARTITION BY tok.doc_id
-                                  ORDER BY df.df, tok.term) AS rn,
-               COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+                                  ORDER BY df.df, tok.term) AS rn
         FROM tok JOIN df ON tok.term = df.term)
       WHERE rn <= sz - (({CONT_MILLI} * sz + 999) // 1000) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM pre a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+       AND 1000 * b.sz >= {CONT_MILLI} * a.sz
     ),
     scored AS (
       SELECT d1, d2,
@@ -3210,16 +3210,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.filter(F.col("sh"), lambda x: x != F.lit("")).alias("s"))
         .where(F.size("s") > 0)
     )
-    tok = t.select("doc_id", F.explode("s").alias("term"))
+    tok = t.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("term"))
     df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id")
     pre = (
         tok.join(df, "term")
         .select(
             "doc_id",
+            "sz",
             "term",
             F.row_number().over(w_doc.orderBy("df", "term")).alias("rn"),
-            F.count(F.lit(1)).over(w_doc).alias("sz"),
         )
         .where(
             F.col("rn")
@@ -3227,15 +3227,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr(f"({CONT_MILLI} * sz + 999) div 1000")
             + F.lit(1)
         )
-        .select("doc_id", "term")
+        .select("doc_id", "sz", "term")
     )
     a = pre.alias("a")
     b = tok.alias("b")
+    # Size prune inside the candidate join: containment >= t needs
+    # |B| >= t*|A| (the intersection can't exceed |B|), so undersized
+    # containers never reach the distinct/verify stages.
     cand = (
         a.join(
             b,
             (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (1000 * F.col("b.sz") >= CONT_MILLI * F.col("a.sz")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()

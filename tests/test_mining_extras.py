@@ -187,9 +187,10 @@ def test_doc_cosine_topk_matches_bruteforce(spark):
     df: dict[str, int] = {}
     for (_d, t), _c in tf.items():
         df[t] = df.get(t, 0) + 1
+    cap = max(DOC_COS_DF_CAP, n_docs // 8)
     vecs: dict[int, dict[str, int]] = {}
     for (d, t), c in tf.items():
-        if df[t] <= DOC_COS_DF_CAP:
+        if df[t] <= cap:
             w = round(c * math.log((n_docs + 1.0) / (df[t] + 1.0)) * 1_000_000)
             vecs.setdefault(d, {})[t] = w
     scored = []
