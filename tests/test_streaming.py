@@ -3,6 +3,8 @@ the batch twins (which carry the DuckDB oracles)."""
 
 from __future__ import annotations
 
+import pytest
+
 from eecs_485___mapreduce_spark.queries.timeseries import (
     events_hourly,
     events_sliding_windows,
@@ -740,3 +742,69 @@ def test_minhash_neardup_stream_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert spark.read.parquet(out).select("batch_id").distinct().count() == 3
+
+
+def test_state_v2_user_stats_equals_batch(spark):
+    """The transformWithStateInPandas (state API v2) operator: the
+    final per-user emission of the update-mode stream must equal the
+    batch groupBy exactly (integer-cent money, exact counts),
+    whatever the micro-batch split. v2 requires the RocksDB provider
+    — the same production large-state config the rollup test pins.
+
+    SKIPS where the ``protobuf`` package is unavailable (this
+    container): transformWithState's state-server wire protocol
+    imports google.protobuf in the driver worker, and installs are
+    disallowed here — the operator itself is standard Spark 4 API."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf; "
+        "not installed in this container",
+    )
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sources import load_table
+    from eecs_485___mapreduce_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        user_value_stats_stream_v2,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, SF_SMALL)
+        stats = user_value_stats_stream_v2(stream)
+        run_stream_to_memory(stats, "state_v2_user_stats", output_mode="update")
+        # update mode emits a running row per (user, batch); the final
+        # state per user is the row with the largest n_events
+        # (monotone), independent of how the input split into batches
+        got = spark.sql(
+            """
+            SELECT user_id, MAX_BY(n_events, n_events) AS n_events,
+                   MAX_BY(total_cents, n_events) AS total_cents
+            FROM state_v2_user_stats GROUP BY user_id
+            """
+        )
+        want = (
+            load_table(spark, SF_SMALL, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
+        )
+        assert sorted(got.columns) == sorted(want.columns)
+        assert normalize([tuple(r) for r in got.collect()], got.columns) == normalize(
+            [tuple(r) for r in want.collect()], want.columns
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
