@@ -818,3 +818,103 @@ def ir_doc_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_milli").desc(), "d1", "d2")
         .limit(DOC_COS_TOPK)
     )
+
+
+# ------------------------- stored-query matching (reverse search)
+
+# Alert/routing rules: conjunctive keyword queries stored AS DATA and
+# matched in bulk against every arriving document (the "percolator"
+# direction — queries are the index, documents are the probes).
+STORED_RULES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("join-hash", ("join", "hash")),
+    ("scan-filter", ("scan", "filter")),
+    ("sort-merge-order", ("sort", "merge", "order")),
+    ("window", ("window",)),
+    ("column-batch", ("column", "batch")),
+    ("slow-join-scan", ("slow", "join", "scan")),
+)
+
+
+def _rules_values_sql() -> str:
+    rows = ", ".join(
+        f"('{rid}', '{t}')" for rid, terms in STORED_RULES for t in terms
+    )
+    return f"rules(rule_id, term) AS (VALUES {rows})"
+
+
+@register(
+    "stored_query_matches",
+    tags=("ir", "search", "join", "agg"),
+    oracle=f"""
+    WITH {_rules_values_sql()},
+    rsz AS (SELECT rule_id, COUNT(*) AS n_terms FROM rules GROUP BY 1),
+    tok AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    ),
+    hits AS (
+      SELECT t.doc_id, r.rule_id
+      FROM tok t JOIN rules r ON t.term = r.term
+      JOIN rsz ON rsz.rule_id = r.rule_id
+      GROUP BY t.doc_id, r.rule_id, rsz.n_terms
+      HAVING COUNT(*) = rsz.n_terms
+    )
+    SELECT rsz.rule_id, COUNT(hits.doc_id) AS n_docs,
+           CAST(COALESCE(SUM(hits.doc_id), 0) AS BIGINT) AS sum_doc_id
+    FROM rsz LEFT JOIN hits ON rsz.rule_id = hits.rule_id
+    GROUP BY 1
+    """,
+)
+def stored_query_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (percolator): a catalog of stored conjunctive
+    keyword rules is matched against the whole corpus in one pass —
+    the alerting/routing primitive (Elasticsearch percolate queries,
+    CEP rule engines) that inverts BM25's direction: here the QUERIES
+    are data and every document is a probe. A rule matches when the
+    document's distinct token set covers ALL the rule's terms.
+
+    Census per rule: matched-document count + id checksum, zero rows
+    kept (a silent rule is an alerting bug worth seeing).
+
+    Scale (100 TB): the rule relation is broadcast-tiny (rules x
+    terms); matching is ONE equi-join of the distinct (doc, term)
+    stream against it — the token stream is filtered to rule terms AT
+    THE JOIN, so virtually the whole corpus short-circuits; the
+    AND-coverage check is a (doc, rule)-keyed partial count compared
+    to the rule size. Adding rules never adds corpus passes — the
+    standard stored-query fan-in, opposite of running each rule as
+    its own scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        [
+            (rid, t, len(terms))
+            for rid, terms in STORED_RULES
+            for t in terms
+        ],
+        "rule_id string, term string, n_terms int",
+    )
+    rule_ids = spark.createDataFrame(
+        [(rid, len(terms)) for rid, terms in STORED_RULES],
+        "rule_id string, n_terms int",
+    )
+    tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    hits = (
+        tok.join(F.broadcast(rules), "term")
+        .groupBy("doc_id", "rule_id", "n_terms")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .where(F.col("hit") == F.col("n_terms"))
+        .select("doc_id", "rule_id")
+    )
+    return (
+        F.broadcast(rule_ids)
+        .join(hits, "rule_id", "left")
+        .groupBy("rule_id")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_doc_id"),
+        )
+    )

@@ -232,6 +232,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "t_closeness_audit",
     "quantile_normalize_doclen",
     "lpa_communities_coorder",
+    "stored_query_matches",
 )
 
 
