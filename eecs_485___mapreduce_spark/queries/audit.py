@@ -926,3 +926,138 @@ def revenue_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("abs_diff_cents").cast("long").alias("total_abs_diff_cents"),
         )
     )
+
+
+# ----------------------- FIFO allocation (cumulative-interval match)
+
+FIFO_TOPK = 20
+
+
+@register(
+    "fifo_allocation_parts",
+    tags=("join", "window", "agg", "allocation"),
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    demand AS (
+      SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+      FROM lineitem WHERE l_returnflag = 'N'
+    ),
+    s AS (SELECT pk, qty, hi - qty AS lo, hi FROM supply),
+    d AS (SELECT pk, qty, hi - qty AS lo, hi FROM demand),
+    matched AS (
+      SELECT s.pk,
+             LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS m
+      FROM s JOIN d ON s.pk = d.pk
+       AND s.lo < d.hi AND d.lo < s.hi
+    ),
+    tot AS (
+      SELECT pk,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(m) AS BIGINT) AS matched_units
+      FROM matched GROUP BY pk
+    ),
+    sup_tot AS (SELECT pk, CAST(SUM(qty) AS BIGINT) AS supply_units
+                FROM s GROUP BY pk),
+    dem_tot AS (SELECT pk, CAST(SUM(qty) AS BIGINT) AS demand_units
+                FROM d GROUP BY pk)
+    SELECT tot.pk AS l_partkey, n_pairs, matched_units,
+           demand_units - matched_units AS unfilled_units,
+           supply_units - matched_units AS unused_units
+    FROM tot JOIN sup_tot ON tot.pk = sup_tot.pk
+    JOIN dem_tot ON tot.pk = dem_tot.pk
+    ORDER BY n_pairs DESC, l_partkey
+    LIMIT {FIFO_TOPK}
+    """,
+)
+def fifo_allocation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation: per part, demand lineitems consume
+    supply lots strictly first-in-first-out, computed SET-WISE as the
+    intersection of cumulative-quantity intervals — supply lot i owns
+    units (cum_{{i-1}}, cum_i] of the part's running supply, demand j
+    owns the analogous demand interval, and FIFO matches exactly their
+    overlap. This is the order-matching / cost-basis (inventory FIFO
+    costing) primitive, expressed without any per-row loop or
+    recursion. Output: the {k} busiest parts' allocation census —
+    match-pair count, matched units, unfilled demand, unused supply.
+
+    Exactness: quantities are whole units summed as bigints; running
+    sums are windows over the unique (shipdate, orderkey, linenumber)
+    order; overlap arithmetic is pure integer LEAST/GREATEST.
+
+    Scale (100 TB): two per-part cumulative windows (one shuffle each,
+    same key), then ONE part-keyed interval self-join whose match
+    count is LINEAR — cumulative intervals form a staircase, so each
+    demand overlaps its supply neighbors only: total pairs <=
+    |supply| + |demand| per part, never the quadratic all-pairs. The
+    census is a part-keyed partial agg; top-k plans TakeOrdered.
+    """.format(k=FIFO_TOPK)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def side(flag: str) -> DataFrame:
+        w = Window.partitionBy("pk").orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber"
+        )
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_partkey").alias("pk"),
+                F.col("l_quantity").cast("long").alias("qty"),
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+            )
+            .withColumn("hi", F.sum("qty").over(w))
+            .withColumn("lo", F.col("hi") - F.col("qty"))
+            .select("pk", "qty", "lo", "hi")
+        )
+
+    s = side("R").alias("s")
+    d = side("N").alias("d")
+    matched = s.join(
+        d,
+        (F.col("s.pk") == F.col("d.pk"))
+        & (F.col("s.lo") < F.col("d.hi"))
+        & (F.col("d.lo") < F.col("s.hi")),
+    ).select(
+        F.col("s.pk").alias("pk"),
+        (
+            F.least(F.col("s.hi"), F.col("d.hi"))
+            - F.greatest(F.col("s.lo"), F.col("d.lo"))
+        ).alias("m"),
+    )
+    tot = matched.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("m").cast("long").alias("matched_units"),
+    )
+    sup_tot = s.groupBy(F.col("s.pk").alias("pk")).agg(
+        F.sum("qty").cast("long").alias("supply_units")
+    )
+    dem_tot = d.groupBy(F.col("d.pk").alias("pk")).agg(
+        F.sum("qty").cast("long").alias("demand_units")
+    )
+    return (
+        tot.join(sup_tot, "pk")
+        .join(dem_tot, "pk")
+        .select(
+            F.col("pk").alias("l_partkey"),
+            "n_pairs",
+            "matched_units",
+            (F.col("demand_units") - F.col("matched_units")).alias(
+                "unfilled_units"
+            ),
+            (F.col("supply_units") - F.col("matched_units")).alias(
+                "unused_units"
+            ),
+        )
+        .orderBy(F.col("n_pairs").desc(), "l_partkey")
+        .limit(FIFO_TOPK)
+    )

@@ -233,6 +233,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "quantile_normalize_doclen",
     "lpa_communities_coorder",
     "stored_query_matches",
+    "fifo_allocation_parts",
 )
 
 

@@ -149,3 +149,58 @@ def test_twin_invoice_screen_finds_planted_twins(spark):
         for r in twin_pairs(orders).collect()
     )
     assert got == [(1, 2, 7, 10000, 2), (6, 7, 9, 5555, 3)]
+
+
+def test_fifo_allocation_matches_sequential_simulator(spark):
+    """The set-wise cumulative-interval formulation must equal a plain
+    sequential FIFO simulation lot-by-lot, and the allocation
+    invariants must hold: matched = min(supply, demand) (so at least
+    one of unfilled/unused is zero) and the staircase pair count is
+    linear (n_pairs <= n_supply + n_demand per part)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from eecs_485___mapreduce_spark.queries.audit import fifo_allocation_parts
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    got = {r.l_partkey: r for r in fifo_allocation_parts(spark, SF_SMALL).collect()}
+    assert got, "census must be non-empty"
+
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .select(
+            "l_partkey", "l_returnflag",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_shipdate", "l_orderkey", "l_linenumber",
+        )
+        .collect()
+    )
+    supply = defaultdict(list)
+    demand = defaultdict(list)
+    lots = defaultdict(int)
+    for r in sorted(li, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber)):
+        (supply if r.l_returnflag == "R" else demand)[r.l_partkey].append(r.qty)
+    for pk, row in got.items():
+        s, d = supply[pk][:], demand[pk][:]
+        n_s, n_d = len(s), len(d)
+        matched = pairs = 0
+        i = 0
+        for need in d:
+            while need and i < len(s):
+                take = min(need, s[i])
+                if take:
+                    matched += take
+                    pairs += 1
+                need -= take
+                s[i] -= take
+                if s[i] == 0:
+                    i += 1
+        lots[pk] = pairs
+        assert row.matched_units == matched, pk
+        assert row.unfilled_units == sum(demand[pk]) - matched
+        assert row.unused_units == sum(supply[pk]) - matched
+        assert min(row.unfilled_units, row.unused_units) == 0
+        assert row.n_pairs <= n_s + n_d
+        assert row.n_pairs == pairs, pk
