@@ -349,3 +349,49 @@ def distributed_rank(
         .withColumn(rank_alias, _F.col("_off") + _F.col("_local"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def distributed_prefix_max(
+    df,
+    order_cols,
+    value_col: str,
+    scope_key,
+    n_parts: int = 32,
+    alias: str = "running_max",
+):
+    """Exact global running MAX over a total order without a
+    single-partition window — :func:`distributed_rank`'s TeraSort
+    pattern generalized to any associative reduce: range-partition on
+    the order, reduce each partition to its max, prefix-combine the
+    <= ``n_parts`` partition maxima in a tiny window, broadcast the
+    exclusive carry-in back, and run the real window locally per
+    partition. ``order_cols`` must be a total order."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", _F.spark_partition_id()
+    )
+    ranged = scoped_persist(scope_key, ranged)
+    off_w = _W.orderBy("_pid").rowsBetween(_W.unboundedPreceding, -1)
+    carry = (
+        ranged.groupBy("_pid")
+        .agg(_F.max(value_col).alias("_pmax"))
+        .select("_pid", _F.max("_pmax").over(off_w).alias("_carry"))
+    )
+    local_w = (
+        _W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_lmax", _F.max(value_col).over(local_w))
+        .join(_F.broadcast(carry), "_pid")
+        .withColumn(
+            alias,
+            _F.greatest(
+                _F.col("_lmax"), _F.coalesce(_F.col("_carry"), _F.col("_lmax"))
+            ),
+        )
+        .drop("_pid", "_lmax", "_carry")
+    )

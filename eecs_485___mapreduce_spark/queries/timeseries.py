@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dec, dsum
+from ..functions import dec, dsum, md5_long_sql
 from ..registry import register
 from ..sources import load_table
 
@@ -865,4 +865,89 @@ def sessionize_two_level_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("new_merged").cast("bigint").alias("n_sessions"),
         F.sum("value_sum").cast("double").alias("total_value"),
+    )
+
+
+# --------------------- watermark sizing audit (event-time disorder)
+
+WM_THRESH_A_S = 600
+WM_THRESH_B_S = 3600
+
+
+@register(
+    "watermark_lateness_audit",
+    tags=("timeseries", "window", "streaming-design"),
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec,
+             {md5_long_sql("'arr:' || CAST(event_id AS VARCHAR)")} AS arr
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, sec,
+             MAX(sec) OVER (ORDER BY arr, event_id) AS run_max
+      FROM e
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN run_max > sec THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disordered,
+           CAST(SUM(CASE WHEN run_max - sec > {WM_THRESH_A_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_600s,
+           CAST(SUM(CASE WHEN run_max - sec > {WM_THRESH_B_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_3600s,
+           CAST(MAX(run_max - sec) AS BIGINT) AS max_lateness_s
+    FROM r
+    GROUP BY 1
+    """,
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: per event type, how out-of-order the
+    stream actually is — events arriving after a later-timestamped
+    event already arrived, bucketed by how late ({a}s and {b}s
+    thresholds, i.e. would a 10-minute / 1-hour watermark drop them)
+    plus the maximum observed lateness. THE measurement that picks
+    ``withWatermark`` bounds for the streaming twins (streaming/
+    events.py): a watermark below max-lateness silently drops data, a
+    watermark far above it holds state longer than needed.
+
+    Arrival order: the synthetic corpus is generated in event-time
+    order (zero natural disorder), so the audit interleaves it with a
+    deterministic md5 permutation of event_id — the multi-source
+    shuffle-merge arrival model; a real deployment feeds its actual
+    ingest sequence column instead.
+
+    Scale (100 TB): the running maximum over the GLOBAL arrival order
+    uses ``functions.distributed_prefix_max`` — the TeraSort-offset
+    pattern generalized to an associative reduce (range shuffle on
+    arrival, per-partition max, <=32-row prefix-combine broadcast back
+    as carry-in, local windows) — never one ORDER BY window over the
+    corpus. The census is a |types|-row partial agg. The DuckDB oracle
+    uses the plain global window: same math, different physical plan.
+    """.format(a=WM_THRESH_A_S, b=WM_THRESH_B_S)
+    from ..functions import distributed_prefix_max, md5_long
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        md5_long(
+            F.concat(F.lit("arr:"), F.col("event_id").cast("string"))
+        ).alias("arr"),
+    )
+    r = distributed_prefix_max(
+        e, ["arr", "event_id"], "sec", ("wm.audit", sf_dir), alias="run_max"
+    )
+    late = F.col("run_max") - F.col("sec")
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late > 0, 1).otherwise(0)).cast("long").alias("n_disordered"),
+        F.sum(F.when(late > WM_THRESH_A_S, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_600s"),
+        F.sum(F.when(late > WM_THRESH_B_S, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_3600s"),
+        F.max(late).cast("long").alias("max_lateness_s"),
     )

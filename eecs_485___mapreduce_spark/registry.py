@@ -234,6 +234,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "lpa_communities_coorder",
     "stored_query_matches",
     "fifo_allocation_parts",
+    "watermark_lateness_audit",
 )
 
 

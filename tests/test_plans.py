@@ -734,3 +734,19 @@ def test_lpa_iteration_is_group_limit_not_full_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert_no_cartesian(df)
+
+
+def test_watermark_audit_running_max_is_range_partitioned(spark):
+    """The global arrival-order running max must come from the
+    TeraSort-offset pattern (range shuffle + per-partition-id windows
+    + broadcast carry), never one ORDER BY window over the corpus."""
+    from eecs_485___mapreduce_spark.queries.timeseries import (
+        watermark_lateness_audit,
+    )
+
+    df = watermark_lateness_audit(spark, SF_SMALL)
+    plan = physical_plan(df)
+    low = plan.lower()
+    assert "rangepartitioning" in low, plan
+    assert "hashpartitioning(_pid" in low, plan
+    assert_no_cartesian(df)
