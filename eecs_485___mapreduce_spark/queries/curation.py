@@ -1446,3 +1446,129 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("plen").alias("sum_norm_len"),
         F.sum("len").cast("long").alias("sum_raw_len"),
     )
+
+
+# ------------------- greedy coverage selection (submodular set cover)
+
+GREEDY_COVER_K = 3
+
+
+def _greedy_cover_oracle() -> str:
+    from .dedup import _SHINGLES
+
+    sql = """
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(list_filter({sh}, x -> x IS NOT NULL AND x <> ''))
+               AS term
+        FROM documents)
+    ),
+    g1 AS (SELECT doc_id, COUNT(*) AS gain FROM tok GROUP BY 1),
+    p1 AS MATERIALIZED (SELECT doc_id, gain FROM g1
+                        ORDER BY gain DESC, doc_id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM p1),
+    cov1 AS MATERIALIZED (SELECT DISTINCT term FROM tok JOIN p1 USING (doc_id))
+    """
+    for i in range(2, GREEDY_COVER_K + 1):
+        sql += f""",
+    g{i} AS (
+      SELECT t.doc_id, COUNT(*) AS gain FROM tok t
+      WHERE t.term NOT IN (SELECT term FROM cov{i - 1})
+        AND t.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+      GROUP BY 1
+    ),
+    p{i} AS MATERIALIZED (SELECT doc_id, gain FROM g{i}
+             ORDER BY gain DESC, doc_id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT doc_id FROM sel{i - 1}
+               UNION ALL SELECT doc_id FROM p{i}),
+    cov{i} AS MATERIALIZED (SELECT term FROM cov{i - 1}
+               UNION SELECT term FROM tok JOIN p{i} USING (doc_id))
+        """
+    sql += "\n" + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, doc_id, CAST(gain AS BIGINT) AS gain, "
+        f"(SELECT COUNT(*) FROM cov{i}) AS covered_total FROM p{i}"
+        for i in range(1, GREEDY_COVER_K + 1)
+    )
+    return sql.replace("{sh}", _SHINGLES)
+
+
+@register(
+    "greedy_coverage_selection",
+    tags=("curation", "iterative", "topk"),
+    oracle=_greedy_cover_oracle(),
+)
+def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick {k} documents, each
+    round taking the document adding the MOST yet-uncovered vocabulary
+    (ties -> smallest doc_id) — the classic (1 - 1/e)-approximate
+    submodular selection behind coverage-driven corpus subsetting
+    (select few docs spanning the most vocabulary/topics). Output per
+    round: the pick, its marginal gain, and cumulative coverage — a
+    diminishing-returns curve by construction.
+
+    Determinism: gains are exact distinct-term counts; the argmax
+    tie-break is total; unrolled rounds make the whole trajectory one
+    fixed dataflow the DuckDB CTEs replay exactly.
+
+    Scale (100 TB): per round ONE anti-join of the persisted distinct
+    (doc, term) relation against the covered-term set (itself bounded
+    by the selected docs' vocabularies, broadcast when small), one
+    partial-agg gain count, and a TakeOrdered limit(1) argmax
+    re-joined as a 1-row broadcast — zero driver data, the BPE
+    trainer's argmax discipline. K rounds = K bounded passes over the
+    SAME cached relation, never a growing lineage (per-round persists
+    truncate it).
+    """.format(k=GREEDY_COVER_K)
+    from .dedup import _shingle_relation
+
+    tok = scoped_persist(
+        ("cover.tok", sf_dir),
+        _shingle_relation(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.col("sh"), lambda x: x != F.lit(""))
+            ).alias("term"),
+        )
+        .distinct(),
+    )
+    selected: DataFrame | None = None
+    covered: DataFrame | None = None
+    rounds = []
+    for i in range(1, GREEDY_COVER_K + 1):
+        cand = tok
+        if selected is not None:
+            cand = cand.join(selected, "doc_id", "left_anti")
+        if covered is not None:
+            cand = cand.join(covered, "term", "left_anti")
+        pick = scoped_persist(
+            (f"cover.p{i}", sf_dir),
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1),
+        )
+        new_terms = tok.join(pick.select("doc_id"), "doc_id").select("term")
+        covered = scoped_persist(
+            (f"cover.c{i}", sf_dir),
+            new_terms
+            if covered is None
+            else covered.unionByName(new_terms).distinct(),
+        )
+        selected = (
+            pick.select("doc_id")
+            if selected is None
+            else selected.unionByName(pick.select("doc_id"))
+        )
+        cov_n = covered.agg(F.count(F.lit(1)).alias("covered_total"))
+        rounds.append(
+            pick.select(
+                F.lit(i).cast("long").alias("round"),
+                "doc_id",
+                F.col("gain").cast("long").alias("gain"),
+            ).crossJoin(F.broadcast(cov_n))
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions import canonical_text, dec, md5_long, md5_long_sql, scoped_persist, tokens
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, load_tables
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
 
@@ -1632,4 +1632,113 @@ def ivm_agg_retraction_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
         .orderBy("day")
+    )
+
+
+# --------------------- leakage-safe K-fold target encoding
+
+TENC_FOLDS = 5
+TENC_SMOOTH = 100  # m-estimate pseudo-count
+
+
+@register(
+    "target_encode_mktsegment",
+    tags=("mlprep", "agg", "join"),
+    oracle=f"""
+    WITH j AS (
+      SELECT c_mktsegment AS seg,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS t,
+             {md5_long_sql("'enc:' || CAST(o_orderkey AS VARCHAR)")}
+               % {TENC_FOLDS} AS fold
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    cell AS (SELECT seg, fold, COUNT(*) AS n, SUM(t) AS s
+             FROM j GROUP BY 1, 2),
+    cat AS (SELECT seg, SUM(n) AS n_cat, SUM(s) AS s_cat
+            FROM cell GROUP BY 1),
+    ftot AS (SELECT fold, SUM(n) AS n_fold, SUM(s) AS s_fold
+             FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n_tot, SUM(s) AS s_tot FROM cell)
+    SELECT seg AS c_mktsegment,
+           CAST(fold AS BIGINT) AS fold,
+           CAST(n AS BIGINT) AS n_infold,
+           CAST(n_cat - n AS BIGINT) AS n_oof,
+           ROUND(CAST(s_cat - s AS DOUBLE) / (n_cat - n), 6) AS oof_mean,
+           ROUND((CAST(s_cat - s AS DOUBLE)
+                  + {TENC_SMOOTH}.0
+                    * (CAST(s_tot - s_fold AS DOUBLE) / (n_tot - n_fold)))
+                 / (n_cat - n + {TENC_SMOOTH}.0), 6) AS oof_mean_smoothed
+    FROM cell JOIN cat USING (seg) JOIN ftot USING (fold) CROSS JOIN tot
+    """,
+)
+def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding of the customer market
+    segment against order value: each fold's encoding uses ONLY the
+    other folds' rows — out-of-fold category mean plus the m-estimate
+    smoothed variant (pseudo-count {m} toward the out-of-fold GLOBAL
+    mean) — the standard high-cardinality categorical feature without
+    target leakage (fold assignment = salted md5 of the order key, a
+    pure function of the data).
+
+    Exactness: every sum is DECIMAL-exact and the out-of-fold values
+    are algebraic complements (category total minus in-fold cell,
+    grand total minus fold total) — NO second pass over excluded rows;
+    the two final ratios are identical double expressions rounded to
+    1e-6 on both engines.
+
+    Scale (100 TB): ONE shuffle builds the (category, fold) cell
+    grid; category, fold, and grand totals are rollups of the
+    |categories| x K cells, never the fact stream; the encode-time
+    join back to rows is a broadcast of that same tiny grid. Adding
+    folds or categories never adds fact passes.
+    """.format(m=TENC_SMOOTH)
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    j = t["orders"].join(
+        t["customer"], F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        dec("o_totalprice").alias("t"),
+        (
+            md5_long(F.concat(F.lit("enc:"), F.col("o_orderkey").cast("string")))
+            % TENC_FOLDS
+        ).alias("fold"),
+    )
+    cell = j.groupBy("seg", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t").alias("s")
+    )
+    cat = cell.groupBy("seg").agg(
+        F.sum("n").alias("n_cat"), F.sum("s").alias("s_cat")
+    )
+    ftot = cell.groupBy("fold").agg(
+        F.sum("n").alias("n_fold"), F.sum("s").alias("s_fold")
+    )
+    tot = cell.agg(F.sum("n").alias("n_tot"), F.sum("s").alias("s_tot"))
+    oof_mean = F.round(
+        (F.col("s_cat") - F.col("s")).cast("double")
+        / (F.col("n_cat") - F.col("n")),
+        6,
+    )
+    prior = (F.col("s_tot") - F.col("s_fold")).cast("double") / (
+        F.col("n_tot") - F.col("n_fold")
+    )
+    smoothed = F.round(
+        (
+            (F.col("s_cat") - F.col("s")).cast("double")
+            + F.lit(float(TENC_SMOOTH)) * prior
+        )
+        / (F.col("n_cat") - F.col("n") + F.lit(float(TENC_SMOOTH))),
+        6,
+    )
+    return (
+        cell.join(cat, "seg")
+        .join(F.broadcast(ftot), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n").cast("long").alias("n_infold"),
+            (F.col("n_cat") - F.col("n")).cast("long").alias("n_oof"),
+            oof_mean.alias("oof_mean"),
+            smoothed.alias("oof_mean_smoothed"),
+        )
     )

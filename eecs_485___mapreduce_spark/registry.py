@@ -235,6 +235,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "stored_query_matches",
     "fifo_allocation_parts",
     "watermark_lateness_audit",
+    "target_encode_mktsegment",
+    "greedy_coverage_selection",
 )
 
 
