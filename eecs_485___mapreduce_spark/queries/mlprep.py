@@ -1703,8 +1703,14 @@ def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
             % TENC_FOLDS
         ).alias("fold"),
     )
-    cell = j.groupBy("seg", "fold").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("t").alias("s")
+    # The cell grid feeds FOUR consumers (itself + category/fold/grand
+    # rollups); without the persist barrier Catalyst re-runs the fact
+    # join once per branch — four corpus passes instead of one.
+    cell = scoped_persist(
+        ("tenc.cell", sf_dir),
+        j.groupBy("seg", "fold").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("t").alias("s")
+        ),
     )
     cat = cell.groupBy("seg").agg(
         F.sum("n").alias("n_cat"), F.sum("s").alias("s_cat")

@@ -750,3 +750,32 @@ def test_watermark_audit_running_max_is_range_partitioned(spark):
     assert "rangepartitioning" in low, plan
     assert "hashpartitioning(_pid" in low, plan
     assert_no_cartesian(df)
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Round-4 operators keep their documented shapes: the percolator
+    rule catalog broadcasts (never shuffles the token stream twice),
+    the FIFO staircase join is a real join (no cartesian), and target
+    encoding pays one fact shuffle plus cell-grid rollups only."""
+    from eecs_485___mapreduce_spark.queries.audit import fifo_allocation_parts
+    from eecs_485___mapreduce_spark.queries.ir import stored_query_matches
+    from eecs_485___mapreduce_spark.queries.mlprep import (
+        target_encode_mktsegment,
+    )
+
+    perc = stored_query_matches(spark, SF_SMALL)
+    assert_no_cartesian(perc)
+    c = _plan_counts(perc)
+    assert c["bhj"] >= 1, f"rule catalog must broadcast\n{c['plan']}"
+
+    fifo = fifo_allocation_parts(spark, SF_SMALL)
+    assert_no_cartesian(fifo)
+
+    enc = target_encode_mktsegment(spark, SF_SMALL)
+    plan = _plan_counts(enc)["plan"]
+    # the persisted cell grid: all four consumers (cell + category/
+    # fold/grand rollups) read the InMemory grid — without the persist
+    # barrier each branch re-ran the fact join (plan showed 4 live
+    # parquet joins; the remaining Scan parquet strings sit inside the
+    # cached relation's definition, not live subtrees)
+    assert plan.count("InMemoryTableScan") >= 4, plan
