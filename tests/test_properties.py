@@ -360,3 +360,41 @@ def test_jpeg_textured_reconstruction_bound_random(seed):
     _, _, _, px = decode_jpeg_gray(build_jpeg_textured(img))
     err = np.abs(px - img)
     assert err.max() < 50 and err.mean() < 8
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-1_000, max_value=1_000),
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=15, deadline=None)
+def test_distributed_prefix_max_equals_sequential(spark, rows, n_parts):
+    """functions.distributed_prefix_max (range shuffle + per-partition
+    reduce + broadcast carry-in) must equal the sequential running max
+    over the total order, for any data and partition count — including
+    n_parts=1 (no carry) and skewed key ranges."""
+    from eecs_485___mapreduce_spark.functions import (
+        distributed_prefix_max,
+        release_scope,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    scope = ("prop.prefixmax", f"n{n_parts}-{len(rows)}-{hash(tuple(rows))}")
+    got = {
+        r.k: r.running_max
+        for r in distributed_prefix_max(
+            df, ["k"], "v", scope, n_parts=n_parts
+        ).collect()
+    }
+    release_scope(scope[1])
+    run = None
+    for k, v in sorted(rows):
+        run = v if run is None else max(run, v)
+        assert got[k] == run, (k, v, run, got[k])
