@@ -721,3 +721,82 @@ def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
             )
             shutil.rmtree(changes, ignore_errors=True)
     return {"deleted": deleted, "kept": len(keep), "changes_deleted": changes_deleted}
+
+
+def txn_clone(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
+    """SHALLOW CLONE (the public Delta feature): create ``dst_dir`` as
+    a new table whose v0 references the SOURCE's live data files at
+    ``version`` (latest if None) — zero data copied, metadata-bounded
+    cost. The clone then evolves independently: its DML rewrites land
+    under its own data/ directory, and because ``txn_vacuum`` only
+    walks a table's OWN data root, vacuuming the clone can never
+    reclaim source files (and vice versa) — the documented caveat is
+    the other direction: vacuuming the SOURCE can delete files a clone
+    still references, so retention windows must cover live clones,
+    exactly as in Delta."""
+    if txn_history(dst_dir):
+        raise TxnConflict(f"clone target {dst_dir} already exists")
+    history = txn_history(src_dir)
+    if not history:
+        raise FileNotFoundError(f"no committed data in {src_dir}")
+    live = set(_live_files(src_dir, version))
+    rows_by_file: dict[str, int] = {}
+    for commit in history:
+        for entry in commit.get("add", []):
+            if entry["file"] in live:
+                rows_by_file[entry["file"]] = entry["rows"]
+    add = [
+        {"file": f, "rows": rows_by_file[f]} for f in sorted(rows_by_file)
+    ]
+    return _commit(
+        dst_dir,
+        {
+            "version": 0,
+            "op": "clone",
+            "add": add,
+            "remove": [],
+            "source": os.path.realpath(src_dir),
+            "source_version": version
+            if version is not None
+            else history[-1]["version"],
+        },
+    )
+
+
+def txn_restore(table_dir: str, version: int) -> dict:
+    """RESTORE (the public Delta feature): roll the table's LIVE state
+    back to ``version`` as a NEW commit — removes the current live set,
+    re-adds the target version's files — so history is preserved (the
+    restore itself is undoable) and no data is copied or deleted; the
+    restored files must still exist, i.e. vacuum retention must cover
+    the target version."""
+    history = txn_history(table_dir)
+    if not history:
+        raise FileNotFoundError(f"no committed data in {table_dir}")
+    if not any(c["version"] == version for c in history):
+        raise ValueError(f"version {version} not in {table_dir} history")
+    target = _live_files(table_dir, version)
+    missing = [f for f in target if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"restore target v{version} references vacuumed files: "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+        )
+    current = _live_files(table_dir)
+    rows_by_file: dict[str, int] = {}
+    for commit in history:
+        for entry in commit.get("add", []):
+            rows_by_file[entry["file"]] = entry["rows"]
+    new_version = history[-1]["version"] + 1
+    return _commit(
+        table_dir,
+        {
+            "version": new_version,
+            "op": "restore",
+            "add": [
+                {"file": f, "rows": rows_by_file[f]} for f in sorted(target)
+            ],
+            "remove": [f for f in current if f not in set(target)],
+            "restored_version": version,
+        },
+    )

@@ -671,3 +671,48 @@ def test_txnfeed_casts_narrow_files_to_declared_schema(spark, tmp_path):
     assert feed.count() == 10
     assert feed.schema["x"].dataType.simpleString() == "bigint"
     assert feed.agg(F.sum("x").alias("s")).collect()[0].s == sum(range(10))
+
+
+def test_shallow_clone_shares_files_then_diverges(spark, table, tmp_path):
+    """SHALLOW CLONE: zero data copied (the clone's v0 references the
+    source's live files), independent evolution afterwards, and
+    vacuuming the clone can never reclaim source files (it only walks
+    its own data root)."""
+    d, orders = table
+    c = str(tmp_path / "clone_tbl")
+    rec = txnlog.txn_clone(d, c)
+    assert rec["op"] == "clone" and rec["version"] == 0
+    assert set(txnlog._live_files(c)) == set(txnlog._live_files(d))
+    assert txnlog.read_snapshot(spark, c).count() == orders.count()
+    txnlog.txn_delete_where(spark, c, "o_orderkey % 2 = 0")  # clone diverges
+    assert txnlog.read_snapshot(spark, d).count() == orders.count()
+    txnlog.txn_vacuum(c, retain_versions=1)
+    assert txnlog.read_snapshot(spark, d).count() == orders.count()
+    # pinned-version clone reads that version's snapshot
+    c0 = str(tmp_path / "clone_v0")
+    txnlog.txn_clone(d, c0, version=0)
+    want_v0 = orders.where("o_orderkey < 750").count()
+    assert txnlog.read_snapshot(spark, c0).count() == want_v0
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.txn_clone(d, c0)  # target exists
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    """RESTORE: live state rolls back to the target version as a NEW
+    commit — history (including the restored-over states) stays
+    readable, the restore itself is undoable, and restoring past the
+    vacuum retention fails loudly instead of producing a snapshot of
+    missing files."""
+    d, orders = table
+    txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
+    n_after_del = txnlog.read_snapshot(spark, d).count()
+    rec = txnlog.txn_restore(d, 1)  # v3: pre-delete state again
+    assert rec["op"] == "restore" and rec["version"] == 3
+    assert txnlog.read_snapshot(spark, d).count() == orders.count()
+    assert txnlog.read_snapshot(spark, d, version=2).count() == n_after_del
+    txnlog.txn_restore(d, 2)  # v4: undo the restore
+    assert txnlog.read_snapshot(spark, d).count() == n_after_del
+    txnlog.txn_compact(spark, d, num_files=1)  # v5
+    txnlog.txn_vacuum(d, retain_versions=1)
+    with pytest.raises(FileNotFoundError):
+        txnlog.txn_restore(d, 1)
