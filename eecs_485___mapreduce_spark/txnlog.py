@@ -672,12 +672,15 @@ def snapshot_stats(table_dir: str, version: int | None = None) -> dict:
     The planning-phase numbers a 100 TB scan needs before it opens
     anything."""
     live = set(_live_files(table_dir, version))
-    rows = 0
+    # keyed by file, not summed per add entry: a RESTORE re-adds a
+    # previously-removed file, so the same file can carry add entries
+    # in two commits — it must count once.
+    rows_by_file: dict[str, int] = {}
     for commit in txn_history(table_dir):
         for entry in commit.get("add", []):
             if entry["file"] in live:
-                rows += entry["rows"]
-    return {"files": len(live), "rows": rows}
+                rows_by_file[entry["file"]] = entry["rows"]
+    return {"files": len(live), "rows": sum(rows_by_file.values())}
 
 
 def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
@@ -788,15 +791,22 @@ def txn_restore(table_dir: str, version: int) -> dict:
         for entry in commit.get("add", []):
             rows_by_file[entry["file"]] = entry["rows"]
     new_version = history[-1]["version"] + 1
+    # Only add files NOT currently live: a target file that survived to
+    # the present stays live by carry-forward, and re-adding it would
+    # DUPLICATE it in the log replay (caught by the model-based sweep:
+    # restore-to-current doubled every row).
+    current_set = set(current)
+    target_set = set(target)
     return _commit(
         table_dir,
         {
             "version": new_version,
             "op": "restore",
             "add": [
-                {"file": f, "rows": rows_by_file[f]} for f in sorted(target)
+                {"file": f, "rows": rows_by_file[f]}
+                for f in sorted(target_set - current_set)
             ],
-            "remove": [f for f in current if f not in set(target)],
+            "remove": [f for f in current if f not in target_set],
             "restored_version": version,
         },
     )

@@ -1,5 +1,5 @@
 """Model-based test of the transaction log: random DML sequences
-(append / delete / update / merge / compact) applied both to a real
+(append / delete / update / merge / compact / restore) applied both to a real
 txnlog table and to an in-memory Python model must agree after EVERY
 op — and time travel must reproduce every intermediate model state.
 
@@ -27,6 +27,7 @@ def _rows(pairs):
 
 # an op is a tuple: ("append", [(id, val), ...]) | ("delete", k, r)
 # | ("update", k, r, add) | ("merge", [(id, val), ...]) | ("compact",)
+# | ("restore", idx) — roll back to a uniformly chosen earlier version
 _batch = st.lists(
     st.tuples(st.integers(0, 30), st.integers(0, 5)), min_size=1, max_size=6
 ).map(lambda b: list({i: v for i, v in b}.items()))  # key-unique
@@ -39,6 +40,7 @@ _op = st.one_of(
     ),
     st.tuples(st.just("merge"), _batch),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("restore"), st.integers(0, 10)),
 )
 
 
@@ -88,8 +90,12 @@ def test_random_dml_sequences_match_in_memory_model(spark, tmp_path_factory, fir
                 num_files=2,
             )
             model.update(dict(op[1]))
-        else:
+        elif op[0] == "compact":
             txnlog.txn_compact(spark, d, num_files=1)
+        else:  # restore: roll back to a uniformly chosen prior version
+            target = op[1] % len(history)
+            txnlog.txn_restore(d, target)
+            model = dict(history[target])
         history.append(dict(model))
         if model:
             assert snap() == _rows(model.items()), f"diverged after {op}"
