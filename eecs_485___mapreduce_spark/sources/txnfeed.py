@@ -67,8 +67,14 @@ def _commit_files(commit: dict) -> list[tuple[str, str | None]]:
     import glob
     import os
 
-    if commit["op"] in ("create", "append"):
+    if commit["op"] in ("create", "append", "clone"):
         return [(e["file"], "insert") for e in commit.get("add", [])]
+    if commit["op"] == "restore":
+        # net file delta: re-added files emit their rows as inserts,
+        # removed files as deletes (txn_changes has the same rule)
+        return [(e["file"], "insert") for e in commit.get("add", [])] + [
+            (f, "delete") for f in commit.get("remove", [])
+        ]
     changes = commit.get("changes")
     if not changes:
         return []

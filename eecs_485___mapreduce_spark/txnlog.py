@@ -609,13 +609,34 @@ def txn_changes(
         v = commit["version"]
         if v < from_version or (to_version is not None and v > to_version):
             continue
-        if commit["op"] in ("create", "append"):
+        if commit["op"] in ("create", "append", "clone"):
             files = [e["file"] for e in commit["add"]]
             if files:
                 parts.append(
                     spark.read.option("mergeSchema", "true")
                     .parquet(*files)
                     .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+        elif commit["op"] == "restore":
+            # A restore's net change is exactly its file delta: rows of
+            # re-added files come back (insert), rows of removed files
+            # go away (delete) — both still on disk until vacuumed, the
+            # same retention coupling as the _changes directories.
+            files = [e["file"] for e in commit["add"]]
+            if files:
+                parts.append(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*files)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+            removed = commit.get("remove", [])
+            if removed:
+                parts.append(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*removed)
+                    .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v))
                 )
         elif commit.get("changes"):

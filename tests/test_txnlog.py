@@ -716,3 +716,55 @@ def test_restore_rolls_back_as_new_commit(spark, table):
     txnlog.txn_vacuum(d, retain_versions=1)
     with pytest.raises(FileNotFoundError):
         txnlog.txn_restore(d, 1)
+
+
+def test_cdf_replay_invariant_across_restore_and_clone(spark, table, tmp_path):
+    """The change feed must carry RESTORE as its net file delta and a
+    CLONE's v0 as inserts, preserving the replay invariant
+    snapshot(v) == snapshot(v-1) patched by feed(v) — an incremental
+    consumer that misses a rollback silently diverges forever."""
+    d, orders = table
+    cols = txnlog.read_snapshot(spark, d).columns
+    txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
+    txnlog.txn_restore(d, 1)  # v3: rollback
+
+    def patched(v):
+        base = txnlog.read_snapshot(spark, d, version=v - 1).select(*cols)
+        feed = txnlog.txn_changes(spark, d, v, v)
+        plus = feed.where("_change_type IN ('insert','update_postimage')").select(*cols)
+        minus = feed.where("_change_type IN ('delete','update_preimage')").select(*cols)
+        return base.unionByName(plus).exceptAll(minus)
+
+    for v in (2, 3):
+        got = patched(v)
+        want = txnlog.read_snapshot(spark, d, version=v).select(*cols)
+        assert got.exceptAll(want).count() == 0, f"v{v}"
+        assert want.exceptAll(got).count() == 0, f"v{v}"
+    # clone v0 appears in the clone's own feed as inserts
+    c = str(tmp_path / "cdf_clone")
+    txnlog.txn_clone(d, c)
+    feed0 = txnlog.txn_changes(spark, c, 0, 0)
+    assert feed0.where("_change_type = 'insert'").count() == orders.count()
+    # and the streaming source sees the restore delta identically
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    spark.dataSource.register(TxnFeedDataSource)
+    sink = str(tmp_path / "restore_feed_sink")
+    q = (
+        spark.readStream.format("txnfeed")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "restore_feed_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got3 = spark.read.parquet(sink).where("_commit_version = 3")
+    want3 = txnlog.txn_changes(spark, d, 3, 3)
+    for ct in ("insert", "delete"):
+        assert (
+            got3.where(f"_change_type = '{ct}'").count()
+            == want3.where(f"_change_type = '{ct}'").count()
+        ), ct
