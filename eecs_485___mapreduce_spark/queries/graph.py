@@ -689,3 +689,115 @@ def lpa_communities_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "community")
         .limit(LPA_TOPK)
     )
+
+
+# ------------------------------------ k-core peeling (graph cohesion)
+
+KCORE_K = 100
+KCORE_ROUNDS = 4
+
+_KCORE_PAIRS_SQL = """
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    e0 AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    )
+"""
+
+
+def _kcore_oracle() -> str:
+    sql = "WITH " + _KCORE_PAIRS_SQL
+    for i in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    d{i} AS (SELECT src AS node, COUNT(*) AS deg FROM e{i - 1} GROUP BY 1),
+    k{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
+    e{i} AS (
+      SELECT s.src, s.dst FROM e{i - 1} s
+      JOIN k{i} a ON s.src = a.node
+      JOIN k{i} b ON s.dst = b.node
+    )"""
+    sql += "\n" + "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, "
+        f"(SELECT COUNT(*) FROM k{i}) AS n_nodes, "
+        f"(SELECT COUNT(*) // 2 FROM e{i}) AS n_edges, "
+        f"(SELECT CAST(COALESCE(SUM(node), 0) AS BIGINT) FROM k{i}) "
+        f"AS sum_node"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return sql
+
+
+@register(
+    "kcore_peel_coorder",
+    tags=("graph", "join", "iterative"),
+    oracle=_kcore_oracle(),
+)
+def kcore_peel_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core peeling over the part co-order graph: repeatedly drop
+    nodes with fewer than {k} surviving neighbors ({r} unrolled
+    rounds) — the graph-cohesion primitive (dense-subgraph extraction,
+    spam/bot ring detection, community cores) complementing reach
+    (BFS/CC), centrality (PageRank/HITS), clustering (LPA), and local
+    density (triangles) in the shared co-order family. Census per
+    round: surviving nodes, surviving undirected edges, membership
+    checksum — the trajectory either stabilizes (a true {k}-core) or
+    collapses to empty, both meaningful.
+
+    Determinism: peeling is a pure function of the edge set (no
+    tie-breaks needed — the degree threshold keeps or drops every node
+    independently), so the unrolled CTEs replay it exactly.
+
+    Scale (100 TB): each round is one degree aggregation (partial agg
+    on the node key) plus one edge semi-filter via two equi-joins on
+    the shrinking survivor set (AQE broadcasts it as it shrinks) —
+    cost tracks surviving edges, monotonically non-increasing; the
+    per-round persist truncates lineage exactly like the BFS/LPA
+    siblings sharing this edge relation.
+    """.format(k=KCORE_K, r=KCORE_ROUNDS)
+    from .mining import coorder_pairs
+
+    pairs = coorder_pairs(spark, sf_dir)
+    edges = scoped_persist(
+        ("kcore.e0", sf_dir),
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+    )
+    censuses = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        keep = scoped_persist(
+            (f"kcore.k{i}", sf_dir),
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("node"),
+        )
+        edges = scoped_persist(
+            (f"kcore.e{i}", sf_dir),
+            edges.join(keep.withColumnRenamed("node", "src"), "src").join(
+                keep.withColumnRenamed("node", "dst"), "dst"
+            ),
+        )
+        n_nodes = keep.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias("sum_node"),
+        )
+        n_edges = edges.agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges")
+        )
+        censuses.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(i).cast("long").alias("round"),
+                "n_nodes",
+                "n_edges",
+                "sum_node",
+            )
+        )
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionByName(c)
+    return out

@@ -237,6 +237,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "watermark_lateness_audit",
     "target_encode_mktsegment",
     "greedy_coverage_selection",
+    "kcore_peel_coorder",
 )
 
 
