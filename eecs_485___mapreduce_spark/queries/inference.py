@@ -1781,3 +1781,147 @@ from ..registry import REGISTRY as _REG  # noqa: E402
 _REG["fdr_drift_decisions"].oracle = _REG["fdr_drift_decisions"].oracle.replace(
     "{KS}", _REG["ks_doclen_sources"].oracle
 )
+
+
+# ------------------------- UCB1 bandit replay (deterministic audit)
+
+UCB_ARMS = 3
+
+
+@register(
+    "ucb1_variant_replay",
+    tags=("inference", "window", "decision"),
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+             (CASE WHEN json_valid(props)
+                   THEN CAST(json_extract(props, '$.k') AS INTEGER) END)
+               % {UCB_ARMS} AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward
+      FROM events
+    ),
+    cells AS (
+      SELECT day, arm, COUNT(*) AS n, SUM(reward) AS r
+      FROM e WHERE arm IS NOT NULL GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM cells),
+    arms AS (SELECT DISTINCT arm FROM cells),
+    grid AS (
+      SELECT days.day, arms.arm,
+             COALESCE(cells.n, 0) AS n, COALESCE(cells.r, 0) AS r
+      FROM days CROSS JOIN arms
+      LEFT JOIN cells ON cells.day = days.day AND cells.arm = arms.arm
+    ),
+    cum AS (
+      SELECT day, arm,
+             SUM(n) OVER (PARTITION BY arm ORDER BY day) AS n_cum,
+             SUM(r) OVER (PARTITION BY arm ORDER BY day) AS r_cum
+      FROM grid
+    ),
+    daytot AS (
+      SELECT day, CAST(SUM(n_cum) AS BIGINT) AS big_n
+      FROM cum GROUP BY 1
+    ),
+    scored AS (
+      SELECT c.day, c.arm, c.n_cum, c.r_cum,
+             CASE WHEN c.n_cum > 0 THEN
+               CAST(ROUND(1000.0 * (CAST(c.r_cum AS DOUBLE) / c.n_cum
+                    + sqrt(2.0 * ln(CAST(d.big_n AS DOUBLE)) / c.n_cum)),
+                    0) AS BIGINT)
+             END AS ucb_milli
+      FROM cum c JOIN daytot d ON c.day = d.day
+    ),
+    ranked AS (
+      SELECT day, arm, n_cum, r_cum, ucb_milli,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY ucb_milli DESC, arm) AS rk
+      FROM scored WHERE ucb_milli IS NOT NULL
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(arm AS BIGINT) AS arm,
+           CAST(n_cum AS BIGINT) AS n_pulls,
+           CAST(r_cum AS BIGINT) AS n_rewards, ucb_milli
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ucb1_variant_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit replay: for every day, which experiment arm the
+    UCB1 policy (mean reward + sqrt(2 ln N / n) exploration bonus,
+    Auer et al. 2002) would pick next, replayed deterministically over
+    the event log — the offline policy audit run before wiring a live
+    bandit: it shows when the policy would have locked onto the best
+    arm and how often exploration flips the choice. Arms = props.k mod
+    {a}; reward = purchase.
+
+    Determinism: pulls/rewards are exact integer cumsums over the
+    dense (day, arm) grid (missing cells zero-filled by construction,
+    so cumulative alignment can't drift); the score is one double
+    expression on exact integers (ln/sqrt agree cross-engine on
+    identical inputs — package ln-ulp argument), quantized to milli
+    with the arm id as total tie-break.
+
+    Scale (100 TB): the event stream collapses to the (day, arm) cell
+    grid FIRST (one shuffle, map-side partial agg); everything after —
+    grid fill, per-arm cumsums, per-day totals, argmax — runs on the
+    |days| x |arms| relation. The ranked pick plans WindowGroupLimit.
+    """.format(a=UCB_ARMS)
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        (F.get_json_object("props", "$.k").cast("int") % UCB_ARMS).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("reward"),
+    )
+    cells = (
+        e.where(F.col("arm").isNotNull())
+        .groupBy("day", "arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("reward").alias("r"))
+    )
+    from ..functions import scoped_persist
+
+    cells = scoped_persist(("ucb.cells", sf_dir), cells)
+    grid = (
+        cells.select("day").distinct()
+        .crossJoin(F.broadcast(cells.select("arm").distinct()))
+        .join(cells, ["day", "arm"], "left")
+        .select(
+            "day", "arm",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+        )
+    )
+    wa = Window.partitionBy("arm").orderBy("day")
+    cum = grid.select(
+        "day", "arm",
+        F.sum("n").over(wa).alias("n_cum"),
+        F.sum("r").over(wa).alias("r_cum"),
+    )
+    daytot = cum.groupBy("day").agg(F.sum("n_cum").cast("long").alias("big_n"))
+    ucb = F.when(
+        F.col("n_cum") > 0,
+        F.round(
+            F.lit(1000.0)
+            * (
+                F.col("r_cum").cast("double") / F.col("n_cum")
+                + F.sqrt(
+                    F.lit(2.0)
+                    * F.log(F.col("big_n").cast("double"))
+                    / F.col("n_cum")
+                )
+            ),
+            0,
+        ).cast("long"),
+    )
+    scored = cum.join(daytot, "day").select(
+        "day", "arm", "n_cum", "r_cum", ucb.alias("ucb_milli")
+    )
+    wd = Window.partitionBy("day").orderBy(F.col("ucb_milli").desc(), "arm")
+    return (
+        scored.where(F.col("ucb_milli").isNotNull())
+        .withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n_cum").cast("long").alias("n_pulls"),
+            F.col("r_cum").cast("long").alias("n_rewards"),
+            "ucb_milli",
+        )
+    )

@@ -238,6 +238,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "target_encode_mktsegment",
     "greedy_coverage_selection",
     "kcore_peel_coorder",
+    "ucb1_variant_replay",
 )
 
 
