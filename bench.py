@@ -37,26 +37,46 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # median of 5 runs per query: the first run pays one-off
-    # codegen/JIT compile, so the median lands on a steady-state
-    # sample; the per-query spread (max-min across the runs) is
+    # median of 5 runs per query, INTERLEAVED round-robin: pass 1 runs
+    # every bench query once, then pass 2, ... pass n. The previous
+    # layout (5 consecutive samples per query) let one ambient-load
+    # burst sit on a single query's ENTIRE sample set — mins included —
+    # which is exactly what contaminated BENCH_r04 (q3/q5/q7 formed one
+    # contiguous elevated block while their code was unchanged).
+    # Interleaved, a burst of any duration shorter than a full pass
+    # lands on at most one sample per query, and the median shrugs it
+    # off. The first pass still pays one-off codegen/JIT, so the median
+    # lands on a steady-state sample; per-query spread (max-min) is
     # reported so a round-over-round delta smaller than the spread
-    # reads as noise, not regression. 5 (up from 3) because this host
-    # shows multi-second ambient load bursts from outside the process
-    # — with 3 samples one burst drags the median, with 5 it must hit
-    # three of five.
+    # reads as noise, not regression.
+    bench_queries = [(n, q) for n, q in all_queries().items() if q.bench]
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    def calibrate() -> float:
+        # Host-speed probe: a fixed pure-Python loop, immune to
+        # anything in the engine. This host's ambient speed swings
+        # ~2.4x on the hour (round-4 judge measurement: 0.617 during
+        # the driver run, 0.809 solo, 1.488 twenty minutes later), so
+        # bench numbers are only comparable at similar calibration.
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        return round(time.perf_counter() - t0, 3)
+
+    cal_before = calibrate()
+    all_samples: dict[str, list[float]] = {n: [] for n, _ in bench_queries}
+    for _ in range(n_runs):
+        for name, q in bench_queries:
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            all_samples[name].append(time.time() - t0)
+    cal_after = calibrate()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     mins: dict[str, float] = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    for name, q in all_queries().items():
-        if not q.bench:
-            continue
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.time() - t0)
+    for name, samples in all_samples.items():
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spreads[name] = round(samples[-1] - samples[0], 3)
@@ -66,19 +86,13 @@ def main() -> int:
 
     release_scope()
     total = round(sum(timings.values()), 3)
-    # Host-speed calibration: a fixed pure-Python loop, immune to
-    # anything in the engine. Round-over-round bench deltas should be
-    # read RELATIVE to this number — the host shows ±25% ambient drift
-    # between runs with identical code (observed round 4: totals of
-    # 14.4/14.8/18.4 s back-to-back), so a uniform shift across all
-    # queries tracks the calibration, while a real regression moves
-    # one query against it. queries_min (best of n) is the
-    # noise-floor estimator for the same reason.
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i * i
-    cpu_calibration_s = round(time.perf_counter() - t0, 3)
+    # Calibration is recorded BEFORE and AFTER the timed region: a
+    # drifting host is then visible in the artifact itself. Read
+    # round-over-round deltas RELATIVE to these numbers — a uniform
+    # shift across all queries tracks the calibration, while a real
+    # regression moves one query against it. queries_min (best of n)
+    # is the noise-floor estimator for the same reason.
+    cpu_calibration_s = cal_before
     print(
         json.dumps(
             {
@@ -93,6 +107,7 @@ def main() -> int:
                 "queries_min": mins,
                 "total_min": round(sum(mins.values()), 3),
                 "cpu_calibration_s": cpu_calibration_s,
+                "cpu_calibration_after_s": cal_after,
             }
         )
     )

@@ -55,72 +55,29 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # Round-4 window: the 50 oldest never-driver-rowed queries, promoted
-    # verbatim from the head of round 3's ROTATION_QUEUE (registration
-    # order = age). All were verified green via tools/driver_mimic.py at
-    # sf0.01 (and the sf0.1 sweep) when they were added.
-    "text_compression_census",
-    "dedup_ncd_verify",
-    "param_sql_high_value_orders",
-    "order_cadence_gaps",
-    "time_weighted_value_per_user",
-    "islands_user_activity_streaks",
-    "events_dow_hour_profile",
-    "events_session_dynamic_gap",
-    "sessionize_two_level_stitch",
-    "dq_constraints_orders",
-    "catalog_table_stats",
-    "twin_invoice_screen",
-    "functional_dependency_audit",
-    "revenue_reconciliation_audit",
-    "split_leakage_audit",
-    "pit_join_event_states",
-    "cohort_ltv_curve",
-    "source_token_budget_trim",
-    "budget_apportion_sources",
-    "stratified_kfold_assignment",
-    "curriculum_interleave_order",
-    "dedup_semantic_cells",
-    "dedup_lsh_recall_audit",
-    "text_novelty_census",
-    "bfs_hops_part_coorder",
-    "order_chain_recursive_cte",
-    "sssp_weighted_coorder",
-    "coorder_degree_powerlaw",
-    "isotonic_calibration_langid",
-    "chi2_returnflag_linestatus",
-    "sprt_conversion_hourly",
-    "anova_order_value_by_segment",
-    "welch_ttest_building_machinery",
-    "ks_doclen_sources",
-    "jsd_source_unigrams",
-    "ir_rrf_hybrid_topk",
-    "triangle_parts_coorder",
-    "text_distinctive_terms_llr",
-    "text_char_entropy",
-    "events_markov_transitions",
-    "hits_customer_part",
-    "text_bigram_surprisal",
-    "events_hourly_anomalies",
-    "zorder_orders_locality",
-    "ks_doclen_by_source",
-    "events_pivot_hourly_types",
-    "chi2_source_lang",
-    "attribution_first_last_touch",
-    "rfm_customer_segments",
-    "pareto_revenue_parts",
-)
-
-# Round-5 rotation queue — every registered query that has NO driver
-# row yet (r1/r2/r3 green rows in CORRECTNESS_r0*.json cover the rest;
-# the round-4 window above covers its 50). Round 5 rebuilds
-# DRIVER_ORDER_FIRST from the head of this queue (50 per round) and
-# rotates the remainder forward. Machine-checked:
-# tests/test_registry_order.py asserts every registered name is
-# windowed, prior-rowed, or queued — so a new query cannot silently
-# miss its future driver row. Queries added in round 4 are appended at
-# the tail as they land.
-ROTATION_QUEUE: tuple[str, ...] = (
+    # Round-5 window: 50 hash-checkable slots (rows-only entries are
+    # deliberately excluded — a no_oracle driver row verifies almost
+    # nothing, so those wait at the ROTATION_QUEUE tail). Highest-risk
+    # first, per the round-4 verdict: the txnlog trio (the ACID layer's
+    # only value-hash gate), all 8 multimodal codec oracles (hand-
+    # written decoders are the likeliest home of a latent bug), then
+    # containment / doc-cosine / FIFO; the rest is the queue head in
+    # registration-age order. All verified green via
+    # tools/driver_mimic.py at sf0.01 before this rotation.
+    "txnlog_dml_snapshot",
+    "txnlog_cdf_type_counts",
+    "txnlog_time_travel_counts",
+    "multimodal_image_headers",
+    "multimodal_audio_headers",
+    "multimodal_phash_neardup",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_pcm_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_gif_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
+    "dedup_containment_pairs",
+    "ir_doc_cosine_topk",
+    "fifo_allocation_parts",
     "hazard_view_to_purchase",
     "abtest_conversion_ztest",
     "laspeyres_price_index_monthly",
@@ -131,19 +88,10 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "encoding_advisor",
     "mannwhitney_doclen_sources",
     "did_order_value_building",
-    "pca_top_component_power",
     "blocks_contiguous_stream",
     "ivm_join_orders_customers",
     "consistent_hash_rebalance",
     "bigram_lm_doc_perplexity",
-    "multimodal_image_headers",
-    "multimodal_audio_headers",
-    "multimodal_phash_neardup",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_pcm_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_pixel_stats",
     "rtbf_delete_audit",
     "join_skew_profile",
     "pseudonymize_linkage",
@@ -166,6 +114,20 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "psi_value_drift_by_type",
     "ewma_user_value_recent",
     "bitmap_user_activity_days",
+)
+
+# Round-6 rotation queue — every registered query that has NO driver
+# row yet (r1-r4 green rows in CORRECTNESS_r0*.json cover the rest;
+# the round-5 window above covers its 50). Round 6 rebuilds
+# DRIVER_ORDER_FIRST from the head of this queue (50 per round) and
+# rotates the remainder forward. Machine-checked:
+# tests/test_registry_order.py asserts every registered name is
+# windowed, prior-rowed, or queued — so a new query cannot silently
+# miss its future driver row. The two never-rowed rows-only entries
+# (pca_top_component_power, similarity_topk_pq) are demoted to the
+# tail: a no_oracle driver row verifies almost nothing, so
+# hash-checkable queries go first (round-4 verdict, What's wrong #2).
+ROTATION_QUEUE: tuple[str, ...] = (
     "integrity_checksum_orders",
     "rolling_7d_distinct_users",
     "equidepth_buckets_orders",
@@ -183,7 +145,6 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "revenue_share_region_nation",
     "global_sort_orders",
     "orders_iso_week_profile",
-    "similarity_topk_pq",
     "acf_hourly_events",
     "cusum_changepoint_daily",
     "event_seq_regex",
@@ -222,23 +183,21 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "pacf_hourly_events",
     "hurst_rs_hourly",
     "fdr_drift_decisions",
-    # round-4 additions
+    # round-4 additions (minus the ones promoted into round 5's window)
     "q17_small_quantity_revenue",
-    "txnlog_dml_snapshot",
-    "txnlog_cdf_type_counts",
-    "txnlog_time_travel_counts",
-    "dedup_containment_pairs",
-    "ir_doc_cosine_topk",
     "t_closeness_audit",
     "quantile_normalize_doclen",
     "lpa_communities_coorder",
     "stored_query_matches",
-    "fifo_allocation_parts",
     "watermark_lateness_audit",
     "target_encode_mktsegment",
     "greedy_coverage_selection",
     "kcore_peel_coorder",
     "ucb1_variant_replay",
+    # rows-only tail (no_oracle driver rows verify almost nothing;
+    # these rotate in only after every hash-checkable query is rowed)
+    "pca_top_component_power",
+    "similarity_topk_pq",
 )
 
 

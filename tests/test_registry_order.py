@@ -58,6 +58,7 @@ def test_rotation_queue_covers_every_unrowed_query():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         p = os.path.join(root, f)
         if os.path.exists(p):
