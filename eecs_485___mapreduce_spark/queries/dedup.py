@@ -735,10 +735,29 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.30  # near-dup regime of this corpus (max ~0.47)
 
 
+def _semdedup_oracle() -> str:
+    from .similarity import KMEANS_FINAL, _cos_sql, _kmeans_sql_ctes
+
+    return f"""
+    WITH {_kmeans_sql_ctes()},
+    m AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM {KMEANS_FINAL}
+      WHERE v IS NOT NULL
+        AND list_sum(list_transform(v, x -> x * x)) > 0),
+    w AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND({_cos_sql("a.v", "b.v")}, 6) >= {SEMDEDUP_THRESHOLD}
+      GROUP BY b.vec_id)
+    SELECT m.vec_id, m.cell, (w.dup_of IS NULL) AS kept, w.dup_of
+    FROM m LEFT JOIN w ON m.vec_id = w.vec_id
+    """
+
+
 @register(
     "dedup_semantic_cells",
     tags=("dedup", "vector", "iterative"),
-    oracle=None,
+    oracle=_semdedup_oracle(),
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -755,9 +774,12 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     - every dropped row names a lower-id same-cell witness with
       sim >= theta (the minimum such id — an exact aggregate).
 
-    No oracle: the cell assignment is iterative (k-means), not
-    ANSI-SQL-expressible; the two invariants above plus the Lloyd
-    invariants stand in.
+    Hash-oracled (round-5 conversion): the k-means assignment is a
+    deterministic pure function of the data (md5 seeds, quantized-
+    integer centroid means), so the oracle unrolls the fixed Lloyd
+    iterations as DuckDB CTEs and replays the within-cell witness join
+    in SQL. The two invariants above plus the Lloyd invariants remain
+    pinned in tests as defense in depth.
 
     Scale (100 TB): the only corpus-size shuffles are k-means' one
     (cell, dim) update per iteration and the self-equi-join ON CELL —

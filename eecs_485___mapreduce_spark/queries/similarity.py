@@ -41,6 +41,40 @@ _COS_SQL = (
 )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions — the exact
+    engine-parity pattern proven by similarity_topk_cosine: both sides
+    fold element-wise in array order, and callers round to 6 decimals
+    before any compare/tiebreak."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _qmean_sql(src: str, keys: str, dim: int) -> str:
+    """DuckDB rendering of the quantized-integer centroid mean over
+    ``src`` (which must expose the group ``keys`` and a DOUBLE[] column
+    ``v``): per-(keys, pos) EXACT mean SUM(ROUND(val*1e6)) / (n*1e6),
+    re-assembled into a DOUBLE[] ordered by pos. Matches the Spark
+    side's quantized posexplode+sum bit-for-bit under ANY summation
+    order — integer sums are associative, so engine/partitioning
+    reorder cannot move the result (the mining.py:696 discipline
+    applied to centroids)."""
+    return f"""(
+      SELECT {keys}, list(cval ORDER BY pos) AS cvec FROM (
+        SELECT {keys}, pos,
+               CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS cval
+        FROM (SELECT {keys}, u.pos,
+                     CAST(ROUND(u.val * 1000000.0, 0) AS BIGINT) AS q
+              FROM {src},
+                   LATERAL (SELECT unnest(generate_series(1, {dim})) AS pos,
+                                   unnest(v) AS val) u)
+        GROUP BY {keys}, pos)
+      GROUP BY {keys})"""
+
+
 @register(
     "similarity_topk_cosine",
     bench=True,
@@ -136,7 +170,64 @@ def _band_key(sk: F.Column, band: int) -> F.Column:
     return F.shiftright(sk, band * BAND_BITS).bitwiseAND(F.lit((1 << BAND_BITS) - 1))
 
 
-@register("similarity_topk_lsh", tags=("similarity", "vector", "approx"), oracle=None)
+def _lsh_oracle() -> str:
+    """DuckDB replay of the SRP-LSH pipeline. The ±1 plane matrix is
+    md5-derived (no RNG), so it can be embedded as 32 constant DOUBLE[]
+    rows; sign bits, band keys, multi-probe flips, the (band, key)
+    candidate equi-join, and the exact-cosine re-rank are then plain
+    SQL. The only cross-engine float risk is a projection dot sitting
+    within accumulation error of 0.0 (numpy BLAS vs sequential fold) —
+    vanishingly rare for these magnitudes and absent at every tested
+    SF."""
+    plane_rows = ", ".join(
+        f"({p}, CAST([{', '.join(str(x) for x in row)}] AS DOUBLE[]))"
+        for p, row in enumerate(_deterministic_planes())
+    )
+    key = "(sk >> (band * {bb})) & {mask}".format(bb=BAND_BITS, mask=(1 << BAND_BITS) - 1)
+    flips = ", ".join(
+        f"xor({key}, {1 << i})" for i in range(BAND_BITS)
+    )
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    planes(p, pl) AS (VALUES {plane_rows}),
+    sk AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(t.v, planes.pl) > 0
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+                 AS sk
+      FROM vecs t CROSS JOIN planes GROUP BY vec_id),
+    bands AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band),
+    c_bands AS MATERIALIZED (
+      SELECT s.vec_id AS nid, bands.band, {key} AS key
+      FROM sk s CROSS JOIN bands),
+    q_probes AS (
+      SELECT s.vec_id AS qid, bands.band, f.key
+      FROM sk s CROSS JOIN bands,
+           LATERAL (SELECT unnest([{key}, {flips}]) AS key) f
+      WHERE s.vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.qid, c.nid
+      FROM c_bands c JOIN q_probes q ON c.band = q.band AND c.key = q.key
+      WHERE q.qid <> c.nid),
+    scored AS (
+      SELECT cand.qid, cand.nid, ROUND({_cos_sql("qv.v", "cv.v")}, 6) AS sim
+      FROM cand JOIN vecs cv ON cv.vec_id = cand.nid
+                JOIN vecs qv ON qv.vec_id = cand.qid)
+    SELECT qid, nid, sim, rk FROM (
+      SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_topk_lsh",
+    tags=("similarity", "vector", "approx"),
+    oracle=_lsh_oracle(),
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via signed random projection LSH with a
     BANDED, multi-probe candidate join.
@@ -148,9 +239,13 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the two on (band, key) — no per-query scan of the corpus
     anywhere in the plan; exact cosine re-ranks candidates only.
 
-    No oracle: approximate by construction. tests/test_similarity.py
-    asserts recall@10 vs the brute-force baseline (currently ~0.9 at
-    sf0.001; the pre-banded Hamming-filter formulation measured 0.86).
+    Hash-oracled (round-5 conversion): approximate in RECALL terms but
+    a deterministic pure function of the data — md5-derived planes,
+    integer band keys, rounded-cosine re-rank — so the oracle replays
+    the identical pipeline in SQL (see _lsh_oracle).
+    tests/test_similarity.py still asserts recall@10 vs the
+    brute-force baseline (currently ~0.9 at sf0.001; the pre-banded
+    Hamming-filter formulation measured 0.86).
 
     Scale: corpus cost is N_BANDS small (nid, band, int-key) rows per
     vector and one shuffle-free broadcast-hash-join against the probe
@@ -223,16 +318,14 @@ N_PROBE = 4
 def _centroids(emb: DataFrame) -> DataFrame:
     """Per-cell mean vector (the coarse quantizer codebook). At 100 TB
     the codebook comes from sampled k-means; here the stored ``label``
-    is the cell id and the codebook is its exact mean — computed
-    distributed (posexplode + avg), never on the driver."""
-    return (
-        emb.select("label", F.posexplode(as_double_array("embedding")).alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
-        .select("label", F.transform("s", lambda x: x["cval"]).alias("cvec"))
+    is the cell id and the codebook is its quantized-integer mean (see
+    _qmean_centroids — exact under any summation order, which is what
+    lets the IVF path carry a value-hash oracle) — computed
+    distributed (posexplode + partial agg), never on the driver."""
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        "label", as_double_array("embedding").alias("v")
     )
+    return _qmean_centroids(vecs, ["label"])
 
 
 def ivf_topk(
@@ -279,12 +372,45 @@ def ivf_topk(
     )
 
 
-@register("similarity_topk_ivf", tags=("similarity", "vector", "approx"), oracle=None)
+@register(
+    "similarity_topk_ivf",
+    tags=("similarity", "vector", "approx"),
+    oracle=f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS MATERIALIZED {_qmean_sql("vecs", "label", _DIM)},
+    q AS (SELECT vec_id AS qid, v AS qe FROM vecs WHERE vec_id < {N_QUERIES}),
+    probed AS (
+      SELECT qid, qe, label FROM (
+        SELECT q.qid, q.qe, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ROUND({_cos_sql("q.qe", "c.cvec")}, 6) DESC,
+                            c.label) AS cell_rk
+        FROM q CROSS JOIN cents c)
+      WHERE cell_rk <= {N_PROBE}),
+    scored AS (
+      SELECT p.qid, e.vec_id AS nid,
+             ROUND({_cos_sql("p.qe", "e.v")}, 6) AS sim
+      FROM probed p JOIN vecs e ON e.label = p.label AND e.vec_id <> p.qid)
+    SELECT qid, nid, sim, rk FROM (
+      SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= {TOP_K}
+    """,
+)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell-probe ANN at the default probe width. No oracle
-    (approximate by construction); tests/test_similarity.py asserts the
+    """IVF cell-probe ANN at the default probe width.
+
+    Hash-oracled even though the SEARCH is approximate: the operator
+    itself is a deterministic pure function of the data (quantized-
+    integer codebook means, rounded-cosine probe ranking with id
+    tiebreaks), so the oracle replays the same probe-then-rerank plan
+    in SQL. tests/test_similarity.py additionally asserts the
     exhaustive-probe limit equals brute force and measures recall at
-    the default."""
+    the default width."""
     return ivf_topk(spark, sf_dir)
 
 
@@ -372,6 +498,43 @@ KMEANS_K = 16
 KMEANS_ITERS = 3
 
 
+def _qmean_centroids(df: DataFrame, keys: list[str], vec_col: str = "v") -> DataFrame:
+    """Quantized-integer centroid means per ``keys``: each coordinate is
+    SUM(ROUND(val*1e6)) / (n*1e6) — an EXACT rational, identical under
+    any summation order on any engine (integer sums are associative),
+    then one IEEE double division. This is what makes the iterative
+    k-means/IVF family hash-oracle-able: a float AVG would drift at the
+    last ulp between Spark's partial-agg tree and DuckDB's scan order,
+    and three Lloyd iterations amplify any flipped assignment. The
+    1e-6 coordinate quantization is far below the synthetic corpus's
+    coordinate scale (~1.0), so cluster quality is unchanged
+    (tests/test_similarity.py's recall and Lloyd-invariant gates pin
+    that).
+
+    Scale: identical shuffle shape to the float-mean version — one
+    (keys..., pos) partial+final agg; the quantization is a codegen
+    projection on the map side."""
+    return (
+        df.select(*keys, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(*keys, "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 1_000_000.0, 0).cast("long")).alias("qsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            *keys,
+            "pos",
+            (
+                F.col("qsum").cast("double")
+                / (F.col("n").cast("double") * F.lit(1_000_000.0))
+            ).alias("cval"),
+        )
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
+        .select(*keys, F.transform("s", lambda x: x["cval"]).alias("cvec"))
+    )
+
+
 def kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -435,43 +598,104 @@ def kmeans_fit(
             .filter(F.col("rk") == 1)
             .drop("rk")
         )
-        cents = (
-            assign.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
-            .select("cell", F.transform("s", lambda x: x["cval"]).alias("cvec"))
-            .localCheckpoint()
-        )
+        cents = _qmean_centroids(assign, ["cell"]).localCheckpoint()
     return assign.select("vec_id", "cell", F.round("dist2", 6).alias("dist2"))
 
 
-@register("kmeans_assign_cells", tags=("similarity", "vector", "iterative"), oracle=None)
+def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB WITH-clause body replaying :func:`kmeans_fit` exactly:
+    md5-ranked seeds, then ``iters`` unrolled Lloyd iterations. Every
+    CTE is MATERIALIZED — the assignment chain references vecs/cents
+    multiply, and DuckDB re-evaluates plain CTEs per reference
+    (exponential blowup across an unrolled iteration chain).
+
+    Why a hash oracle is possible for an "iterative" operator at all:
+    (1) seeds are a pure md5 rank (no RNG); (2) centroids are
+    quantized-integer means (see :func:`_qmean_centroids`) — exact
+    rationals under any summation order; (3) distances fold over
+    bit-identical arrays in the same element order on both engines
+    (the similarity_topk_cosine pattern); (4) the only residual float
+    noise is under the final ROUND(dist2, 6)."""
+    from ..functions import md5_long_sql
+
+    d2 = (
+        "list_sum(list_transform(list_zip(t.v, c.cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    hkey = md5_long_sql("'kmeans:' || CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY hkey, vec_id) - 1 AS cell, v AS cvec
+      FROM (SELECT {hkey} AS hkey, vec_id, v
+            FROM vecs ORDER BY hkey, vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    assign{i} AS MATERIALIZED (
+      SELECT vec_id, v, cell, dist2 FROM (
+        SELECT vec_id, v, cell, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rk
+        FROM (SELECT t.vec_id, t.v, c.cell, {d2} AS dist2
+              FROM vecs t CROSS JOIN cents{i - 1} c))
+      WHERE rk = 1)""")
+        if i < iters:
+            ctes.append(
+                f"""
+    cents{i} AS MATERIALIZED {_qmean_sql(f"assign{i}", "cell", _DIM)}"""
+            )
+    return ",".join(ctes)
+
+
+KMEANS_FINAL = f"assign{KMEANS_ITERS}"
+
+
+@register(
+    "kmeans_assign_cells",
+    tags=("similarity", "vector", "iterative"),
+    oracle=f"""
+    WITH {_kmeans_sql_ctes()}
+    SELECT vec_id, cell, ROUND(dist2, 6) AS dist2 FROM {KMEANS_FINAL}
+    """,
+)
 def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cell assignment after KMEANS_ITERS Lloyd iterations.
-    No oracle (iterative, not ANSI-SQL-expressible); the unit tests
-    assert the Lloyd invariants instead: every vector is assigned to
-    its nearest centroid and the clustering objective is monotonically
-    non-increasing over iterations (tests/test_similarity.py)."""
+
+    Hash-oracled despite being iterative: the oracle UNROLLS the fixed
+    Lloyd iterations as DuckDB CTEs (see _kmeans_sql_ctes) — possible
+    because seeding is md5-ranked and centroids are exact quantized-
+    integer means, so the whole fit is a pure function of the data.
+    The Lloyd invariants (nearest-centroid assignment, monotone
+    objective) stay pinned in tests/test_similarity.py."""
     return kmeans_fit(spark, sf_dir)
 
 
-@register("kmeans_cell_profile", tags=("similarity", "vector", "iterative"), oracle=None)
+@register(
+    "kmeans_cell_profile",
+    tags=("similarity", "vector", "iterative"),
+    oracle=f"""
+    WITH {_kmeans_sql_ctes()}
+    SELECT cell, COUNT(*) AS n_members,
+           CAST(SUM(CAST(ROUND(ROUND(dist2, 6) * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS objective_micros
+    FROM {KMEANS_FINAL}
+    GROUP BY cell
+    """,
+)
 def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell summary of the k-means assignment: member count and the
-    rounded within-cell objective after the fixed KMEANS_ITERS
-    deterministic Lloyd iterations.
+    within-cell objective in exact integer micros after the fixed
+    KMEANS_ITERS deterministic Lloyd iterations.
 
-    The full assignment (kmeans_assign_cells) is rows-only by necessity
-    — iterative, not ANSI-SQL-expressible — so its driver row only
-    proves "500 rows came back". This derived profile tightens that:
-    the row count IS the number of non-empty cells (k = KMEANS_K at
-    every tested sf; seeding is deterministic, so the count is stable
-    round over round), giving the driver a small, meaningful invariant
-    to re-verify. The Lloyd invariants themselves (nearest-centroid
-    assignment, monotone objective) stay pinned in
-    tests/test_similarity.py.
+    The objective is reported as SUM of 1e6-quantized per-vector
+    distances (a BIGINT) rather than a float sum: integer sums are
+    order-independent, so the value hash cannot flake on aggregation
+    order — the same discipline as the centroid means. The Lloyd
+    invariants stay pinned in tests/test_similarity.py.
 
     Scale: one extra k-row aggregation over the assignment — free next
     to the fit itself.
@@ -479,14 +703,39 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_fit(spark, sf_dir)
     return assign.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.sum("dist2"), 4).alias("cell_objective"),
+        F.sum(F.round(F.col("dist2") * 1_000_000.0, 0).cast("long")).alias(
+            "objective_micros"
+        ),
     )
 
 
 @register(
     "similarity_topk_ivf_kmeans",
     tags=("similarity", "vector", "approx", "iterative"),
-    oracle=None,
+    oracle=f"""
+    WITH {_kmeans_sql_ctes()},
+    labeled AS MATERIALIZED (SELECT vec_id, v, cell FROM {KMEANS_FINAL}),
+    cellcents AS MATERIALIZED {_qmean_sql("labeled", "cell", _DIM)},
+    q AS (SELECT vec_id AS qid, v AS qe FROM labeled
+          WHERE vec_id < {N_QUERIES}),
+    probed AS (
+      SELECT qid, qe, cell FROM (
+        SELECT q.qid, q.qe, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ROUND({_cos_sql("q.qe", "c.cvec")}, 6) DESC,
+                            c.cell) AS cell_rk
+        FROM q CROSS JOIN cellcents c)
+      WHERE cell_rk <= {N_PROBE}),
+    scored AS (
+      SELECT p.qid, e.vec_id AS nid,
+             ROUND({_cos_sql("p.qe", "e.v")}, 6) AS sim
+      FROM probed p JOIN labeled e ON e.cell = p.cell AND e.vec_id <> p.qid)
+    SELECT qid, nid, sim, rk FROM (
+      SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= {TOP_K}
+    """,
 )
 def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the LEARNED k-means codebook instead of the stored
@@ -495,8 +744,12 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — the full IVF-Flat build path (train coarse quantizer ->
     assign -> probe) composed from the k-means and IVF pieces.
 
-    No oracle (iterative + approximate); tests assert recall@10 — it
-    matches the stored-label IVF's recall while probing a SMALLER
+    Hash-oracled (the round-5 conversion): the whole chain — md5
+    seeds, quantized-integer centroid means, rounded-cosine probe
+    ranking with id tiebreaks — is a deterministic pure function of
+    the data, so the oracle unrolls the k-means CTEs and replays the
+    probe-then-rerank plan in SQL. Tests additionally assert recall@10
+    — it matches the stored-label IVF's recall while probing a SMALLER
     corpus fraction (4 of 16 learned cells vs 4 of 10 labels), i.e.
     the learned codebook buys selectivity, not magic.
 
@@ -509,14 +762,7 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", as_double_array("embedding").alias("v"))
     labeled = vecs.join(assign, "vec_id")
 
-    cents = (
-        labeled.select("cell", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
-        .select("cell", F.transform("s", lambda x: x["cval"]).alias("cvec"))
-    )
+    cents = _qmean_centroids(labeled, ["cell"])
     q = labeled.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qe")
     )

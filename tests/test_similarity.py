@@ -132,7 +132,9 @@ def test_kmeans_cell_profile_consistent_with_assignment(spark):
     assert len(prof) == KMEANS_K
     assert sum(r.n_members for r in prof) == n_vecs
     total = assign.agg(F.sum("dist2")).collect()[0][0]
-    assert abs(sum(r.cell_objective for r in prof) - total) < 1e-2
+    # objective_micros is the exact integer sum of 1e6-quantized
+    # per-vector distances — order-independent, hence hash-oracle-safe.
+    assert abs(sum(r.objective_micros for r in prof) / 1e6 - total) < 1e-2
 
 
 def test_ivf_kmeans_recall(spark):
