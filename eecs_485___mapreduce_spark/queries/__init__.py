@@ -15,6 +15,10 @@ from . import (  # noqa: F401
     ir,
     lakehouse,
     mining,
+    mining_behavioral,
+    mining_graph,
+    mining_layout,
+    mining_text,
     mlprep,
     multimodal,
     pipeline,

@@ -206,7 +206,7 @@ def bfs_hops_part_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (the reference has no join operator);
     committed graph family, SURVEY.md section 2.B.
     """.format(hops=BFS_HOPS)
-    from .mining import coorder_pairs
+    from .mining_graph import coorder_pairs
 
     pairs = coorder_pairs(spark, sf_dir)
     sym = scoped_persist(
@@ -429,7 +429,7 @@ def sssp_weighted_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (the reference cannot iterate); committed
     graph family, SURVEY.md section 2.B.
     """.format(rounds=SSSP_ROUNDS)
-    from .mining import coorder_pair_counts
+    from .mining_graph import coorder_pair_counts
 
     counts = coorder_pair_counts(spark, sf_dir)
     wts = counts.select(
@@ -529,7 +529,7 @@ def coorder_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     the node key; the fit itself is a second agg to a single row. No
     sort, no window, nothing driver-side.
     """.format(dmin=POWERLAW_DMIN, half=POWERLAW_DMIN - 0.5)
-    from .mining import coorder_pairs
+    from .mining_graph import coorder_pairs
 
     pairs = coorder_pairs(spark, sf_dir)
     nodes = pairs.select(F.col("u").alias("node")).unionAll(
@@ -655,7 +655,7 @@ def lpa_communities_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (the reference has no join operator);
     committed graph family, SURVEY.md section 2.B.
     """.format(iters=LPA_ITERS, k=LPA_TOPK)
-    from .mining import coorder_pairs
+    from .mining_graph import coorder_pairs
 
     pairs = coorder_pairs(spark, sf_dir)
     sym = scoped_persist(
@@ -758,7 +758,7 @@ def kcore_peel_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round persist truncates lineage exactly like the BFS/LPA
     siblings sharing this edge relation.
     """.format(k=KCORE_K, r=KCORE_ROUNDS)
-    from .mining import coorder_pairs
+    from .mining_graph import coorder_pairs
 
     pairs = coorder_pairs(spark, sf_dir)
     edges = scoped_persist(

@@ -122,7 +122,7 @@ def test_powerlaw_alpha_matches_csn_estimator(spark):
         POWERLAW_DMIN,
         coorder_degree_powerlaw,
     )
-    from eecs_485___mapreduce_spark.queries.mining import coorder_pairs
+    from eecs_485___mapreduce_spark.queries.mining_graph import coorder_pairs
 
     r = coorder_degree_powerlaw(spark, SF_SMALL).collect()[0]
     pairs = coorder_pairs(spark, SF_SMALL).collect()

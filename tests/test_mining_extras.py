@@ -49,7 +49,7 @@ def test_fuzzy_join_blocking_has_zero_false_negatives(spark):
     all-pairs levenshtein <= K self-join (the oracle replays it in
     DuckDB; this pins the Spark side independently), and its plan must
     stay cartesian-free (the short-bucket fallback is broadcast-tiny)."""
-    from eecs_485___mapreduce_spark.queries.mining import (
+    from eecs_485___mapreduce_spark.queries.mining_text import (
         FUZZY_K,
         fuzzy_join_part_names,
     )
@@ -96,7 +96,7 @@ def test_itemcf_topk_is_window_group_limit_and_cosine_exact(spark):
     recomputed from raw (order, part) incidence."""
     from collections import Counter, defaultdict
 
-    from eecs_485___mapreduce_spark.queries.mining import (
+    from eecs_485___mapreduce_spark.queries.mining_graph import (
         itemcf_topk_similar_parts,
     )
 
@@ -128,7 +128,7 @@ def test_containment_prefix_filter_has_zero_false_negatives(spark):
     naive all-pairs containment >= t over the shingle sets: brute-force
     every ordered doc pair at sf0.001 and compare."""
     from eecs_485___mapreduce_spark.queries.dedup import _shingle_relation
-    from eecs_485___mapreduce_spark.queries.mining import (
+    from eecs_485___mapreduce_spark.queries.mining_text import (
         CONT_MILLI,
         dedup_containment_pairs,
     )

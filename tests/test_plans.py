@@ -359,14 +359,20 @@ def test_mining_family_no_cartesian_and_broadcast(spark):
     bucket occupancy / oriented wedge counts, never all-pairs); the
     OLS regression broadcasts both dims and shuffles the fact once."""
     from eecs_485___mapreduce_spark.queries.mining import (
-        dedup_prefix_filter_jaccard,
         events_hourly_anomalies,
-        events_markov_transitions,
-        hits_customer_part,
         regr_qty_price_by_nation,
+    )
+    from eecs_485___mapreduce_spark.queries.mining_behavioral import (
+        events_markov_transitions,
+    )
+    from eecs_485___mapreduce_spark.queries.mining_graph import (
+        hits_customer_part,
+        triangle_parts_coorder,
+    )
+    from eecs_485___mapreduce_spark.queries.mining_text import (
+        dedup_prefix_filter_jaccard,
         text_bigram_surprisal,
         text_distinctive_terms_llr,
-        triangle_parts_coorder,
     )
 
     for q in (
@@ -388,7 +394,7 @@ def test_llr_topk_is_window_group_limit(spark):
     (running top-k per partition), not a full sort of the scored
     (source x term) matrix."""
     from eecs_485___mapreduce_spark.plans import physical_plan
-    from eecs_485___mapreduce_spark.queries.mining import text_distinctive_terms_llr
+    from eecs_485___mapreduce_spark.queries.mining_text import text_distinctive_terms_llr
 
     assert "WindowGroupLimit" in physical_plan(
         text_distinctive_terms_llr(spark, SF_SMALL)
@@ -590,7 +596,7 @@ def test_zonemap_audit_rank_is_range_partitioned_not_single_window(spark):
     windows) — never from an NTILE/ORDER BY window pulling the whole
     orders relation through one partition. The only unpartitioned
     windows allowed are the two <=32-row offset prefix sums."""
-    from eecs_485___mapreduce_spark.queries.mining import zonemap_skipping_audit
+    from eecs_485___mapreduce_spark.queries.mining_layout import zonemap_skipping_audit
 
     plan = physical_plan(zonemap_skipping_audit(spark, SF_SMALL))
     low = plan.lower()
@@ -647,7 +653,7 @@ def test_session2_family_plans_cartesian_free(spark):
         theilsen_monthly_revenue,
         wasserstein_doclen_sources,
     )
-    from eecs_485___mapreduce_spark.queries.mining import (
+    from eecs_485___mapreduce_spark.queries.mining_graph import (
         itemcf_topk_similar_parts,
     )
     from eecs_485___mapreduce_spark.queries.mlprep import (
@@ -702,7 +708,7 @@ def test_q17_broadcasts_brand_dim_single_fact_join(spark):
 def test_containment_pairs_never_cross_join(spark):
     """Containment candidates come from the prefix-vs-index equi-join;
     an all-pairs plan would be quadratic in the corpus."""
-    from eecs_485___mapreduce_spark.queries.mining import dedup_containment_pairs
+    from eecs_485___mapreduce_spark.queries.mining_text import dedup_containment_pairs
 
     assert_no_cartesian(dedup_containment_pairs(spark, SF_SMALL))
 
