@@ -1243,6 +1243,46 @@ def text_compression_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_byte_mass_census",
+    tags=("text", "pipeline", "stats"),
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS raw_bytes,
+           CAST(MIN(strlen(COALESCE(text, ''))) AS BIGINT) AS min_doc_bytes,
+           CAST(MAX(strlen(COALESCE(text, ''))) AS BIGINT) AS max_doc_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_byte_mass_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable companion to ``text_compression_census``: the
+    census's deterministic non-deflate columns — per-source UTF-8 byte
+    mass and the per-document extremes — as exact SQL, so the
+    compression family gets a value-hash driver gate even though the
+    deflate column itself is rows-only (no SQL deflate exists; the
+    round-4 verdict asked for exactly this split). NULL text counts as
+    0 bytes, matching the deflate census's ``b""`` encoding of NULLs.
+
+    Scale (100 TB): pure scan -> per-source partial+final agg (the q1
+    shape); octet_length is a codegen projection — no UDF, no extra
+    pass over the corpus next to the deflate census it audits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nbytes = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        docs.select("source", nbytes.alias("nb"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("raw_bytes"),
+            F.min("nb").cast("bigint").alias("min_doc_bytes"),
+            F.max("nb").cast("bigint").alias("max_doc_bytes"),
+        )
+    )
+
+
 # ----------- filter-threshold sweep: stopword ratio as an en-detector
 
 _SWEEP_THRESHOLDS = tuple(range(0, 500, 50))  # milli-ratio cutoffs

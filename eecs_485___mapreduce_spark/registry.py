@@ -194,6 +194,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "greedy_coverage_selection",
     "kcore_peel_coorder",
     "ucb1_variant_replay",
+    # round-5 additions
+    "text_byte_mass_census",
     # rows-only tail (no_oracle driver rows verify almost nothing;
     # these rotate in only after every hash-checkable query is rowed)
     "pca_top_component_power",
