@@ -633,7 +633,60 @@ POWER_ITERS = 60  # eigengap on this corpus is ~0.93: need ~60 hops
 POWER_CHECKPOINT_EVERY = 10
 
 
-@register("pca_top_component_power", tags=("similarity", "iterative"), oracle=None)
+def _pca_oracle() -> str:
+    """DuckDB replay of the power iteration: the Gram relation is
+    integer-exact (embedding_gram_matrix's fixed-point oracle, reused
+    verbatim as a CTE), so both engines iterate from bit-identical
+    matrices; the 60 matvec+normalize hops unroll as MATERIALIZED CTE
+    pairs. Cross-engine float-sum order differs at the last ulp per
+    hop, but power iteration is CONTRACTIVE toward the dominant
+    eigenvector (eigengap ~0.93), so per-hop noise decays instead of
+    compounding — the final vectors agree far inside the ROUND(6) /
+    ROUND(3) output quantization (verified at sf0.001/0.01/0.1)."""
+    from ..registry import REGISTRY
+
+    gram_sql = REGISTRY["embedding_gram_matrix"].oracle
+    ctes = [
+        f"""
+    ut AS MATERIALIZED ({gram_sql}),
+    full_g AS MATERIALIZED (
+      SELECT i, j, CAST(gram AS DOUBLE) AS g FROM ut
+      UNION ALL
+      SELECT j AS i, i AS j, CAST(gram AS DOUBLE) AS g FROM ut WHERE i <> j),
+    v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, 1.0 AS x FROM full_g)"""
+    ]
+    for it in range(1, POWER_ITERS + 1):
+        ctes.append(f"""
+    w{it} AS MATERIALIZED (
+      SELECT f.i AS dim, SUM(f.g * v.x) AS wx
+      FROM full_g f JOIN v{it - 1} v ON f.j = v.dim GROUP BY f.i),
+    v{it} AS MATERIALIZED (
+      SELECT dim, wx / sqrt(SUM(wx * wx) OVER ()) AS x FROM w{it})""")
+    vf = f"v{POWER_ITERS}"
+    return f"""
+    WITH {",".join(ctes)},
+    lam AS (
+      SELECT SUM(xi.x * f.g * xj.x) AS eigenvalue
+      FROM full_g f
+      JOIN {vf} xj ON f.j = xj.dim
+      JOIN {vf} xi ON f.i = xi.dim),
+    anchor AS (
+      SELECT CASE WHEN ax > 0 THEN 1.0 WHEN ax < 0 THEN -1.0
+                  ELSE 0.0 END AS s
+      FROM (SELECT x AS ax FROM {vf}
+            ORDER BY abs(x) DESC, dim ASC LIMIT 1))
+    SELECT v.dim,
+           ROUND(v.x * a.s, 6) AS component,
+           ROUND(l.eigenvalue, 3) AS eigenvalue
+    FROM {vf} v CROSS JOIN anchor a CROSS JOIN lam l
+    """
+
+
+@register(
+    "pca_top_component_power",
+    tags=("similarity", "iterative"),
+    oracle=_pca_oracle(),
+)
 def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding Gram matrix by power
     iteration ({it} fixed iterations): v <- normalize(G v) — the
@@ -651,10 +704,13 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the largest-|component| dimension, lowest dim on ties, is made
     positive), so the result is reproducible run to run.
 
-    Rows-only by design (iterative float fixpoint — same class as
-    k-means/CC); tests/test_mlprep.py certifies against numpy's exact
-    eigendecomposition of the SAME matrix: |cosine| >= 0.999, Rayleigh
-    quotient within 1e-6 relative, unit norm.
+    Hash-oracled (round-5 conversion): the Gram input is integer-exact
+    in both engines and power iteration is contractive, so the oracle
+    unrolls the same {it} hops as DuckDB CTEs (see _pca_oracle) and the
+    outputs agree inside the ROUND quantization. tests/test_mlprep.py
+    additionally certifies against numpy's exact eigendecomposition of
+    the SAME matrix: |cosine| >= 0.999, Rayleigh quotient within 1e-6
+    relative, unit norm.
     """.format(it=POWER_ITERS)
     ut = embedding_gram_matrix(spark, sf_dir)
     full = scoped_persist(
