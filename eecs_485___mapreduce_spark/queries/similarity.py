@@ -53,7 +53,7 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _qmean_sql(src: str, keys: str, dim: int) -> str:
+def _qmean_sql(src: str, keys: str, dim: int, vcol: str = "v") -> str:
     """DuckDB rendering of the quantized-integer centroid mean over
     ``src`` (which must expose the group ``keys`` and a DOUBLE[] column
     ``v``): per-(keys, pos) EXACT mean SUM(ROUND(val*1e6)) / (n*1e6),
@@ -70,7 +70,7 @@ def _qmean_sql(src: str, keys: str, dim: int) -> str:
                      CAST(ROUND(u.val * 1000000.0, 0) AS BIGINT) AS q
               FROM {src},
                    LATERAL (SELECT unnest(generate_series(1, {dim})) AS pos,
-                                   unnest(v) AS val) u)
+                                   unnest({vcol}) AS val) u)
         GROUP BY {keys}, pos)
       GROUP BY {keys})"""
 
@@ -884,17 +884,12 @@ def pq_fit_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             .filter(F.col("rk") == 1)
             .drop("rk")
         )
-        book = (
-            assign.select("sub", "cell", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sub", "cell", "pos")
-            .agg(F.avg("val").alias("cval"))
-            .groupBy("sub", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
-            .select(
-                "sub", "cell", F.transform("s", lambda x: x["cval"]).alias("cvec")
-            )
-            .localCheckpoint()
-        )
+        # Quantized-integer centroid means (see _qmean_centroids): exact
+        # under any summation order, which is what lets PQ carry a
+        # value-hash oracle despite the iterative training.
+        book = _qmean_centroids(
+            assign.select("sub", "cell", F.col("sv").alias("v")), ["sub", "cell"]
+        ).localCheckpoint()
     # Final assignment against the FINAL codebook: the loop's last
     # `assign` predates the last centroid update, and ADC lookups
     # measure distances to the returned book — codes must be argmins
@@ -913,10 +908,101 @@ def pq_fit_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return book, codes
 
 
+def _pq_oracle() -> str:
+    """DuckDB replay of the full PQ-ADC pipeline: md5-ranked seeds,
+    PQ_ITERS quantized-integer Lloyd passes per subspace, final encode
+    against the final book, integer-micro ADC lookup sums, shortlist
+    cut, exact-cosine re-rank. Deterministic for the same reasons as
+    the k-means family (see _kmeans_sql_ctes); the unit-normalization
+    division is the one float step before quantization, shared
+    element-order on both engines."""
+    from ..functions import md5_long_sql
+
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    hkey = md5_long_sql("'pq:' || CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""
+    vecs AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_sum(list_transform(list_transform(embedding,
+                x -> CAST(x AS DOUBLE)), x -> x * x)) > 0),
+    units AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM vecs),
+    subs AS MATERIALIZED (
+      SELECT vec_id, m.sub,
+             list_slice(u, m.sub * {PQ_SUBDIM} + 1,
+                        m.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM units, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) m),
+    seed_ids AS MATERIALIZED (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY hkey, vec_id) - 1 AS cell
+      FROM (SELECT {hkey} AS hkey, vec_id
+            FROM vecs ORDER BY hkey, vec_id LIMIT {PQ_K})),
+    book0 AS MATERIALIZED (
+      SELECT s.sub, si.cell, s.sv AS cvec
+      FROM subs s JOIN seed_ids si USING (vec_id))"""
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        ctes.append(f"""
+    passign{i} AS MATERIALIZED (
+      SELECT vec_id, sub, sv, cell FROM (
+        SELECT t.vec_id, t.sub, t.sv, b.cell,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+                   ORDER BY {d2.format(a="t.sv", b="b.cvec")}, b.cell) AS rk
+        FROM subs t JOIN book{i - 1} b ON t.sub = b.sub)
+      WHERE rk = 1),
+    book{i} AS MATERIALIZED {_qmean_sql(f"passign{i}", "sub, cell", PQ_SUBDIM, "sv")}""")
+    bookf = f"book{PQ_ITERS}"
+    return f"""
+    WITH {",".join(ctes)},
+    codes AS MATERIALIZED (
+      SELECT vec_id AS nid, sub, cell AS code FROM (
+        SELECT t.vec_id, t.sub, b.cell,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+                   ORDER BY {d2.format(a="t.sv", b="b.cvec")}, b.cell) AS rk
+        FROM subs t JOIN {bookf} b ON t.sub = b.sub)
+      WHERE rk = 1),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS qid, q.sub, b.cell AS code,
+             CAST(ROUND({d2.format(a="q.sv", b="b.cvec")} * 1000000.0, 0)
+                  AS BIGINT) AS pd2
+      FROM subs q JOIN {bookf} b ON q.sub = b.sub
+      WHERE q.vec_id < {N_QUERIES}),
+    adc AS MATERIALIZED (
+      SELECT l.qid, c.nid, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE l.qid <> c.nid
+      GROUP BY l.qid, c.nid),
+    shortlist AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_d2, nid) AS srk
+        FROM adc)
+      WHERE srk <= {PQ_SHORTLIST}),
+    scored AS (
+      SELECT s.qid, s.nid, ROUND({_cos_sql("qv.v", "cv.v")}, 6) AS sim
+      FROM shortlist s
+      JOIN vecs cv ON cv.vec_id = s.nid
+      JOIN vecs qv ON qv.vec_id = s.qid)
+    SELECT qid, nid, sim, rk FROM (
+      SELECT qid, nid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= {TOP_K}
+    """
+
+
 @register(
     "similarity_topk_pq",
     tags=("similarity", "vector", "approx", "iterative"),
-    oracle=None,
+    oracle=_pq_oracle(),
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
@@ -928,7 +1014,10 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC candidates are re-ranked with exact cosine, which recovers
     most of the recall the 4-bit codes give up.
 
-    No oracle (iterative training + approximate by construction);
+    Hash-oracled (round-5 conversion): quantized-integer codebook
+    means plus integer-micro ADC sums make the whole train-encode-
+    scan-rerank chain a deterministic pure function of the data, so
+    the oracle replays it in SQL (see _pq_oracle).
     tests/test_similarity.py asserts recall@10 against brute force
     and that the output is exact-cosine-consistent on the shortlist.
 
@@ -950,9 +1039,15 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") < N_QUERIES), "vec_id", "qsv"
     ).withColumnRenamed("vec_id", "qid")
 
+    # LUT distances quantized to integer micros: the ADC candidate
+    # distance is then an exact BIGINT sum — order-independent, so the
+    # shortlist cut at rank PQ_SHORTLIST is identical on any engine
+    # (the same discipline as the centroid means).
     lut = q_subs.join(F.broadcast(book), "sub").select(
         "qid", "sub", F.col("cell").alias("code"),
-        _pq_d2(F.col("qsv"), F.col("cvec")).alias("pd2"),
+        F.round(_pq_d2(F.col("qsv"), F.col("cvec")) * 1_000_000.0, 0)
+        .cast("long")
+        .alias("pd2"),
     )
     adc = (
         codes.withColumnRenamed("vec_id", "nid")
