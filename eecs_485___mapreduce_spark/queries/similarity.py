@@ -190,7 +190,7 @@ def _lsh_oracle() -> str:
     return f"""
     WITH vecs AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
+      FROM embeddings WHERE {VALID_VEC_SQL}),
     planes(p, pl) AS (VALUES {plane_rows}),
     sk AS MATERIALIZED (
       SELECT vec_id,
@@ -254,7 +254,13 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     an UNBOUNDED query side the same plan holds with the probe side
     shuffled instead of broadcast — still an equi-join on (band, key).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_vector guard: a NULL embedding crashes np.stack inside the
+    # sketch UDF and a zero-norm vector hits ANSI divide-by-zero in the
+    # cosine re-rank — same hardening as the brute-force baseline
+    # (edge-embeddings harness).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
     vecs = emb.select(
         F.col("vec_id"),
         as_double_array("embedding").alias("v"),
@@ -343,7 +349,12 @@ def ivf_topk(
     shuffled once (on cell id) — the canonical IVF-Flat layout. On disk
     this pairs with partitionBy(cell) so probes prune files entirely.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_vector guard: zero-norm/NULL vectors hit ANSI
+    # divide-by-zero in the centroid and re-rank cosines — same
+    # hardening as the brute-force baseline (edge-embeddings harness).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
     cent = _centroids(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qe")
@@ -379,7 +390,7 @@ def ivf_topk(
     WITH vecs AS MATERIALIZED (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE {VALID_VEC_SQL}),
     cents AS MATERIALIZED {_qmean_sql("vecs", "label", _DIM)},
     q AS (SELECT vec_id AS qid, v AS qe FROM vecs WHERE vec_id < {N_QUERIES}),
     probed AS (
@@ -570,8 +581,13 @@ def kmeans_fit(
     # TakeOrderedAndProject — per-partition top-k then a k-row merge.
     # The row_number that assigns cell ids runs on the k-row result.
     hkey = md5_long(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string")))
+    # Seeds come from non-NULL vectors only: a NULL centroid would be a
+    # dead cell and, worse, a NULLS-ordering divergence between engines
+    # (Spark windows default NULLS FIRST, DuckDB NULLS LAST) — found by
+    # the edge-embeddings harness.
     seeds = (
-        vecs.select(hkey.alias("hkey"), "vec_id", "v")
+        vecs.filter(F.col("v").isNotNull())
+        .select(hkey.alias("hkey"), "vec_id", "v")
         .orderBy("hkey", "vec_id")
         .limit(k)
     )
@@ -591,7 +607,12 @@ def kmeans_fit(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        wmin = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cell"))
+        # NULLS LAST matches DuckDB's ASC default: a NULL-vector row's
+        # all-NULL distances then tie-break on cell id identically in
+        # both engines (edge-embeddings harness).
+        wmin = Window.partitionBy("vec_id").orderBy(
+            F.asc_nulls_last("dist2"), F.col("cell")
+        )
         assign = (
             joined.select("vec_id", "v", "cell", d2.alias("dist2"))
             .withColumn("rk", F.row_number().over(wmin))
@@ -631,7 +652,8 @@ def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     cents0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY hkey, vec_id) - 1 AS cell, v AS cvec
       FROM (SELECT {hkey} AS hkey, vec_id, v
-            FROM vecs ORDER BY hkey, vec_id LIMIT {k}))"""
+            FROM vecs WHERE v IS NOT NULL
+            ORDER BY hkey, vec_id LIMIT {k}))"""
     ]
     for i in range(1, iters + 1):
         ctes.append(f"""
@@ -714,7 +736,10 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "vector", "approx", "iterative"),
     oracle=f"""
     WITH {_kmeans_sql_ctes()},
-    labeled AS MATERIALIZED (SELECT vec_id, v, cell FROM {KMEANS_FINAL}),
+    labeled AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM {KMEANS_FINAL}
+      WHERE v IS NOT NULL
+        AND list_sum(list_transform(v, x -> x * x)) > 0),
     cellcents AS MATERIALIZED {_qmean_sql("labeled", "cell", _DIM)},
     q AS (SELECT vec_id AS qid, v AS qe FROM labeled
           WHERE vec_id < {N_QUERIES}),
@@ -758,7 +783,13 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join-on-cell shape as ivf_topk.
     """
     assign = kmeans_fit(spark, sf_dir).select("vec_id", "cell")
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_vector guard on the scored side (the k-means fit itself is
+    # L2-based and handles NULL/zero rows): zero-norm/NULL vectors hit
+    # ANSI divide-by-zero in the probe/re-rank cosines
+    # (edge-embeddings harness).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(as_double_array("embedding"))
+    )
     vecs = emb.select("vec_id", as_double_array("embedding").alias("v"))
     labeled = vecs.join(assign, "vec_id")
 

@@ -339,6 +339,18 @@ EDGE_EMBEDDING_QUERIES = [
     "embedding_array_stats",
     "embedding_quantize_int8",
     "embedding_gram_matrix",
+    # round-5 additions: the whole converted iterative/ANN family runs
+    # against its unrolled-SQL oracle on the edge vectors too — this
+    # caught the NULL-seed centroid ordering divergence (Spark windows
+    # default NULLS FIRST vs DuckDB NULLS LAST) and the un-guarded
+    # zero-norm cosine in the LSH/IVF paths.
+    "kmeans_assign_cells",
+    "kmeans_cell_profile",
+    "dedup_semantic_cells",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
+    "similarity_topk_pq",
 ]
 
 
