@@ -137,6 +137,34 @@ def test_kmeans_cell_profile_consistent_with_assignment(spark):
     assert abs(sum(r.objective_micros for r in prof) / 1e6 - total) < 1e-2
 
 
+def test_qmean_centroids_partition_invariant(spark):
+    """The claim that makes the iterative family hash-oracle-able:
+    quantized-integer centroid means are EXACT — bit-identical under
+    any partitioning / summation order. Compute the same centroids on
+    a 1-partition and a 32-partition layout of the corpus and require
+    float equality, not tolerance."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.functions import as_double_array
+    from eecs_485___mapreduce_spark.queries.similarity import _qmean_centroids
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "label", as_double_array("embedding").alias("v")
+    )
+    one = {
+        r.label: r.cvec
+        for r in _qmean_centroids(emb.repartition(1), ["label"]).collect()
+    }
+    many = {
+        r.label: r.cvec
+        for r in _qmean_centroids(emb.repartition(32), ["label"]).collect()
+    }
+    assert one.keys() == many.keys()
+    for label in one:
+        assert one[label] == many[label], f"label {label}: centroid drifted"
+
+
 def test_ivf_kmeans_recall(spark):
     """IVF over the learned k-means codebook: probing 4 of 16 learned
     cells (25% of the corpus) must recover a nontrivial share of true
