@@ -558,6 +558,19 @@ import math
 
 import numpy as np
 
+# Decompression-bomb guard shared by every pixel decoder: a corrupt
+# or adversarial payload can DECLARE dimensions (PNG IHDR uint32, JPEG
+# SOF uint16, GIF LSD uint16) wildly larger than the data it carries,
+# and a crafted compressed stream can expand far beyond its wire size
+# (zlib up to ~1032x, GIF LZW up to ~4096 bytes per 12-bit code). At
+# crawl scale some payloads WILL be hostile, and the failure mode must
+# be a NULL row — never an unbounded allocation (a 65535x65535 JPEG
+# SOF would otherwise ask numpy for 3 x 34 GB planes and kill the
+# executor with an uncaught MemoryError). Decoders reject any image
+# declaring more than this many pixels, and bound every inflate to
+# the size the declared dimensions imply.
+MAX_DECODE_PIXELS = 1 << 24  # 16.7M px (~4096x4096) >> any test raster
+
 # Deterministic raster: pixel k (top-down row-major) of document d has
 # channels B=(d+k)%256, G=(d+k+85)%256, R=(d+k+170)%256 — chosen so a
 # SQL oracle can regenerate every pixel with unnest(range(w*h)).
@@ -907,9 +920,15 @@ def decode_png_pixels(payload: bytes) -> tuple | None:
             i += 12 + length
         if w is None or not idat:
             return None
-        raw = zlib.decompress(bytes(idat))
+        if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+            return None  # PNG spec minimum is 1x1; cap vs header bombs
         bpp, row_len = 3, 3 * w
-        if len(raw) != h * (1 + row_len):
+        expected = h * (1 + row_len)
+        # Bounded inflate: ask for at most expected+1 bytes so a
+        # zlib bomb (tiny IDAT, huge plaintext) stops at the cap
+        # instead of materializing its full expansion.
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        if len(raw) != expected:
             return None
         prior = [0] * row_len
         rows = []
@@ -1052,9 +1071,15 @@ def lzw_encode(indices: bytes, min_code_size: int = GIF_MIN_CODE) -> bytes:
     return bytes(by)
 
 
-def lzw_decode(data: bytes, min_code_size: int = GIF_MIN_CODE) -> bytes:
+def lzw_decode(
+    data: bytes, min_code_size: int = GIF_MIN_CODE, max_out: int | None = None
+) -> bytes:
     """Inverse of :func:`lzw_encode` — raises ValueError on truncated
-    or ill-formed streams (callers surface that as a NULL row)."""
+    or ill-formed streams (callers surface that as a NULL row).
+
+    ``max_out`` bounds the decoded length: LZW expands up to ~4096
+    bytes per 12-bit code, so an adversarial stream must stop at the
+    raster size the GIF header declares, not at its full expansion."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     nbits = len(data) * 8
     pos = 0
@@ -1099,6 +1124,8 @@ def lzw_decode(data: bytes, min_code_size: int = GIF_MIN_CODE) -> bytes:
         else:
             raise ValueError("bad LZW code")
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZW output exceeds declared raster size")
         prev = entry
 
 
@@ -1173,6 +1200,8 @@ def decode_gif_indices(payload: bytes) -> tuple | None:
         if iflags & 0xC0:  # local color table / interlace unsupported
             return None
         i += 10
+        if iw == 0 or ih == 0 or iw * ih > MAX_DECODE_PIXELS:
+            return None  # header bomb: dims the data cannot back
         min_code = payload[i]
         i += 1
         lzw = bytearray()
@@ -1180,7 +1209,7 @@ def decode_gif_indices(payload: bytes) -> tuple | None:
             size = payload[i]
             lzw += payload[i + 1 : i + 1 + size]
             i += 1 + size
-        indices = lzw_decode(bytes(lzw), min_code)
+        indices = lzw_decode(bytes(lzw), min_code, max_out=iw * ih)
         if len(indices) != iw * ih:
             return None
         ix = np.frombuffer(indices, np.uint8).reshape(ih, iw)
@@ -1609,9 +1638,20 @@ def decode_jpeg_baseline(payload: bytes) -> tuple | None:
             i += 2 + ln
         if entropy_start is None or w is None or not comp_ids:
             return None
+        if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+            # A 2-byte SOF field can declare 65535x65535: three ~34 GB
+            # float64 planes. Reject before any allocation.
+            return None
         if any(tq not in qt for tq in comp_qs) or any(
             cid not in sels for cid in comp_ids
         ):
+            return None
+        if any(
+            sels[cid][0] not in dc_tabs or sels[cid][1] not in ac_tabs
+            for cid in comp_ids
+        ):
+            # A corrupt SOS can select a huffman table no DHT defined
+            # (fuzz-caught: KeyError escaped the except clause).
             return None
         j = entropy_start
         while j + 1 < len(payload) and not (
