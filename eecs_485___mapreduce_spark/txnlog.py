@@ -13,12 +13,15 @@ This module is that idea on the engine's own manifested-parquet
 substrate (sinks.py):
 
 - ``table_dir/_txnlog/00000000.json`` … — one JSON commit per version,
-  created with O_CREAT|O_EXCL: the filesystem's atomic put-if-absent
-  is the whole concurrency-control protocol (optimistic: two writers
-  racing to the same version — exactly one wins, the loser gets
-  ``TxnConflict`` and retries on the new snapshot). This is Delta's
-  documented protocol (log + atomic rename); on an object store the
-  same role is played by a conditional PUT.
+  published by write-temp + fsync + atomic hard-link: the link is the
+  filesystem's atomic put-if-absent and the whole concurrency-control
+  protocol (optimistic: two writers racing to the same version —
+  exactly one wins, the loser gets ``TxnConflict`` and retries on the
+  new snapshot), and the temp stage means a writer killed mid-write
+  leaves an inert ``*.tmp-*`` file rather than a torn version file
+  that would wedge the log. This is Delta's documented protocol
+  (log + atomic rename); on an object store the same role is played
+  by a conditional PUT.
 - data files live under ``table_dir/data/v{N}-{op}/`` — immutable,
   uniquely owned by their commit, so a crashed writer leaves only an
   ORPHAN directory no commit references: invisible to every reader,
@@ -50,6 +53,7 @@ SURVEY.md section 2.B sinks/storage family.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
@@ -103,19 +107,38 @@ def _live_files(table_dir: str, version: int | None = None) -> list[str]:
 
 
 def _commit(table_dir: str, record: dict) -> dict:
-    """Atomically publish one commit: O_CREAT|O_EXCL on the version
-    file is the put-if-absent that makes exactly one writer win."""
+    """Atomically publish one commit: the payload is written and
+    fsynced to a writer-private temp name FIRST, then hard-linked to
+    the version file. ``os.link`` is the put-if-absent that makes
+    exactly one writer win, and — unlike writing into an O_EXCL fd —
+    a writer killed mid-write leaves only an inert temp file, never a
+    torn ``NNNNNNNN.json`` that would claim the version slot and break
+    every subsequent log replay. The temp suffix keeps it outside the
+    ``*.json`` glob readers use."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     path = _commit_path(table_dir, record["version"])
     payload = json.dumps(record, sort_keys=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        os.link(tmp, path)
     except FileExistsError as exc:
         raise TxnConflict(
             f"version {record['version']} already committed in {table_dir}"
         ) from exc
-    with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
+    except FileNotFoundError as exc:
+        # A concurrent txn_vacuum reclaimed the temp before the link
+        # landed; same remedy as losing the version race — retry.
+        raise TxnConflict(
+            f"commit temp for version {record['version']} reclaimed "
+            f"by a concurrent vacuum in {table_dir}; retry"
+        ) from exc
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
     return record
 
 
@@ -744,6 +767,13 @@ def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
                 glob.glob(os.path.join(changes, "*.parquet"))
             )
             shutil.rmtree(changes, ignore_errors=True)
+    # A writer killed between temp-write and link leaves an inert
+    # ``NNNNNNNN.json.tmp-*``; it references nothing, so vacuum is the
+    # natural reclaim point. A LIVE writer's temp is exposed for at
+    # most the instant before its link — and losing the race there
+    # surfaces as the same TxnConflict retry as losing the link itself.
+    for stale in glob.glob(os.path.join(_log_dir(table_dir), "*.json.tmp-*")):
+        os.unlink(stale)
     return {"deleted": deleted, "kept": len(keep), "changes_deleted": changes_deleted}
 
 

@@ -768,3 +768,75 @@ def test_cdf_replay_invariant_across_restore_and_clone(spark, table, tmp_path):
             got3.where(f"_change_type = '{ct}'").count()
             == want3.where(f"_change_type = '{ct}'").count()
         ), ct
+
+
+def test_torn_commit_temp_never_wedges_the_log(spark, table, monkeypatch):
+    """A writer killed between temp-write and link must leave the
+    table fully usable: the log still replays, the claimed-looking
+    version is still winnable by the next writer, and vacuum reclaims
+    the inert temp. (The previous O_EXCL+write publish left a torn
+    version file that broke every subsequent txn_history parse AND
+    permanently claimed the slot.)"""
+    d, orders = table
+    total = txnlog.read_snapshot(spark, d).count()
+
+    # Simulate the kill: crash inside the temp write, before the link.
+    def boom(fd):
+        raise RuntimeError("writer killed mid-publish")
+
+    monkeypatch.setattr(txnlog.os, "fsync", boom)
+    with pytest.raises(RuntimeError):
+        txnlog.txn_append(orders.limit(5), d)
+    monkeypatch.undo()
+
+    log_dir = os.path.join(d, txnlog.TXNLOG_DIR)
+    torn = glob.glob(os.path.join(log_dir, "*.json.tmp-*"))
+    assert torn, "the crash left its temp behind"
+    # the log replays, reads work, and version 2 is still available
+    assert [c["version"] for c in txnlog.txn_history(d)] == [0, 1]
+    assert txnlog.read_snapshot(spark, d).count() == total
+    commit = txnlog.txn_append(orders.limit(5), d)
+    assert commit["version"] == 2
+    assert txnlog.read_snapshot(spark, d).count() == total + 5
+    # vacuum reclaims the inert temp
+    txnlog.txn_vacuum(d, retain_versions=10)
+    assert glob.glob(os.path.join(log_dir, "*.json.tmp-*")) == []
+
+
+def test_published_commit_files_are_always_complete_json(spark, table):
+    """Every file the ``*.json`` glob can see must parse — the publish
+    protocol guarantees torn payloads are structurally impossible in
+    the reader's namespace (they live under ``*.json.tmp-*``)."""
+    import json as _json
+
+    d, orders = table
+    txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 3", num_files=1)
+    txnlog.txn_compact(spark, d, num_files=1)
+    log_dir = os.path.join(d, txnlog.TXNLOG_DIR)
+    files = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    assert len(files) == 4
+    for p in files:
+        with open(p) as fh:
+            record = _json.load(fh)  # parse must never raise
+        assert {"version", "op"} <= set(record)
+
+
+def test_vacuum_temp_race_surfaces_as_retryable_conflict(spark, table, monkeypatch):
+    """If a concurrent vacuum reclaims the temp in the instant before
+    the link, the writer gets TxnConflict (retry), not an anonymous
+    FileNotFoundError."""
+    d, orders = table
+
+    real_link = txnlog.os.link
+
+    def link_after_vacuum(src, dst):
+        os.unlink(src)  # the concurrent vacuum wins the instant
+        return real_link(src, dst)
+
+    monkeypatch.setattr(txnlog.os, "link", link_after_vacuum)
+    with pytest.raises(txnlog.TxnConflict, match="vacuum"):
+        txnlog.txn_append(orders.limit(5), d)
+    monkeypatch.undo()
+    # the table is untouched and the next attempt wins normally
+    assert [c["version"] for c in txnlog.txn_history(d)] == [0, 1]
+    assert txnlog.txn_append(orders.limit(5), d)["version"] == 2
