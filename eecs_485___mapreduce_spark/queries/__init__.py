@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     dedup,
     graph,
     inference,
+    inference_order,
     ir,
     lakehouse,
     mining,
@@ -20,11 +21,13 @@ from . import (  # noqa: F401
     mining_layout,
     mining_text,
     mlprep,
+    mlprep_supervised,
     multimodal,
     pipeline,
     privacy,
     pruning,
     quality,
+    quality_sketch,
     reference,
     relational,
     similarity,

@@ -91,7 +91,7 @@ def test_did_effect_recomputed_from_cells(spark):
 
 
 def test_winsorized_mean_brute_force(spark):
-    from eecs_485___mapreduce_spark.queries.quality import (
+    from eecs_485___mapreduce_spark.queries.quality_sketch import (
         WINSOR_PCT,
         winsorized_mean_price_by_status,
     )

@@ -51,7 +51,7 @@ def test_ddsketch_bucket_contains_true_quantile(spark):
     """The DDSketch guarantee: the reported bucket [lo, hi] must
     contain the EXACT q-quantile value (rank ceil(q*n) in sorted
     order) for every reported percentile."""
-    from eecs_485___mapreduce_spark.queries.quality import ddsketch_price_quantiles
+    from eecs_485___mapreduce_spark.queries.quality_sketch import ddsketch_price_quantiles
 
     orders = load_table(spark, SF_SMALL, "orders")
     cents = sorted(
@@ -114,7 +114,7 @@ def test_consistent_hash_movement_properties(spark):
 
 
 def test_merkle_diff_counts_match_direct_drift(spark):
-    from eecs_485___mapreduce_spark.queries.quality import (
+    from eecs_485___mapreduce_spark.queries.quality_sketch import (
         _MK_DEL_EVERY,
         _MK_MOD_EVERY,
         _MK_N_LEAVES,
@@ -176,7 +176,7 @@ def test_listagg_is_sorted_prefix_of_distinct_types(spark):
 
 
 def test_negative_pairs_are_cross_source_and_deterministic(spark):
-    from eecs_485___mapreduce_spark.queries.mlprep import (
+    from eecs_485___mapreduce_spark.queries.mlprep_supervised import (
         NEG_K,
         NEG_N_ANCHORS,
         negative_pair_mining,

@@ -155,7 +155,7 @@ def test_naive_bayes_learns_a_separable_corpus(spark, tmp_path):
     oracle-parity run certifies engine equality; this certifies the
     classifier actually LEARNS). Also pins the md5 split: train and
     test are disjoint by construction of the same hash rule."""
-    from eecs_485___mapreduce_spark.queries.mlprep import (
+    from eecs_485___mapreduce_spark.queries.mlprep_supervised import (
         naive_bayes_source_confusion,
     )
 
@@ -183,7 +183,7 @@ def test_padding_waste_invariants(spark):
     """Both strategies batch the SAME corpus, so real token mass and
     batch count must be identical; length-sorting can only reduce
     padding (equal at worst); utilization is the exact cross-ratio."""
-    from eecs_485___mapreduce_spark.queries.mlprep import (
+    from eecs_485___mapreduce_spark.queries.mlprep_supervised import (
         padding_waste_batching,
     )
 

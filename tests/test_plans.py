@@ -647,7 +647,7 @@ def test_session2_family_plans_cartesian_free(spark):
     no-cartesian discipline (their only crossJoins are broadcast-tiny
     scalar/constant relations: fitted ratios, class stats, discount
     tables, 1-row medians)."""
-    from eecs_485___mapreduce_spark.queries.inference import (
+    from eecs_485___mapreduce_spark.queries.inference_order import (
         conformal_token_interval,
         kaplan_meier_reorder_gaps,
         theilsen_monthly_revenue,
@@ -656,7 +656,7 @@ def test_session2_family_plans_cartesian_free(spark):
     from eecs_485___mapreduce_spark.queries.mining_graph import (
         itemcf_topk_similar_parts,
     )
-    from eecs_485___mapreduce_spark.queries.mlprep import (
+    from eecs_485___mapreduce_spark.queries.mlprep_supervised import (
         ivm_agg_retraction_daily,
         naive_bayes_source_confusion,
         padding_waste_batching,
@@ -765,7 +765,7 @@ def test_round4_ops_plan_shapes(spark):
     encoding pays one fact shuffle plus cell-grid rollups only."""
     from eecs_485___mapreduce_spark.queries.audit import fifo_allocation_parts
     from eecs_485___mapreduce_spark.queries.ir import stored_query_matches
-    from eecs_485___mapreduce_spark.queries.mlprep import (
+    from eecs_485___mapreduce_spark.queries.mlprep_supervised import (
         target_encode_mktsegment,
     )
 

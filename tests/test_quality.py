@@ -325,7 +325,7 @@ def test_kmv_estimate_accuracy_and_small_group_exactness(spark):
     """KMV contract: scopes with fewer than K distinct users report the
     EXACT count; saturated scopes estimate within the standard
     ~1/sqrt(K) relative-error envelope (3 sigma)."""
-    from eecs_485___mapreduce_spark.queries.quality import (
+    from eecs_485___mapreduce_spark.queries.quality_sketch import (
         KMV_K,
         approx_users_kmv_mergeable,
     )
