@@ -17,8 +17,6 @@ committed statistics families from SURVEY.md section 2.B.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

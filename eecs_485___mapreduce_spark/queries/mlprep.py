@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions import canonical_text, dec, md5_long, md5_long_sql, scoped_persist, tokens
 from ..registry import register
-from ..sources import load_table, load_tables
+from ..sources import load_table
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
 
