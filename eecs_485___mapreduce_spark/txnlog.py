@@ -73,6 +73,16 @@ class TxnConflict(RuntimeError):
     snapshot and retry (optimistic concurrency)."""
 
 
+class TxnCorrupt(RuntimeError):
+    """The commit log is damaged in a way OUR writer cannot produce
+    (external deletion, partial copy, disk corruption): a version file
+    that does not parse, whose record disagrees with its filename, or
+    a GAP in the version sequence. Replaying past a gap would silently
+    drop that commit's adds/removes from every snapshot — the one
+    failure mode worse than failing — so reads stop loudly and name
+    the damaged file."""
+
+
 # ------------------------------------------------------------- log I/O
 
 
@@ -85,11 +95,33 @@ def _commit_path(table_dir: str, version: int) -> str:
 
 
 def txn_history(table_dir: str) -> list[dict]:
-    """All commit records in version order — bounded metadata."""
-    commits = []
+    """All commit records in version order — bounded metadata.
+
+    Validates the log on every read (Delta's contiguity rule): commit
+    files must parse, carry the version their filename claims, and
+    form a dense 0..N sequence. Any violation raises
+    :class:`TxnCorrupt` naming the file — never a silent partial
+    replay."""
+    commits: list[dict] = []
     for p in sorted(glob.glob(os.path.join(_log_dir(table_dir), "*.json"))):
         with open(p) as fh:
-            commits.append(json.load(fh))
+            try:
+                rec = json.load(fh)
+            except ValueError as exc:
+                raise TxnCorrupt(f"unparseable commit file {p}: {exc}") from exc
+        claimed = os.path.basename(p)[: -len(".json")]
+        if not claimed.isdigit() or rec.get("version") != int(claimed):
+            raise TxnCorrupt(
+                f"commit file {p} carries version {rec.get('version')!r}, "
+                f"not the {claimed!r} its name claims"
+            )
+        if rec["version"] != len(commits):
+            raise TxnCorrupt(
+                f"commit log gap in {table_dir}: expected version "
+                f"{len(commits)}, found {rec['version']} ({p}) — a missing "
+                f"commit would silently vanish from every snapshot"
+            )
+        commits.append(rec)
     return commits
 
 

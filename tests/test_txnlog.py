@@ -840,3 +840,39 @@ def test_vacuum_temp_race_surfaces_as_retryable_conflict(spark, table, monkeypat
     # the table is untouched and the next attempt wins normally
     assert [c["version"] for c in txnlog.txn_history(d)] == [0, 1]
     assert txnlog.txn_append(orders.limit(5), d)["version"] == 2
+
+
+def test_externally_damaged_log_fails_loudly_never_partially(spark, table):
+    """Log damage OUR writer cannot produce (external deletion, byte
+    corruption, renamed files) must stop reads with TxnCorrupt naming
+    the file — a replay past a missing version would silently drop
+    that commit's rows from every snapshot."""
+    d, orders = table
+    log_dir = os.path.join(d, txnlog.TXNLOG_DIR)
+    v1 = os.path.join(log_dir, "00000001.json")
+
+    # (a) gap: delete a middle version (append v2 first so v1 is middle)
+    txnlog.txn_append(orders.limit(5), d)
+    saved = open(v1).read()
+    os.remove(v1)
+    with pytest.raises(txnlog.TxnCorrupt, match="gap"):
+        txnlog.read_snapshot(spark, d).count()
+    open(v1, "w").write(saved)
+    assert len(txnlog.txn_history(d)) == 3  # restored, reads work
+
+    # (b) torn bytes: truncate a commit file mid-payload
+    open(v1, "w").write(saved[: len(saved) // 2])
+    with pytest.raises(txnlog.TxnCorrupt, match="unparseable"):
+        txnlog.txn_history(d)
+    open(v1, "w").write(saved)
+
+    # (c) renamed: a record living under the wrong version name
+    import json as _json
+
+    rec = _json.loads(saved)
+    rec["version"] = 7
+    open(v1, "w").write(_json.dumps(rec, sort_keys=True))
+    with pytest.raises(txnlog.TxnCorrupt, match="its name claims"):
+        txnlog.txn_history(d)
+    open(v1, "w").write(saved)
+    assert txnlog.read_snapshot(spark, d).count() == orders.count() + 5
