@@ -35,28 +35,28 @@ PAGERANK_ITERS = 3
 def _pagerank_oracle() -> str:
     base = PAGERANK_BASE
     sql = f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                       's' || CAST(l_suppkey AS VARCHAR) AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    bi AS (
+    bi AS MATERIALIZED (
       SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
     ),
-    deg AS (SELECT src AS node, COUNT(*) AS deg FROM bi GROUP BY 1),
-    r0 AS (SELECT node, CAST({base} AS BIGINT) AS r FROM deg)
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM bi GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT node, CAST({base} AS BIGINT) AS r FROM deg)
     """
     prev = "r0"
     for i in range(1, PAGERANK_ITERS + 1):
         sql += f""",
-    s{i} AS (
+    s{i} AS MATERIALIZED (
       SELECT b.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
       FROM bi b
       JOIN {prev} r ON b.src = r.node
       JOIN deg d ON b.src = d.node
       GROUP BY 1
     ),
-    r{i} AS (SELECT node, (15 * {base} + 85 * s) // 100 AS r FROM s{i})
+    r{i} AS MATERIALIZED (SELECT node, (15 * {base} + 85 * s) // 100 AS r FROM s{i})
         """
         prev = f"r{i}"
     sql += f"""
@@ -146,26 +146,26 @@ BFS_HOPS = 3
 
 def _bfs_oracle() -> str:
     sql = """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT u AS src, v AS dst FROM pairs
       UNION ALL SELECT v, u FROM pairs
     ),
-    f0 AS (SELECT MIN(u) AS node FROM pairs),
-    vis0 AS (SELECT node FROM f0)
+    f0 AS MATERIALIZED (SELECT MIN(u) AS node FROM pairs),
+    vis0 AS MATERIALIZED (SELECT node FROM f0)
     """
     for i in range(1, BFS_HOPS + 1):
         sql += f""",
-    f{i} AS (
+    f{i} AS MATERIALIZED (
       SELECT DISTINCT s.dst AS node
       FROM sym s JOIN f{i - 1} f ON s.src = f.node
       WHERE s.dst NOT IN (SELECT node FROM vis{i - 1})
     ),
-    vis{i} AS (SELECT node FROM vis{i - 1} UNION SELECT node FROM f{i})
+    vis{i} AS MATERIALIZED (SELECT node FROM vis{i - 1} UNION SELECT node FROM f{i})
         """
     sql += "\n" + "\n    UNION ALL ".join(
         f"SELECT {i} AS hop, COUNT(*) AS n_nodes, "
@@ -368,19 +368,19 @@ _SSSP_WEIGHT_SQL = "CASE WHEN m >= 3 THEN 1 WHEN m = 2 THEN 5 ELSE 10 END"
 
 def _sssp_oracle() -> str:
     sql = f"""
-    WITH ppo AS (
+    WITH ppo AS MATERIALIZED (
       SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey
     ),
-    pc AS (SELECT u, v, COUNT(*) AS m FROM ppo GROUP BY u, v),
-    wts AS (SELECT u, v, {_SSSP_WEIGHT_SQL} AS w FROM pc),
-    sym AS (SELECT u AS src, v AS dst, w FROM wts
+    pc AS MATERIALIZED (SELECT u, v, COUNT(*) AS m FROM ppo GROUP BY u, v),
+    wts AS MATERIALIZED (SELECT u, v, {_SSSP_WEIGHT_SQL} AS w FROM pc),
+    sym AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM wts
             UNION ALL SELECT v, u, w FROM wts),
-    d0 AS (SELECT MIN(u) AS node, 0 AS dist FROM wts)"""
+    d0 AS MATERIALIZED (SELECT MIN(u) AS node, 0 AS dist FROM wts)"""
     for i in range(1, SSSP_ROUNDS + 1):
         sql += f""",
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, MIN(dist) AS dist FROM (
         SELECT node, dist FROM d{i - 1}
         UNION ALL
@@ -480,17 +480,17 @@ POWERLAW_DMIN = 2
     "coorder_degree_powerlaw",
     tags=("graph", "stats", "agg"),
     oracle=f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
       ) GROUP BY node
     ),
-    tail AS (
+    tail AS MATERIALIZED (
       SELECT d,
              CAST(ROUND(1000000 * ln(CAST(d AS DOUBLE)
                                      / {POWERLAW_DMIN - 0.5})) AS BIGINT) AS lnq
@@ -584,17 +584,17 @@ LPA_ITERS = 2
 LPA_TOPK = 25
 
 _LPA_PAIRS_SQL = """
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT u AS src, v AS dst FROM pairs
       UNION ALL SELECT v, u FROM pairs
     ),
-    nodes AS (SELECT DISTINCT src AS node FROM sym),
-    l0 AS (SELECT node, node AS lbl FROM nodes)
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+    l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)
 """
 
 
@@ -602,12 +602,12 @@ def _lpa_oracle() -> str:
     sql = "WITH " + _LPA_PAIRS_SQL
     for i in range(1, LPA_ITERS + 1):
         sql += f""",
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT s.src AS node, l.lbl, COUNT(*) AS cnt
       FROM sym s JOIN l{i - 1} l ON s.dst = l.node
       GROUP BY 1, 2
     ),
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT node, lbl FROM (
         SELECT node, lbl,
                ROW_NUMBER() OVER (PARTITION BY node
@@ -697,12 +697,12 @@ KCORE_K = 100
 KCORE_ROUNDS = 4
 
 _KCORE_PAIRS_SQL = """
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT u AS src, v AS dst FROM pairs
       UNION ALL SELECT v, u FROM pairs
     )
@@ -713,9 +713,9 @@ def _kcore_oracle() -> str:
     sql = "WITH " + _KCORE_PAIRS_SQL
     for i in range(1, KCORE_ROUNDS + 1):
         sql += f""",
-    d{i} AS (SELECT src AS node, COUNT(*) AS deg FROM e{i - 1} GROUP BY 1),
-    k{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
-    e{i} AS (
+    d{i} AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e{i - 1} GROUP BY 1),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {KCORE_K}),
+    e{i} AS MATERIALIZED (
       SELECT s.src, s.dst FROM e{i - 1} s
       JOIN k{i} a ON s.src = a.node
       JOIN k{i} b ON s.dst = b.node
