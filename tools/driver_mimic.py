@@ -44,6 +44,8 @@ def main() -> int:
     assert len(rows) >= 0
 
     con = duckdb.connect()
+    con.execute("SET max_temp_directory_size='16GB'")  # an oracle
+    # plan cliff must error, never fill the disk under the engine
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         con.execute(

@@ -24,6 +24,8 @@ def main() -> int:
     qs = all_queries()
     spark = get_spark(app_name="quickcheck")
     duck = duckdb.connect()
+    duck.execute("SET max_temp_directory_size='16GB'")  # an oracle
+    # plan cliff must error, never fill the disk under the engine
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         duck.execute(

@@ -42,6 +42,8 @@ def main() -> int:
 
     spark = get_spark()
     con = duckdb.connect()
+    con.execute("SET max_temp_directory_size='16GB'")  # an oracle
+    # plan cliff must error, never fill the disk under the engine
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
