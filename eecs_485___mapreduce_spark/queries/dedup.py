@@ -220,10 +220,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     tags=("dedup", "join"),
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-    e AS (SELECT doc_id, unnest(sh) AS s FROM t),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM t),
-    inter AS (
+    WITH t AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM t),
+    sizes AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM t),
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -832,12 +832,12 @@ def _lsh_recall_oracle() -> str:
     truth_sql = REGISTRY["dedup_ngram_jaccard"].oracle
     found_sql = REGISTRY["dedup_minhash_lsh"].oracle
     return f"""
-    WITH truth AS (
+    WITH truth AS MATERIALIZED (
       SELECT doc_a, doc_b, jaccard
       FROM ({truth_sql}) WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
     ),
-    found AS (SELECT doc_a, doc_b FROM ({found_sql})),
-    marked AS (
+    found AS MATERIALIZED (SELECT doc_a, doc_b FROM ({found_sql})),
+    marked AS MATERIALIZED (
       SELECT t.jaccard,
              CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS hit
       FROM truth t LEFT JOIN found f
