@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_long, md5_long_sql
+from ..functions import md5_long, md5_long_sql, scoped_persist
 from ..registry import register
 from ..sources import load_table
 
@@ -708,4 +708,135 @@ def winsorized_mean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFra
             .cast("long")
             .alias("winsor_mean_milli"),
         )
+    )
+
+
+# ------------------------------------ deterministic HyperLogLog census
+
+# Cross-engine HLL built from the package md5 hash, p = 9 (m = 512
+# registers). The 60-bit hash splits into 9 bucket bits and a 51-bit
+# tail; rho = leading zeros of the tail + 1 = 52 - bitlength(tail)
+# (52 when the tail is all zeros), so every register is exact integer
+# arithmetic both engines reproduce bit-for-bit — `bin()` gives the
+# bitlength without float log2 rounding hazards. The harmonic-mean
+# denominator is carried as the exact integer
+# S = sum_hit 2^(52-rho) + (512 - m_hit) * 2^52  (<= 2^61, BIGINT-safe)
+# so the only float steps are one division and one ln(), written as
+# the identical expression on both engines.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+_HLL_TAIL_BITS = 60 - HLL_P  # 51
+_HLL_TAIL_MASK = (1 << _HLL_TAIL_BITS) - 1
+_HLL_RHO_CAP = _HLL_TAIL_BITS + 1  # 52
+_HLL_POW_CAP = 1 << _HLL_RHO_CAP
+# alpha_m * m^2 * 2^52 folded to ONE double literal shared by both
+# engines, so the estimate is a single deterministic division.
+_HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(_HLL_POW_CAP)
+_HLL_LC_CUTOFF = 2.5 * HLL_M  # linear-counting switchover (classic HLL)
+
+_HLL_EST_SQL = f"""CAST(FLOOR(CASE
+        WHEN {_HLL_ALPHA_NUM!r} / CAST(s_scaled AS DOUBLE) <= {_HLL_LC_CUTOFF!r}
+             AND m_nonzero < {HLL_M}
+        THEN {float(HLL_M)!r}
+             * ln({float(HLL_M)!r}
+                  / CAST(GREATEST({HLL_M} - m_nonzero, 1) AS DOUBLE))
+        ELSE {_HLL_ALPHA_NUM!r} / CAST(s_scaled AS DOUBLE)
+      END) AS BIGINT)"""
+
+
+@register(
+    "hll_register_census_users",
+    tags=("sketch", "agg", "events"),
+    oracle=f"""
+    WITH rh AS (
+      SELECT event_type,
+             {md5_long_sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, h >> {_HLL_TAIL_BITS} AS bucket,
+             MAX(CASE WHEN (h & {_HLL_TAIL_MASK}) = 0 THEN {_HLL_RHO_CAP}
+                      ELSE {_HLL_RHO_CAP} - length(bin(h & {_HLL_TAIL_MASK}))
+                 END) AS rho
+      FROM rh GROUP BY event_type, h >> {_HLL_TAIL_BITS}
+    ),
+    scoped AS (
+      SELECT event_type AS scope, bucket, rho FROM regs
+      UNION ALL
+      SELECT '__all__' AS scope, bucket, MAX(rho) AS rho
+      FROM regs GROUP BY bucket
+    ),
+    stats AS (
+      SELECT scope, COUNT(*) AS m_nonzero,
+             CAST(SUM(rho) AS BIGINT) AS reg_sum,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - rho)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * CAST({_HLL_POW_CAP} AS BIGINT) AS s_scaled
+      FROM scoped GROUP BY scope
+    )
+    SELECT scope, CAST(m_nonzero AS BIGINT) AS m_nonzero, reg_sum,
+           CAST(s_scaled AS BIGINT) AS s_scaled,
+           {_HLL_EST_SQL} AS est_users
+    FROM stats
+    """,
+)
+def hll_register_census_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user census per event type
+    plus the MERGED all-types row built only from the per-type
+    registers (register-wise max — union of user sets by construction,
+    never a raw-data re-scan).
+
+    This is the hash-green companion to approx_users_hll_mergeable /
+    approx_distinct_parts (Spark-native DataSketches HLL, rows-only:
+    those sketch bytes are engine-internal): same algorithm — md5 ->
+    bucket/rho registers -> harmonic mean with the classic
+    linear-counting small-range correction — but built from the
+    package's cross-engine hash, so the full register STATE (m_nonzero,
+    reg_sum, s_scaled) and the estimate are value-hash oracle-checked
+    against DuckDB computing the identical integer arithmetic.
+
+    Scale: register build is one partial-aggregating shuffle on
+    (event_type, bucket) — at most |types| * 512 rows survive the
+    map-side combine regardless of input size; the merge touches only
+    those. The state columns are exactly what a 100 TB rollup would
+    persist per (partition, group) for algebraic re-aggregation.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    tail = h.bitwiseAND(F.lit(_HLL_TAIL_MASK))
+    rho = F.when(tail == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.lit(_HLL_RHO_CAP) - F.length(F.bin(tail))
+    )
+    regs = (
+        events.select(
+            "event_type",
+            F.shiftright(h, _HLL_TAIL_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    regs = scoped_persist(("hll_census.regs", sf_dir), regs)
+    typed = regs.select(F.col("event_type").alias("scope"), "bucket", "rho")
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__all__").alias("scope"), "bucket", "rho")
+    )
+    stats = (
+        typed.unionByName(merged)
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_nonzero"),
+            F.sum("rho").cast("bigint").alias("reg_sum"),
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - rho)"))
+                + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_POW_CAP)
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
+        )
+    )
+    return stats.select(
+        "scope", "m_nonzero", "reg_sum", "s_scaled",
+        F.expr(_HLL_EST_SQL).alias("est_users"),
     )

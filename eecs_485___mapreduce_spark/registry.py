@@ -78,6 +78,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "dedup_containment_pairs",
     "ir_doc_cosine_topk",
     "fifo_allocation_parts",
+    # new this round — changed code must sit inside the checked window
+    "hll_register_census_users",
     "hazard_view_to_purchase",
     "abtest_conversion_ztest",
     "laspeyres_price_index_monthly",
@@ -113,7 +115,6 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "sketch_cms_user_counts",
     "psi_value_drift_by_type",
     "ewma_user_value_recent",
-    "bitmap_user_activity_days",
 )
 
 # Round-6 rotation queue — every registered query that has NO driver
@@ -128,6 +129,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
 # tail: a no_oracle driver row verifies almost nothing, so
 # hash-checkable queries go first (round-4 verdict, What's wrong #2).
 ROTATION_QUEUE: tuple[str, ...] = (
+    # displaced from the round-5 window by hll_register_census_users
+    # (new code outranks an unchanged query for a window slot)
+    "bitmap_user_activity_days",
     "integrity_checksum_orders",
     "rolling_7d_distinct_users",
     "equidepth_buckets_orders",

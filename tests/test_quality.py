@@ -339,3 +339,87 @@ def test_kmv_estimate_accuracy_and_small_group_exactness(spark):
         else:
             rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
             assert rel <= tol, (r, rel)
+
+
+def _hll_reference(user_ids):
+    """Textbook recompute of the deterministic-HLL register state in
+    pure Python (hashlib md5), independent of both engines."""
+    import hashlib
+    import math
+
+    from eecs_485___mapreduce_spark.queries.quality_sketch import (
+        HLL_M,
+        _HLL_ALPHA_NUM,
+        _HLL_LC_CUTOFF,
+        _HLL_POW_CAP,
+        _HLL_RHO_CAP,
+        _HLL_TAIL_BITS,
+        _HLL_TAIL_MASK,
+    )
+
+    regs: dict[int, int] = {}
+    for u in user_ids:
+        h = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:15], 16)
+        bucket, tail = h >> _HLL_TAIL_BITS, h & _HLL_TAIL_MASK
+        rho = _HLL_RHO_CAP if tail == 0 else _HLL_RHO_CAP - tail.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    m_nonzero = len(regs)
+    s_scaled = sum(1 << (_HLL_RHO_CAP - r) for r in regs.values()) + (
+        HLL_M - m_nonzero
+    ) * _HLL_POW_CAP
+    raw = _HLL_ALPHA_NUM / float(s_scaled)
+    if raw <= _HLL_LC_CUTOFF and m_nonzero < HLL_M:
+        est = HLL_M * math.log(HLL_M / float(max(HLL_M - m_nonzero, 1)))
+    else:
+        est = raw
+    return {
+        "m_nonzero": m_nonzero,
+        "reg_sum": sum(regs.values()),
+        "s_scaled": s_scaled,
+        "est_users": int(math.floor(est)),
+    }
+
+
+def test_hll_census_state_matches_python_recompute(spark):
+    """Every scope's register state AND estimate must equal a pure
+    hashlib/math recompute — the engine, the oracle, and the textbook
+    algorithm agree bit-for-bit (merge row included, so register-wise
+    max over per-type sketches == sketch of the unioned user set)."""
+    from eecs_485___mapreduce_spark.queries.quality_sketch import (
+        hll_register_census_users,
+    )
+
+    got = {r["scope"]: r for r in hll_register_census_users(spark, SF_SMALL).collect()}
+    events = load_table(spark, SF_SMALL, "events").where(F.col("user_id").isNotNull())
+    by_type: dict[str, set] = {}
+    for r in events.select("event_type", "user_id").distinct().collect():
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+    by_type["__all__"] = set().union(*by_type.values())
+    assert set(got) == set(by_type)
+    for scope, users in by_type.items():
+        want = _hll_reference(users)
+        have = {k: got[scope][k] for k in want}
+        assert have == want, (scope, have, want)
+
+
+def test_hll_census_estimate_accuracy(spark):
+    """Estimates stay inside the classic HLL envelope: 3 * 1.04/sqrt(m)
+    relative error (linear-counting scopes are far tighter)."""
+    from eecs_485___mapreduce_spark.queries.quality_sketch import (
+        HLL_M,
+        hll_register_census_users,
+    )
+
+    rows = hll_register_census_users(spark, SF_SMALL).collect()
+    events = load_table(spark, SF_SMALL, "events").where(F.col("user_id").isNotNull())
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = events.select("user_id").distinct().count()
+    tol = 3 * 1.04 / HLL_M ** 0.5
+    for r in rows:
+        n = exact[r["scope"]]
+        assert abs(r["est_users"] - n) <= max(tol * n, 2.0), (r, n)
