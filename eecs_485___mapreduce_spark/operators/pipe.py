@@ -37,11 +37,19 @@ def md5_partition(key: str, num_partitions: int) -> int:
     return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
 
 
-def _first_tab_split(line: str) -> tuple[str, str]:
-    """key = text before the first tab (reference worker :141); lines
-    with no tab become (line, '') like the reference's partition()."""
-    head, _, tail = line.partition("\t")
-    return head, tail
+def _first_tab_split(line: str) -> tuple[str, str | None]:
+    """key = text before the first tab (reference worker :141). A line
+    with NO tab is the whole key with a NULL value — the distinction
+    matters because the reference never reparses map output: the raw
+    line itself is what gets sorted and handed to the reducer, so
+    ``key`` (no tab) and ``key\\t`` (tab, empty value) are different
+    records and must survive the key/value round-trip as such.
+    (Caught by tests/test_pipe_model.py: rebuilding every record as
+    ``key\\tvalue`` appended a tab to tabless records, which both
+    changed the reducer's input bytes and flipped the whole-line sort
+    order against keys containing bytes below 0x09.)"""
+    head, sep, tail = line.partition("\t")
+    return head, tail if sep else None
 
 
 def pipe_map(
@@ -86,8 +94,11 @@ def pipe_reduce(
     """
     spark = df.sparkSession
     kv = df.rdd.map(lambda row: ("" if row[0] is None else str(row[0]),
-                                 "" if row[1] is None else str(row[1])))
-    lines = kv.map(lambda r: (r[0] + "\t" + r[1], None))
+                                 None if row[1] is None else str(row[1])))
+    # NULL value = the map output line had no tab: the raw line is the
+    # bare key, and that exact byte string is what the reference sorts
+    # and pipes (worker :150-152) — appending "\t" would alter both.
+    lines = kv.map(lambda r: (r[0] if r[1] is None else r[0] + "\t" + r[1], None))
     arranged = lines.repartitionAndSortWithinPartitions(
         numPartitions=num_reducers,
         partitionFunc=lambda line: md5_partition(line.split("\t", 1)[0], num_reducers),

@@ -36,7 +36,10 @@ def test_first_tab_split_roundtrip(line):
     if "\t" in line:
         assert line == key + "\t" + value
     else:
-        assert (key, value) == (line, "")
+        # no tab -> NULL value, so the raw line is reconstructible:
+        # `key` and `key\t` are DIFFERENT map-output records and the
+        # reference sorts/pipes the raw bytes (worker :150-152)
+        assert (key, value) == (line, None)
 
 
 @given(
