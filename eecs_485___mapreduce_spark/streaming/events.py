@@ -219,7 +219,13 @@ SESSION_GAP_S = 1800
 
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("last_ts", T.DoubleType()),
+        # Epoch SECONDS — integral by construction, so LongType. This
+        # was DoubleType: feeding it the integer epoch value corrupted
+        # the round-trip (state read back a garbage last_ts), so every
+        # event in a later micro-batch opened a new session. Unseen by
+        # the single-batch drains in tests/test_streaming.py; caught by
+        # the multi-batch sweep (tests/test_streaming_model.py).
+        T.StructField("last_ts", T.LongType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("n_sessions", T.LongType()),
     ]
@@ -264,8 +270,9 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
             ts = pd.to_datetime(pdf["ts"]).sort_values()
             for t in ts:
                 # Epoch-second floor, matching the batch twin's
-                # date_diff('second') boundary-count semantics.
-                sec = t.value // 1_000_000_000
+                # date_diff('second') boundary-count semantics. int():
+                # numpy scalars do not survive the state serializer.
+                sec = int(t.value // 1_000_000_000)
                 if last_ts is None or sec - last_ts > gap_s:
                     n_sessions += 1
                 last_ts = sec

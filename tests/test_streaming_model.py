@@ -1,0 +1,332 @@
+"""Model-based MULTI-micro-batch sweep for the stateful streaming
+operators.
+
+The stream==batch twins in tests/test_streaming.py drain the single
+sf0.001 events file, which availableNow processes as ONE micro-batch —
+so the cross-batch paths (state persisted between triggers, gap checks
+continuing from stored last_ts, dedup state surviving a trigger, the
+anomaly baseline accumulating across triggers) never run there. This
+sweep generates random corpora, writes each as SEVERAL parquet files
+drained one-file-per-trigger, and checks the final answer against a
+pure-Python oracle of the documented semantics.
+
+Split discipline follows each operator's documented exactness domain
+(streaming/events.py docstrings): chunks are event-time monotone
+("replay does not interleave event time" — the file-replay contract),
+and for the anomaly baseline they additionally align to hour
+boundaries (a mid-hour split legitimately yields two partial baseline
+observations, which is outside the twin-equality contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eecs_485___mapreduce_spark.queries.mining import (
+    ANOMALY_MIN_BASELINE,
+    ANOMALY_WINDOW,
+    ANOMALY_Z2_NUM,
+)
+from eecs_485___mapreduce_spark.streaming.events import (
+    SESSION_GAP_S,
+    anomalies_stream,
+    dedup_events_stream,
+    hourly_rollup_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
+
+BASE_SEC = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned epoch
+
+
+# One corpus = per-hour event bursts: a sorted set of hour slots, each
+# with 1-6 events spread inside the hour. Occasional 10x bursts give
+# the 3-sigma anomaly gate something to fire on; value is an integer
+# (decimal-exact under the rollup's decimal(18,2) sum).
+@st.composite
+def corpus(draw):
+    hour_slots = draw(
+        st.lists(st.integers(0, 39), min_size=4, max_size=24, unique=True)
+    )
+    events = []
+    eid = 0
+    for h in sorted(hour_slots):
+        n = draw(st.integers(1, 6))
+        if draw(st.booleans()) and draw(st.booleans()):
+            n *= 10  # burst hour
+        offsets = sorted(
+            draw(
+                st.lists(
+                    st.integers(0, 3599), min_size=n, max_size=n
+                )
+            )
+        )
+        for off in offsets:
+            events.append(
+                {
+                    "event_id": eid,
+                    "sec": BASE_SEC + h * 3600 + off,
+                    "user_id": draw(st.integers(1, 4)),
+                    "event_type": draw(
+                        st.sampled_from(["click", "view", "purchase"])
+                    ),
+                    "value": float(draw(st.integers(0, 50))),
+                }
+            )
+            eid += 1
+    return events
+
+
+def _write_chunks(tmp_path, events, cut_points) -> str:
+    """Write event chunks as separate parquet files with increasing
+    mtimes so the file stream drains them in chunk order."""
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    bounds = [0, *sorted(cut_points), len(events)]
+    chunk_id = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = events[lo:hi]
+        if not chunk:
+            continue
+        table = pa.table(
+            {
+                "event_id": pa.array(
+                    [e["event_id"] for e in chunk], pa.int64()
+                ),
+                "ts": pa.array(
+                    [e["sec"] * 1_000_000 for e in chunk],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([e["user_id"] for e in chunk], pa.int64()),
+                "event_type": pa.array(
+                    [e["event_type"] for e in chunk], pa.string()
+                ),
+                "value": pa.array([e["value"] for e in chunk], pa.float64()),
+                "props": pa.array([None] * len(chunk), pa.string()),
+            }
+        )
+        path = d / f"chunk{chunk_id:03d}.parquet"
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + chunk_id, 1_700_000_000 + chunk_id))
+        chunk_id += 1
+    return str(d)
+
+
+def _read_chunked_stream(spark, path):
+    """File stream over the chunk dir, ONE file per trigger — each
+    chunk becomes its own micro-batch, unlike the single-batch drain
+    in tests/test_streaming.py."""
+    from eecs_485___mapreduce_spark.streaming.events import _events_schema
+    from pyspark.sql import types as T
+
+    return (
+        spark.readStream.schema(_events_schema(T.TimestampType()))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+_SWEEP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_CUTS = st.sets(st.integers(1, 200), min_size=1, max_size=3)
+
+_name_seq = iter(range(10**9))
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_sessionize_stream_multibatch_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """Gap sessionization must continue from the persisted last_ts
+    across micro-batch boundaries (including a session spanning two
+    batches and a gap opening exactly at a boundary)."""
+    path = _write_chunks(
+        tmp_path_factory.mktemp("sess"), events, [c % len(events) for c in cuts]
+    )
+    name = f"sess_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        sessionize_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="update",
+    )
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {}
+    for r in rows:  # last emission per user = max running n_events
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.n_sessions)
+
+    want = {}
+    per_user: dict[int, list[int]] = {}
+    for e in events:
+        per_user.setdefault(e["user_id"], []).append(e["sec"])
+    for uid, secs in per_user.items():
+        last, n_sessions = None, 0
+        for sec in sorted(secs):
+            if last is None or sec - last > SESSION_GAP_S:
+                n_sessions += 1
+            last = sec
+        want[uid] = (len(secs), n_sessions)
+    assert got == want
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_hourly_rollup_multibatch_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """Windowed aggregation state must merge partial hour counts
+    arriving in different micro-batches (complete mode)."""
+    from pyspark.sql import functions as F
+
+    path = _write_chunks(
+        tmp_path_factory.mktemp("roll"), events, [c % len(events) for c in cuts]
+    )
+    name = f"roll_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        hourly_rollup_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="complete",
+    )
+    got = {
+        (r.hour_sec, r.event_type): (r.n, r.total_value)
+        for r in spark.table(name)
+        .select(
+            F.unix_timestamp("hour").alias("hour_sec"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .collect()
+    }
+    want: dict[tuple[int, str], list[float]] = {}
+    for e in events:
+        k = (e["sec"] // 3600 * 3600, e["event_type"])
+        agg = want.setdefault(k, [0, 0.0])
+        agg[0] += 1
+        agg[1] += e["value"]
+    assert got == {k: (n, v) for k, (n, v) in want.items()}
+
+
+@given(events=corpus(), cuts=_CUTS, dup_picks=st.sets(st.integers(0, 199), min_size=1, max_size=8))
+@_SWEEP
+def test_dedup_stream_multibatch_drops_cross_batch_duplicates(
+    spark, tmp_path_factory, events, cuts, dup_picks
+):
+    """dropDuplicatesWithinWatermark state must survive the trigger
+    boundary: a same-ts replay of an earlier event landing in a LATER
+    micro-batch is still dropped."""
+    dups = [dict(events[i % len(events)]) for i in sorted(dup_picks)]
+    withdups = sorted(events + dups, key=lambda e: e["sec"])
+    path = _write_chunks(
+        tmp_path_factory.mktemp("dedup"),
+        withdups,
+        [c % len(withdups) for c in cuts],
+    )
+    name = f"dedup_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        dedup_events_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="append",
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r.event_id, r.sec, r.user_id, r.event_type, r.value)
+        for r in spark.table(name)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    want = sorted(
+        (e["event_id"], e["sec"], e["user_id"], e["event_type"], e["value"])
+        for e in events
+    )
+    assert got == want
+
+
+@given(events=corpus(), hour_cuts=st.sets(st.integers(0, 39), min_size=1, max_size=3))
+@_SWEEP
+def test_anomalies_stream_multibatch_matches_model(
+    spark, tmp_path_factory, events, hour_cuts
+):
+    """The trailing-24-observed-hour baseline must accumulate across
+    micro-batches: splits at HOUR boundaries (the operator's documented
+    exactness domain) must reproduce the single-pass replay exactly —
+    both the emitted anomalies and the non-emissions."""
+    import math
+
+    cut_indices = sorted(
+        i
+        for cut in hour_cuts
+        for i in [
+            next(
+                (
+                    j
+                    for j, e in enumerate(events)
+                    if e["sec"] >= BASE_SEC + cut * 3600
+                ),
+                len(events),
+            )
+        ]
+    )
+    path = _write_chunks(
+        tmp_path_factory.mktemp("anom"), events, cut_indices
+    )
+    name = f"anom_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        anomalies_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="append",
+    )
+    got = sorted(
+        (r.event_type, r.hour_sec, r.cnt, r.n_baseline, r.z_milli)
+        for r in spark.table(name).collect()
+    )
+
+    per_type: dict[str, dict[int, int]] = {}
+    for e in events:
+        per_type.setdefault(e["event_type"], {})
+        h = e["sec"] // 3600 * 3600
+        per_type[e["event_type"]][h] = per_type[e["event_type"]].get(h, 0) + 1
+    want = []
+    for etype, by_hour in per_type.items():
+        hours: list[int] = []
+        counts: list[int] = []
+        for hour_sec in sorted(by_hour):
+            cnt = by_hour[hour_sec]
+            n = len(hours)
+            if n >= ANOMALY_MIN_BASELINE:
+                s = sum(counts)
+                q = sum(c * c for c in counts)
+                dev = n * cnt - s
+                if n * q - s * s > 0 and dev * dev >= ANOMALY_Z2_NUM * (
+                    n * q - s * s
+                ):
+                    z = 1000.0 * dev / math.sqrt(float(n) * q - float(s) * s)
+                    z_milli = int(math.floor(abs(z) + 0.5)) * (
+                        1 if z >= 0 else -1
+                    )
+                    want.append((etype, hour_sec, cnt, n, z_milli))
+            hours.append(hour_sec)
+            counts.append(cnt)
+            if len(hours) > ANOMALY_WINDOW:
+                hours = hours[-ANOMALY_WINDOW:]
+                counts = counts[-ANOMALY_WINDOW:]
+    assert got == sorted(want)
