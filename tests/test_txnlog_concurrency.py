@@ -107,3 +107,71 @@ def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
         tuple(r) for r in txnlog.read_snapshot(spark, table).collect()
     )
     assert got_after == want
+
+
+def test_snapshot_isolation_under_append_storm(spark, tmp_path):
+    """Readers racing the writers must never observe a torn commit:
+    every polled snapshot is the union of COMPLETE batches (each
+    3-row append appears wholly or not at all), and observed row sets
+    grow monotonically version over version."""
+    table = str(tmp_path / "tbl")
+    txnlog.txn_create(
+        spark.createDataFrame([(-1, -1)], "id long, val long"), table, num_files=1
+    )
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+    seen: list[frozenset] = []
+
+    def writer(t: int) -> None:
+        try:
+            for i in range(APPENDS_PER_WRITER):
+                batch = [(1000 * t + 10 * i + k, t) for k in range(3)]
+                df = spark.createDataFrame(batch, "id long, val long")
+                while True:
+                    try:
+                        txnlog.txn_append(df, table, num_files=1)
+                        break
+                    except txnlog.TxnConflict:
+                        continue
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def reader() -> None:
+        try:
+            while not stop.is_set():
+                rows = frozenset(
+                    tuple(r)
+                    for r in txnlog.read_snapshot(spark, table).collect()
+                )
+                seen.append(rows)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    writers = [
+        threading.Thread(target=writer, args=(t,)) for t in range(N_WRITERS)
+    ]
+    rd = threading.Thread(target=reader)
+    rd.start()
+    for th in writers:
+        th.start()
+    for th in writers:
+        th.join()
+    stop.set()
+    rd.join()
+    assert errors == []
+    assert len(seen) >= 2  # the reader really raced the storm
+
+    for rows in seen:
+        assert (-1, -1) in rows
+        by_batch: dict[tuple[int, int], set] = {}
+        for id_, val in rows - {(-1, -1)}:
+            by_batch.setdefault((id_ // 1000, (id_ % 1000) // 10), set()).add(
+                id_ % 10
+            )
+        for members in by_batch.values():
+            assert members == {0, 1, 2}  # never a torn batch
+
+    # atomic visibility implies monotone growth in poll order
+    for a, b in zip(seen, seen[1:]):
+        assert a <= b
