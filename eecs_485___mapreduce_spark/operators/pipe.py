@@ -37,6 +37,24 @@ def md5_partition(key: str, num_partitions: int) -> int:
     return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
 
 
+def md5_partition_col(key, num_partitions: int):
+    """``md5_partition`` as a JVM-side Column: the full 128-bit digest
+    mod R, in exact integer arithmetic via two 64-bit hex halves —
+    (hi*2^64 + lo) % R == ((hi%R) * (2^64%R) + lo%R) % R. Property-
+    pinned equal to the Python formula on arbitrary unicode keys
+    (tests/test_pipe_model.py)."""
+    from pyspark.sql import functions as F
+
+    hi = F.conv(F.substring(F.md5(key), 1, 16), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(F.md5(key), 17, 16), 16, 10).cast("decimal(38,0)")
+    two64_mod = (1 << 64) % num_partitions
+    return F.pmod(
+        F.pmod(hi, F.lit(num_partitions)) * F.lit(two64_mod)
+        + F.pmod(lo, F.lit(num_partitions)),
+        F.lit(num_partitions),
+    ).cast("int")
+
+
 def _first_tab_split(line: str) -> tuple[str, str | None]:
     """key = text before the first tab (reference worker :141). A line
     with NO tab is the whole key with a NULL value — the distinction

@@ -202,18 +202,13 @@ def write_shuffle_layout(
 
     from pyspark.sql import functions as F
 
+    from .operators.pipe import md5_partition_col
+
     # Exact reference routing: int(md5_hex, 16) % R over the FULL
-    # 128-bit digest. Done in two md5-hex halves to stay in exact
-    # integer arithmetic: (hi * 2^64 + lo) % R == ((hi % R) * (2^64 % R)
-    # + lo % R) % R.
+    # 128-bit digest, JVM-side (property-pinned vs the Python formula
+    # in tests/test_pipe_model.py).
     key = F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
-    hi = F.conv(F.substring(F.md5(key), 1, 16), 16, 10).cast("decimal(38,0)")
-    lo = F.conv(F.substring(F.md5(key), 17, 16), 16, 10).cast("decimal(38,0)")
-    two64_mod = (1 << 64) % num_reducers
-    r_col = F.pmod(
-        F.pmod(hi, F.lit(num_reducers)) * F.lit(two64_mod) + F.pmod(lo, F.lit(num_reducers)),
-        F.lit(num_reducers),
-    ).cast("int")
+    r_col = md5_partition_col(key, num_reducers)
 
     staged = output_dir + ".staging"
     (

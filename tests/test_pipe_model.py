@@ -168,3 +168,37 @@ def test_profile_reducer_detects_key_only_sort(executables):
     wrong = _run_exec(executables["profile"], part)
     right = _run_exec(executables["profile"], sorted(part))
     assert wrong != right
+
+
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    r=st.sampled_from([1, 2, 3, 5, 7, 16, 97, 1000]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_md5_partition_col_matches_python_formula(spark, keys, r):
+    """The JVM-side two-64-bit-half decimal routing used by the
+    shuffle-layout sink must equal the reference's Python formula on
+    arbitrary unicode keys and partition counts."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.operators.pipe import md5_partition_col
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {
+        r_.key: r_.p
+        for r_ in df.select(
+            "key", md5_partition_col(F.col("key"), r).alias("p")
+        ).collect()
+    }
+    assert got == {k: md5_partition(k, r) for k in set(keys)}
