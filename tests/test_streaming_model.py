@@ -330,3 +330,52 @@ def test_anomalies_stream_multibatch_matches_model(
                 hours = hours[-ANOMALY_WINDOW:]
                 counts = counts[-ANOMALY_WINDOW:]
     assert got == sorted(want)
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_stream_stream_join_multibatch_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """Stream-stream interval join across micro-batches: a click in an
+    EARLIER batch must still be in join state when its purchase arrives
+    in a later one (the predicate-derived retention bound), and no
+    evicted click may ever produce a lost match under event-time-
+    monotone replay."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.streaming.events import (
+        purchase_click_join_stream,
+    )
+
+    path = _write_chunks(
+        tmp_path_factory.mktemp("ssj"), events, [c % len(events) for c in cuts]
+    )
+    name = f"ssj_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        purchase_click_join_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="append",
+    )
+    got = sorted(
+        (r.p_event_id, r.p_user, r.p_sec, r.c_sec)
+        for r in spark.table(name)
+        .select(
+            "p_event_id",
+            "p_user",
+            F.unix_timestamp("p_ts").alias("p_sec"),
+            F.unix_timestamp("c_ts").alias("c_sec"),
+        )
+        .collect()
+    )
+    window_s = 30 * 60
+    want = sorted(
+        (p["event_id"], p["user_id"], p["sec"], c["sec"])
+        for p in events
+        if p["event_type"] == "purchase"
+        for c in events
+        if c["event_type"] == "click"
+        and c["user_id"] == p["user_id"]
+        and p["sec"] - window_s <= c["sec"] < p["sec"]
+    )
+    assert got == want
