@@ -100,7 +100,8 @@ def _dml_table(spark: SparkSession, sf_dir: str, variant: str) -> str:
     txnlog.txn_merge(spark, tbl, source, ["o_orderkey"])  # v3
     if variant == "compacted":
         txnlog.txn_compact(spark, tbl, num_files=2)  # v4, logical no-op
-        txnlog.txn_vacuum(tbl, retain_versions=1)
+        # zero grace: single-writer scratch build, no one in flight
+        txnlog.txn_vacuum(tbl, retain_versions=1, min_age_s=0.0)
     _TABLES[key] = tbl
     return tbl
 

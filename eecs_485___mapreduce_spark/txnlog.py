@@ -58,6 +58,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -759,7 +760,9 @@ def snapshot_stats(table_dir: str, version: int | None = None) -> dict:
     return {"files": len(live), "rows": sum(rows_by_file.values())}
 
 
-def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
+def txn_vacuum(
+    table_dir: str, retain_versions: int = 1, min_age_s: float = 600.0
+) -> dict:
     """Reclaim data files referenced by NO retained version: keeps
     every file live in any of the last ``retain_versions`` snapshots
     (time travel works back exactly that far), deletes the rest —
@@ -767,7 +770,22 @@ def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     the ``_changes`` directories of commits OLDER than the retained
     window (``txn_changes``/``txnfeed`` reads starting before the
     window fail afterwards, the same retention coupling as Delta's
-    CDF). Returns ``{deleted, kept, changes_deleted}`` file counts.
+    CDF). Returns ``{deleted, kept, deferred, changes_deleted}``
+    file counts.
+
+    ``min_age_s``: an unreferenced file younger than this is DEFERRED,
+    not deleted. An IN-FLIGHT writer's data directory is
+    indistinguishable from a crashed writer's orphan until its commit
+    lands — the data write happens BEFORE the log link — so a vacuum
+    racing a live writer would otherwise delete files the imminent
+    commit references, corrupting that version forever (reads fail on
+    missing files; the log itself stays consistent, which makes it
+    worse — nothing looks wrong until the scan). Delta guards the same
+    race with its retention-duration check; pass ``min_age_s=0.0``
+    only when no writer can be in flight (single-writer maintenance
+    windows, tests). The same guard covers fresh commit temps.
+    ``_changes`` dirs need no guard: they belong to already-committed
+    versions, never to an in-flight writer.
 
     Log entries store absolute paths (``input_file_name`` is absolute);
     both sides of every membership test are ``os.path.realpath``-
@@ -775,20 +793,26 @@ def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     unreferenced (which would destroy the table)."""
     history = txn_history(table_dir)
     if not history:
-        return {"deleted": 0, "kept": 0, "changes_deleted": 0}
+        return {"deleted": 0, "kept": 0, "deferred": 0, "changes_deleted": 0}
     latest = history[-1]["version"]
     cutoff = max(0, latest - retain_versions + 1)
     keep: set[str] = set()
     for v in range(cutoff, latest + 1):
         keep.update(os.path.realpath(f) for f in _live_files(table_dir, v))
+    now = time.time()
     deleted = 0
+    deferred = 0
     data_root = os.path.join(os.path.realpath(table_dir), DATA_DIR)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for fname in filenames:
             full = os.path.realpath(os.path.join(dirpath, fname))
             if full not in keep and fname.endswith(".parquet"):
-                os.remove(full)
-                deleted += 1
+                with contextlib.suppress(FileNotFoundError):
+                    if now - os.path.getmtime(full) < min_age_s:
+                        deferred += 1  # possibly an in-flight writer's
+                        continue
+                    os.remove(full)
+                    deleted += 1
         if not os.listdir(dirpath):
             os.rmdir(dirpath)
     changes_deleted = 0
@@ -802,11 +826,21 @@ def txn_vacuum(table_dir: str, retain_versions: int = 1) -> dict:
     # A writer killed between temp-write and link leaves an inert
     # ``NNNNNNNN.json.tmp-*``; it references nothing, so vacuum is the
     # natural reclaim point. A LIVE writer's temp is exposed for at
-    # most the instant before its link — and losing the race there
-    # surfaces as the same TxnConflict retry as losing the link itself.
+    # most the instant before its link — losing the race there
+    # surfaces as a retryable TxnConflict — and the min_age_s guard
+    # makes even that collision impossible outside a zero-grace vacuum.
     for stale in glob.glob(os.path.join(_log_dir(table_dir), "*.json.tmp-*")):
-        os.unlink(stale)
-    return {"deleted": deleted, "kept": len(keep), "changes_deleted": changes_deleted}
+        with contextlib.suppress(FileNotFoundError):
+            if now - os.path.getmtime(stale) < min_age_s:
+                deferred += 1
+                continue
+            os.unlink(stale)
+    return {
+        "deleted": deleted,
+        "kept": len(keep),
+        "deferred": deferred,
+        "changes_deleted": changes_deleted,
+    }
 
 
 def txn_clone(src_dir: str, dst_dir: str, version: int | None = None) -> dict:

@@ -486,7 +486,7 @@ def test_orphan_files_from_crashed_writer_are_invisible(spark, table):
     # vacuum reclaims the orphan parquet files
     n_orphans = len(glob.glob(os.path.join(orphan_dir, "*.parquet")))
     assert n_orphans > 0
-    report = txnlog.txn_vacuum(d, retain_versions=10)
+    report = txnlog.txn_vacuum(d, retain_versions=10, min_age_s=0.0)
     assert report["deleted"] >= n_orphans
     assert glob.glob(os.path.join(orphan_dir, "*.parquet")) == []
     assert txnlog.read_snapshot(spark, d).count() == total  # still unchanged
@@ -496,12 +496,12 @@ def test_vacuum_retains_exactly_the_requested_time_travel(spark, table):
     d, orders = table
     txnlog.txn_compact(spark, d, num_files=1)  # v2 rewrites everything
     # retain v1..v2: v1's file set (all pre-compaction files) survives
-    txnlog.txn_vacuum(d, retain_versions=2)
+    txnlog.txn_vacuum(d, retain_versions=2, min_age_s=0.0)
     assert txnlog.read_snapshot(spark, d).count() == orders.count()
     assert txnlog.read_snapshot(spark, d, version=1).count() == orders.count()
     # retain only the latest: pre-compaction files are reclaimed, so
     # the current snapshot survives but v1 time travel is gone
-    report = txnlog.txn_vacuum(d, retain_versions=1)
+    report = txnlog.txn_vacuum(d, retain_versions=1, min_age_s=0.0)
     assert report["deleted"] > 0
     assert txnlog.read_snapshot(spark, d).count() == orders.count()
     with pytest.raises(Exception):
@@ -590,7 +590,9 @@ def test_vacuum_with_relative_table_dir_keeps_live_files(
     d, orders = table
     total = orders.count()
     monkeypatch.chdir(os.path.dirname(d))
-    report = txnlog.txn_vacuum(os.path.basename(d), retain_versions=1)
+    # min_age_s=0 keeps this test honest: with the grace window the
+    # fresh files would survive even if realpath normalization broke
+    report = txnlog.txn_vacuum(os.path.basename(d), retain_versions=1, min_age_s=0.0)
     assert report["deleted"] == 0, "every file is live in the latest snapshot"
     assert txnlog.read_snapshot(spark, d).count() == total
 
@@ -631,7 +633,7 @@ def test_vacuum_reclaims_changes_dirs_outside_retention(spark, table):
     c2 = txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 1")  # v2
     c3 = txnlog.txn_delete_where(spark, d, "o_orderkey % 10 = 2")  # v3
     assert os.path.isdir(c2["changes"]) and os.path.isdir(c3["changes"])
-    report = txnlog.txn_vacuum(d, retain_versions=1)  # cutoff = v3
+    report = txnlog.txn_vacuum(d, retain_versions=1, min_age_s=0.0)  # cutoff = v3
     assert report["changes_deleted"] > 0
     assert not os.path.isdir(c2["changes"])
     assert os.path.isdir(c3["changes"])
@@ -686,7 +688,7 @@ def test_shallow_clone_shares_files_then_diverges(spark, table, tmp_path):
     assert txnlog.read_snapshot(spark, c).count() == orders.count()
     txnlog.txn_delete_where(spark, c, "o_orderkey % 2 = 0")  # clone diverges
     assert txnlog.read_snapshot(spark, d).count() == orders.count()
-    txnlog.txn_vacuum(c, retain_versions=1)
+    txnlog.txn_vacuum(c, retain_versions=1, min_age_s=0.0)
     assert txnlog.read_snapshot(spark, d).count() == orders.count()
     # pinned-version clone reads that version's snapshot
     c0 = str(tmp_path / "clone_v0")
@@ -713,7 +715,7 @@ def test_restore_rolls_back_as_new_commit(spark, table):
     txnlog.txn_restore(d, 2)  # v4: undo the restore
     assert txnlog.read_snapshot(spark, d).count() == n_after_del
     txnlog.txn_compact(spark, d, num_files=1)  # v5
-    txnlog.txn_vacuum(d, retain_versions=1)
+    txnlog.txn_vacuum(d, retain_versions=1, min_age_s=0.0)
     with pytest.raises(FileNotFoundError):
         txnlog.txn_restore(d, 1)
 
@@ -798,8 +800,8 @@ def test_torn_commit_temp_never_wedges_the_log(spark, table, monkeypatch):
     commit = txnlog.txn_append(orders.limit(5), d)
     assert commit["version"] == 2
     assert txnlog.read_snapshot(spark, d).count() == total + 5
-    # vacuum reclaims the inert temp
-    txnlog.txn_vacuum(d, retain_versions=10)
+    # vacuum reclaims the inert temp (zero grace: the writer is dead)
+    txnlog.txn_vacuum(d, retain_versions=10, min_age_s=0.0)
     assert glob.glob(os.path.join(log_dir, "*.json.tmp-*")) == []
 
 

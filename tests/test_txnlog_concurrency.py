@@ -97,7 +97,8 @@ def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
         for f in glob.glob(os.path.join(data_root, "*", "*.parquet"))
     }
     assert live <= on_disk
-    txnlog.txn_vacuum(table, retain_versions=1)
+    # zero grace is safe here: every writer thread has joined
+    txnlog.txn_vacuum(table, retain_versions=1, min_age_s=0.0)
     after = {
         os.path.realpath(f)
         for f in glob.glob(os.path.join(data_root, "*", "*.parquet"))
@@ -175,3 +176,48 @@ def test_snapshot_isolation_under_append_storm(spark, tmp_path):
     # atomic visibility implies monotone growth in poll order
     for a, b in zip(seen, seen[1:]):
         assert a <= b
+
+
+def test_vacuum_grace_window_protects_in_flight_writer(spark, tmp_path):
+    """A writer's data directory exists BEFORE its commit lands, and is
+    indistinguishable from a crashed writer's orphan. A vacuum running
+    in that window must defer it (min_age_s), or the imminent commit
+    would reference deleted files and the version would be unreadable
+    forever. Zero-grace vacuum is the explicitly-opted-out maintenance
+    mode."""
+    import glob as _glob
+
+    table = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(0, 0)], "id long, val long")
+    txnlog.txn_create(base, table, num_files=1)
+
+    # simulate the in-flight writer: data written, commit not yet linked
+    version = txnlog._next_version(table)
+    df = spark.createDataFrame([(1, 1), (2, 1)], "id long, val long")
+    add = txnlog._write_commit_data(df, table, version, "append", 1)
+
+    # a concurrent default-grace vacuum runs in the gap: defers, deletes nothing
+    report = txnlog.txn_vacuum(table, retain_versions=1)
+    assert report["deleted"] == 0
+    assert report["deferred"] >= 1
+    for entry in add:
+        assert os.path.exists(entry["file"])
+
+    # the commit lands; the version must read completely
+    txnlog._commit(
+        table, {"version": version, "op": "append", "add": add, "remove": []}
+    )
+    got = sorted(tuple(r) for r in txnlog.read_snapshot(spark, table).collect())
+    assert got == [(0, 0), (1, 1), (2, 1)]
+
+    # contrast: zero grace in the same gap WOULD have taken the files —
+    # proving the guard (not luck) is what saved the commit above
+    version2 = txnlog._next_version(table)
+    add2 = txnlog._write_commit_data(df, table, version2, "append", 1)
+    report = txnlog.txn_vacuum(table, retain_versions=1, min_age_s=0.0)
+    assert report["deleted"] >= 1
+    assert not any(os.path.exists(e["file"]) for e in add2)
+    n_parquet = len(
+        _glob.glob(os.path.join(table, txnlog.DATA_DIR, "*", "*.parquet"))
+    )
+    assert n_parquet == len(txnlog._live_files(table))
