@@ -490,6 +490,27 @@ def txn_merge(
         new_data = survivors.unionByName(source)
         preimage = affected_df.join(keys, key_cols, "semi")
         matched_keys = preimage.select(*key_cols).distinct()
+        # Delta parity: a MATCHED key fed by more than one source row is
+        # an ambiguous update and must error (silently landing both rows
+        # — and double-tagging them update_postimage in the feed — is
+        # the quiet corruption Delta's duplicate-match check exists
+        # for). Duplicate UNMATCHED keys stay legal: they are plain
+        # multi-row inserts. Cost: one aggregation over the matched
+        # slice of the SOURCE — the small side by design.
+        ambiguous = (
+            source.join(matched_keys, list(key_cols), "semi")
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if ambiguous:
+            raise ValueError(
+                "txn_merge: multiple source rows share a MATCHED key "
+                f"(key_cols={list(key_cols)}); deduplicate the source "
+                "or aggregate it per key before merging"
+            )
         tag = F.when(
             F.col("__matched").isNotNull(), F.lit("update_postimage")
         ).otherwise(F.lit("insert"))

@@ -878,3 +878,33 @@ def test_externally_damaged_log_fails_loudly_never_partially(spark, table):
         txnlog.txn_history(d)
     open(v1, "w").write(saved)
     assert txnlog.read_snapshot(spark, d).count() == orders.count() + 5
+
+
+def test_merge_duplicate_matched_source_keys_error_delta_parity(spark, tmp_path):
+    """A MATCHED key fed by two source rows is an ambiguous update and
+    must raise (Delta's duplicate-match rule) BEFORE any commit lands;
+    duplicate UNMATCHED keys are legal multi-row inserts."""
+    d = str(tmp_path / "tbl")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        d,
+        num_files=1,
+    )
+    dup_matched = spark.createDataFrame(
+        [(1, 11), (1, 12)], "id long, val long"
+    )
+    with pytest.raises(ValueError, match="MATCHED key"):
+        txnlog.txn_merge(spark, d, dup_matched, ["id"])
+    # nothing committed: table unchanged, history unchanged
+    assert [c["version"] for c in txnlog.txn_history(d)] == [0]
+    assert sorted(
+        tuple(r) for r in txnlog.read_snapshot(spark, d).collect()
+    ) == [(1, 10), (2, 20)]
+
+    dup_unmatched = spark.createDataFrame(
+        [(9, 91), (9, 92)], "id long, val long"
+    )
+    txnlog.txn_merge(spark, d, dup_unmatched, ["id"])
+    assert sorted(
+        tuple(r) for r in txnlog.read_snapshot(spark, d).collect()
+    ) == [(1, 10), (2, 20), (9, 91), (9, 92)]
