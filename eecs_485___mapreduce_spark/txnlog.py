@@ -440,9 +440,10 @@ def txn_merge(
     """Copy-on-write MERGE (upsert): rows in ``source`` REPLACE live
     rows with the same key, and keys not present are INSERTED — the
     Delta ``MERGE … WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT
-    ALL`` shape. ``source`` must be key-unique (standard MERGE
-    precondition; duplicate source keys would make the result
-    order-dependent).
+    ALL`` shape. Duplicate source rows on a MATCHED key raise
+    ``ValueError`` before anything commits (Delta's ambiguous-update
+    rule, enforced below); duplicate UNMATCHED keys are legal
+    multi-row inserts.
 
     Scale contract: affected files are found by a key SEMI-join
     grouped on ``input_file_name`` (output bounded by file count, AQE
