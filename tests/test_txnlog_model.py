@@ -115,3 +115,77 @@ def test_random_dml_sequences_match_in_memory_model(spark, tmp_path_factory, fir
     # log-only stats agree with the final data
     stats = txnlog.snapshot_stats(d)
     assert stats["rows"] == len(model)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(first=_batch, ops=st.lists(_op, min_size=1, max_size=4))
+def test_txnfeed_stream_matches_batch_feed_random_dml(
+    spark, tmp_path_factory, first, ops
+):
+    """The txnfeed streaming source must emit, for ANY DML history the
+    model strategy can produce, exactly the rows the batch change feed
+    (txn_changes, which carries the oracle-checked semantics) computes
+    — same change types, same commit versions, every op shape
+    (append add-files, delete/update/merge _changes dirs, compaction's
+    empty contribution, restore's net file delta)."""
+    base = tmp_path_factory.mktemp("feedmodel")
+    d = str(base / "tbl")
+    txnlog.txn_create(
+        spark.createDataFrame(list(first), SCHEMA), d, num_files=2
+    )
+    n_versions = 1
+    for op in ops:
+        if op[0] == "append":
+            batch = [(i + 100 * n_versions, v) for i, v in op[1]]
+            txnlog.txn_append(
+                spark.createDataFrame(batch, SCHEMA), d, num_files=2
+            )
+        elif op[0] == "delete":
+            txnlog.txn_delete_where(
+                spark, d, f"id % {op[1]} = {op[2]}", num_files=2
+            )
+        elif op[0] == "update":
+            txnlog.txn_update_where(
+                spark, d, f"id % {op[1]} = {op[2]}",
+                {"val": f"val + {op[3]}"}, num_files=2,
+            )
+        elif op[0] == "merge":
+            txnlog.txn_merge(
+                spark, d, spark.createDataFrame(list(op[1]), SCHEMA),
+                ["id"], num_files=2,
+            )
+        elif op[0] == "compact":
+            txnlog.txn_compact(spark, d, num_files=1)
+        else:
+            txnlog.txn_restore(d, op[1] % n_versions)
+        n_versions += 1
+
+    cols = ["id", "val", "_change_type", "_commit_version"]
+    want = sorted(
+        tuple(r)
+        for r in txnlog.txn_changes(spark, d, 0).select(*cols).collect()
+    )
+
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    spark.dataSource.register(TxnFeedDataSource)
+    sink = str(base / "sink")
+    q = (
+        spark.readStream.format("txnfeed")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).select(*cols).collect()
+    )
+    assert got == want
