@@ -379,3 +379,45 @@ def test_stream_stream_join_multibatch_matches_model(
         and p["sec"] - window_s <= c["sec"] < p["sec"]
     )
     assert got == want
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_cms_store_multibatch_matches_pure_python(
+    spark, tmp_path_factory, events, cuts
+):
+    """The streaming count-min store: per-batch partial sketches merged
+    on read must equal a pure-Python recompute of the same cell math
+    (md5('cms'+seed+':'+key) mod width) — an implementation independent
+    of BOTH engines, so a shared Spark/DuckDB misconception can't hide.
+    Batch boundaries only move counts between partials; the cell-wise
+    sum must erase them."""
+    import hashlib
+
+    from eecs_485___mapreduce_spark.queries.quality import CMS_DEPTH, CMS_WIDTH
+    from eecs_485___mapreduce_spark.streaming.sinks import (
+        cms_sketch_stream,
+        read_cms_sketch,
+    )
+
+    base = tmp_path_factory.mktemp("cms")
+    path = _write_chunks(base, events, [c % len(events) for c in cuts])
+    store = str(base / "store")
+    q = cms_sketch_stream(
+        _read_chunked_stream(spark, path), store, str(base / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        (r.seed, r.cell): r.cnt
+        for r in read_cms_sketch(spark, store).collect()
+    }
+
+    want: dict[tuple[int, int], int] = {}
+    for e in events:
+        for seed in range(CMS_DEPTH):
+            h = hashlib.md5(
+                f"cms{seed}:{e['user_id']}".encode()
+            ).hexdigest()
+            cell = int(h[:15], 16) % CMS_WIDTH
+            want[(seed, cell)] = want.get((seed, cell), 0) + 1
+    assert got == want
