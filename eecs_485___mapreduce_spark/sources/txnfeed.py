@@ -175,9 +175,27 @@ def _snapshot_schema(table_dir: str) -> StructType:
 
     from pyspark.sql.pandas.types import from_arrow_type
 
-    from ..txnlog import _live_files
+    import os
+
+    from ..txnlog import _live_files, txn_history
 
     live = _live_files(table_dir)
+    if not live:
+        # A DML op can empty the table while its change feed stays
+        # perfectly readable (the batch txn_changes does); derive the
+        # schema from the most recent version that HAD live files —
+        # schema evolution only ever arrives with added files, so that
+        # version's union schema is the full one. Vacuumed historical
+        # files are skipped. (Caught by the random-DML feed sweep:
+        # a delete emptying the table crashed the stream reader.)
+        for commit in reversed(txn_history(table_dir)):
+            live = [
+                f
+                for f in _live_files(table_dir, commit["version"])
+                if os.path.exists(f)
+            ]
+            if live:
+                break
     if not live:
         raise FileNotFoundError(f"no committed data in {table_dir}")
     fields: dict[str, StructField] = {}

@@ -487,8 +487,21 @@ def txn_merge(
         affected_df = spark.read.option("mergeSchema", "true").parquet(
             *affected_files
         )
+        # Schema discipline (the Delta autoMerge shape): EXTRA source
+        # columns evolve the table — survivors and older files null-
+        # fill, exactly like append-based evolution. A source MISSING
+        # table columns errors loudly: replace-by-key semantics cannot
+        # know whether the caller meant NULL or carry-forward, and
+        # Delta's INSERT */UPDATE SET * reject the same shape.
+        narrow = [c for c in affected_df.columns if c not in source.columns]
+        if narrow:
+            raise ValueError(
+                f"txn_merge: source lacks table columns {narrow}; "
+                "select them explicitly (NULL literals are legal) — "
+                "column-subset SET semantics are not supported"
+            )
         survivors = affected_df.join(keys, key_cols, "anti")
-        new_data = survivors.unionByName(source)
+        new_data = survivors.unionByName(source, allowMissingColumns=True)
         preimage = affected_df.join(keys, key_cols, "semi")
         matched_keys = preimage.select(*key_cols).distinct()
         # Delta parity: a MATCHED key fed by more than one source row is
@@ -526,7 +539,10 @@ def txn_merge(
         )
         tagged = preimage.withColumn(
             "_change_type", F.lit("update_preimage")
-        ).unionByName(post_or_insert)
+        ).unionByName(post_or_insert, allowMissingColumns=True)
+        # (preimages of an evolving merge null-fill the new columns in
+        # the feed, matching how every reader sees the pre-evolution
+        # rows themselves)
     else:
         new_data = source
         tagged = source.withColumn("_change_type", F.lit("insert"))

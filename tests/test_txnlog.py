@@ -908,3 +908,39 @@ def test_merge_duplicate_matched_source_keys_error_delta_parity(spark, tmp_path)
     assert sorted(
         tuple(r) for r in txnlog.read_snapshot(spark, d).collect()
     ) == [(1, 10), (2, 20), (9, 91), (9, 92)]
+
+
+def test_merge_with_extra_source_columns_evolves_schema(spark, tmp_path):
+    """A source carrying a NEW column evolves the table through MERGE
+    (the Delta autoMerge shape): survivors and pre-evolution rows
+    null-fill, the change feed's preimages null-fill the same way, and
+    a narrower source errors with the contract message instead of an
+    opaque union failure."""
+    d = str(tmp_path / "tbl")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, val long"),
+        d,
+        num_files=1,
+    )
+    wide = spark.createDataFrame(
+        [(2, 21, "x"), (9, 90, "y")], "id long, val long, tag string"
+    )
+    txnlog.txn_merge(spark, d, wide, ["id"], num_files=1)
+    got = sorted(
+        tuple(r)
+        for r in txnlog.read_snapshot(spark, d)
+        .select("id", "val", "tag")
+        .collect()
+    )
+    assert got == [(1, 10, None), (2, 21, "x"), (3, 30, None), (9, 90, "y")]
+    feed = txnlog.txn_changes(spark, d, 1).select("id", "tag", "_change_type")
+    assert {tuple(r) for r in feed.collect()} == {
+        (2, None, "update_preimage"),
+        (2, "x", "update_postimage"),
+        (9, "y", "insert"),
+    }
+
+    with pytest.raises(ValueError, match="lacks table columns"):
+        txnlog.txn_merge(
+            spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
