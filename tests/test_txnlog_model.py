@@ -189,3 +189,101 @@ def test_txnfeed_stream_matches_batch_feed_random_dml(
         tuple(r) for r in spark.read.parquet(sink).select(*cols).collect()
     )
     assert got == want
+
+
+SCHEMA_WIDE = "id long, val long, tag string"
+
+# evolution model ops: plain appends/merges (narrow), evolved
+# appends/merges (carry `tag`), DML on `val`, updates touching `tag`
+# (NULL + expr stays NULL on pre-evolution rows), compaction
+_eop = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(st.just("append_wide"), _batch),
+    st.tuples(st.just("merge_wide"), _batch),
+    st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(st.just("update_tag"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(st.just("compact")),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(first=_batch, ops=st.lists(_eop, min_size=2, max_size=5))
+def test_schema_evolution_dml_sequences_match_model(
+    spark, tmp_path_factory, first, ops
+):
+    """Random DML interleaved with schema evolution: every read path
+    (snapshot, the evolving MERGE's survivors, UPDATE across mixed
+    files) must null-fill pre-evolution rows and keep evolved values,
+    with the model carrying (val, tag) per id as ground truth."""
+    d = str(tmp_path_factory.mktemp("evo") / "tbl")
+    model: dict[int, tuple[int, str | None]] = {
+        i: (v, None) for i, v in first
+    }
+    txnlog.txn_create(
+        spark.createDataFrame(list(first), SCHEMA), d, num_files=2
+    )
+    n = 1
+    for op in ops:
+        if op[0] == "append":
+            batch = [(i + 100 * n, v) for i, v in op[1]]
+            txnlog.txn_append(
+                spark.createDataFrame(batch, SCHEMA), d, num_files=2
+            )
+            model.update({i: (v, None) for i, v in batch})
+        elif op[0] == "append_wide":
+            batch = [(i + 100 * n, v, f"t{v}") for i, v in op[1]]
+            txnlog.txn_append(
+                spark.createDataFrame(batch, SCHEMA_WIDE), d, num_files=2
+            )
+            model.update({i: (v, f"t{v}") for i, v, _ in batch})
+        elif op[0] == "merge_wide":
+            batch = [(i, v, f"m{v}") for i, v in op[1]]
+            txnlog.txn_merge(
+                spark,
+                d,
+                spark.createDataFrame(batch, SCHEMA_WIDE),
+                ["id"],
+                num_files=2,
+            )
+            model.update({i: (v, f"m{v}") for i, v, _ in batch})
+        elif op[0] == "delete":
+            _, k, r = op
+            txnlog.txn_delete_where(spark, d, f"id % {k} = {r}", num_files=2)
+            model = {i: s for i, s in model.items() if i % k != r}
+        elif op[0] == "update_tag":
+            _, k, r = op
+            has_tag = any(t is not None for _, t in model.values())
+            if not has_tag:
+                continue  # tag column does not exist yet
+            txnlog.txn_update_where(
+                spark, d, f"id % {k} = {r}",
+                {"tag": "tag || '!'"}, num_files=2,
+            )
+            # NULL || '!' stays NULL: pre-evolution rows keep NULL tag
+            model = {
+                i: (v, (t + "!" if t is not None else None))
+                if i % k == r
+                else (v, t)
+                for i, (v, t) in model.items()
+            }
+        else:
+            txnlog.txn_compact(spark, d, num_files=1)
+        n += 1
+
+        if model:
+            snap = txnlog.read_snapshot(spark, d)
+            cols = (
+                ["id", "val", "tag"]
+                if "tag" in snap.columns
+                else ["id", "val"]
+            )
+            got = sorted(tuple(r) for r in snap.select(*cols).collect())
+            if "tag" in snap.columns:
+                want = sorted((i, v, t) for i, (v, t) in model.items())
+            else:
+                want = sorted((i, v) for i, (v, t) in model.items())
+            assert got == want, f"diverged after {op}"
