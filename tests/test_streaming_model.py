@@ -421,3 +421,82 @@ def test_cms_store_multibatch_matches_pure_python(
             cell = int(h[:15], 16) % CMS_WIDTH
             want[(seed, cell)] = want.get((seed, cell), 0) + 1
     assert got == want
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_sprt_store_multibatch_matches_pure_python(
+    spark, tmp_path_factory, events, cuts
+):
+    """The streaming SPRT experiment monitor: per-batch (variant, hour)
+    partials merged on read, then the cumulative-LLR / Wald-crossing
+    readout, must equal an engine-independent pure-Python recompute —
+    integer micro-nat arithmetic end to end, so equality is exact.
+    Batch splits may cut a (variant, hour) cell in half; the
+    merge-on-read addition must erase that."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.inference import (
+        SPRT_A_MICRO,
+        SPRT_B_MICRO,
+        SPRT_L0_MICRO,
+        SPRT_L1_MICRO,
+    )
+    from eecs_485___mapreduce_spark.streaming.sinks import (
+        read_sprt_monitor,
+        sprt_monitor_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sprt")
+    path = _write_chunks(base, events, [c % len(events) for c in cuts])
+    store = str(base / "store")
+    q = sprt_monitor_stream(
+        _read_chunked_stream(spark, path), store, str(base / "ckpt")
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in read_sprt_monitor(spark, store)
+        .select(
+            "variant",
+            "n_hours",
+            "n_trials",
+            "n_success",
+            "llr_final_micro",
+            F.unix_timestamp("first_cross_hour").alias("cross_sec"),
+            "decision",
+        )
+        .collect()
+    )
+
+    cells: dict[tuple[int, int], list[int]] = {}
+    for e in events:
+        h = hashlib.md5(f"ab:{e['user_id']}".encode()).hexdigest()
+        variant = int(h[:15], 16) % 2
+        hour = e["sec"] // 3600 * 3600
+        cell = cells.setdefault((variant, hour), [0, 0])
+        cell[0] += 1
+        cell[1] += 1 if e["event_type"] == "purchase" else 0
+    want = []
+    for variant in sorted({v for v, _ in cells}):
+        hours = sorted(h for v, h in cells if v == variant)
+        llr, cross_sec, decision = 0, 0, "continue"
+        n_trials = n_success = 0
+        for h in hours:
+            n, s = cells[(variant, h)]
+            n_trials += n
+            n_success += s
+            llr += s * SPRT_L1_MICRO + (n - s) * SPRT_L0_MICRO
+            if decision == "continue" and (
+                llr >= SPRT_A_MICRO or llr <= SPRT_B_MICRO
+            ):
+                cross_sec = h
+                decision = (
+                    "accept_h1" if llr >= SPRT_A_MICRO else "accept_h0"
+                )
+        want.append(
+            (variant, len(hours), n_trials, n_success, llr, cross_sec, decision)
+        )
+    assert got == sorted(want)
