@@ -6,7 +6,9 @@ Streaming contract (reference mapreduce/worker/__main__.py):
 
 - map (:130-148): each input file streams through the executable;
   stdout lines are ``key\tvalue`` records, key = text before the FIRST
-  tab (:141), routed to partition ``md5(key) % R`` (:142-144);
+  tab of the RAW newline-terminated line (:141) — so a tabless
+  record's key includes its trailing ``\n`` — routed to partition
+  ``md5(key) % R`` (:142-144);
 - each map-output partition file is byte-sorted whole-line (:150-152);
 - reduce (:173-194): a k-way merge of the sorted runs (so the reducer
   sees keys sorted, equal keys adjacent) streams through the reducer
@@ -35,6 +37,32 @@ from pyspark.sql import DataFrame, Row, SparkSession
 def md5_partition(key: str, num_partitions: int) -> int:
     """The reference's partition function (mapreduce/worker/__main__.py:142-144)."""
     return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
+
+
+def reference_partition_key(line: str) -> str:
+    r"""The byte string the reference actually hashes for a map-output
+    record (mapreduce/worker/__main__.py:141): ``line.split('\t')[0]``
+    computed on the RAW newline-terminated stdout line. For a tabbed
+    record that is the text before the first tab (the '\n' sits in the
+    value part); for a TABLESS record the split returns the whole line
+    *including* its trailing newline, so the reference hashes
+    ``md5(key + '\n')`` — a tabless ``key`` record and a tabbed
+    ``key\tv`` record can land in DIFFERENT reduce partitions, and do.
+    ``line`` here is the newline-stripped record as our pipeline
+    carries it; this helper re-adds the byte the reference saw."""
+    head, sep, _ = line.partition("\t")
+    return head if sep else head + "\n"
+
+
+def reference_partition_key_col(value):
+    r"""``reference_partition_key`` as a JVM-side Column over the
+    newline-stripped record column ``value``."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.contains(value, F.lit("\t")),
+        F.split_part(value, F.lit("\t"), F.lit(1)),
+    ).otherwise(F.concat(value, F.lit("\n")))
 
 
 def md5_partition_col(key, num_partitions: int):
@@ -119,7 +147,13 @@ def pipe_reduce(
     lines = kv.map(lambda r: (r[0] if r[1] is None else r[0] + "\t" + r[1], None))
     arranged = lines.repartitionAndSortWithinPartitions(
         numPartitions=num_reducers,
-        partitionFunc=lambda line: md5_partition(line.split("\t", 1)[0], num_reducers),
+        # Reference routing computes the key from the raw newline-
+        # terminated line, so tabless records hash md5(line + '\n')
+        # (see reference_partition_key) — pinned by the
+        # tests/test_pipe_model.py simulator sweep.
+        partitionFunc=lambda line: md5_partition(
+            reference_partition_key(line), num_reducers
+        ),
     )
     out = arranged.map(lambda pair: pair[0]).pipe(command, checkCode=True)
     return spark.createDataFrame(out.map(lambda v: Row(value=v)), schema="value string")

@@ -55,82 +55,23 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # Round-5 window: 50 hash-checkable slots (rows-only entries are
-    # deliberately excluded — a no_oracle driver row verifies almost
-    # nothing, so those wait at the ROTATION_QUEUE tail). Highest-risk
-    # first, per the round-4 verdict: the txnlog trio (the ACID layer's
-    # only value-hash gate), all 8 multimodal codec oracles (hand-
-    # written decoders are the likeliest home of a latent bug), then
-    # containment / doc-cosine / FIFO; the rest is the queue head in
-    # registration-age order. All verified green via
-    # tools/driver_mimic.py at sf0.01 before this rotation.
-    "txnlog_dml_snapshot",
-    "txnlog_cdf_type_counts",
-    "txnlog_time_travel_counts",
-    "multimodal_image_headers",
-    "multimodal_audio_headers",
-    "multimodal_phash_neardup",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_pcm_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_pixel_stats",
-    "dedup_containment_pairs",
-    "ir_doc_cosine_topk",
-    "fifo_allocation_parts",
-    # new this round — changed code must sit inside the checked window
-    "hll_register_census_users",
-    "hazard_view_to_purchase",
-    "abtest_conversion_ztest",
-    "laspeyres_price_index_monthly",
-    "mix_shift_avg_order_value",
-    "bootstrap_ci_order_value",
-    "zonemap_skipping_audit",
-    "event_trigram_paths",
-    "encoding_advisor",
-    "mannwhitney_doclen_sources",
-    "did_order_value_building",
-    "blocks_contiguous_stream",
-    "ivm_join_orders_customers",
-    "consistent_hash_rebalance",
-    "bigram_lm_doc_perplexity",
-    "rtbf_delete_audit",
-    "join_skew_profile",
-    "pseudonymize_linkage",
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "dp_noisy_event_counts",
-    "eval_langid_metrics",
-    "text_unicode_hygiene",
-    "text_readability",
-    "calibration_bins_langid",
-    "json_schema_drift_weekly",
-    "cohens_kappa_langid",
-    "bloom_semi_join_orders",
-    "bitmap_audience_overlap",
-    "heavy_hitters_tokens",
-    "benford_first_digit",
-    "gini_revenue_by_nation",
-    "weighted_median_price_by_nation",
-    "sketch_cms_user_counts",
-    "psi_value_drift_by_type",
-    "ewma_user_value_recent",
-)
-
-# Round-6 rotation queue — every registered query that has NO driver
-# row yet (r1-r4 green rows in CORRECTNESS_r0*.json cover the rest;
-# the round-5 window above covers its 50). Round 6 rebuilds
-# DRIVER_ORDER_FIRST from the head of this queue (50 per round) and
-# rotates the remainder forward. Machine-checked:
-# tests/test_registry_order.py asserts every registered name is
-# windowed, prior-rowed, or queued — so a new query cannot silently
-# miss its future driver row. The two never-rowed rows-only entries
-# (pca_top_component_power, similarity_topk_pq) are demoted to the
-# tail: a no_oracle driver row verifies almost nothing, so
-# hash-checkable queries go first (round-4 verdict, What's wrong #2).
-ROTATION_QUEUE: tuple[str, ...] = (
-    # displaced from the round-5 window by hll_register_census_users
-    # (new code outranks an unchanged query for a window slot)
+    # Round-6 window: 50 hash-checkable slots. First the 6 queries the
+    # round-5 verdict flagged as stale-`no_oracle` — their only driver
+    # rows predate the round-5 upgrade to quantized-integer hash
+    # oracles, so those rows verify almost nothing and the upgraded
+    # oracles need real driver rows (round-5 VERDICT, Next round #1).
+    # Then the head of the never-rowed rotation queue in
+    # registration-age order (bitmap_user_activity_days first by age).
+    # All verified green via tools/driver_mimic.py at sf0.01 before
+    # this rotation.
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
+    "kmeans_assign_cells",
+    "kmeans_cell_profile",
+    "dedup_semantic_cells",
+    # rotation-queue head: never-rowed queries, oldest registration
+    # first
     "bitmap_user_activity_days",
     "integrity_checksum_orders",
     "rolling_7d_distinct_users",
@@ -175,6 +116,20 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "kaplan_meier_reorder_gaps",
     "naive_bayes_source_confusion",
     "padding_waste_batching",
+)
+
+# Round-7 rotation queue — every registered query that has NO green
+# hash driver row yet (r1-r5 rows in CORRECTNESS_r0*.json cover the
+# rest; the round-6 window above covers its 50). Round 7 rebuilds
+# DRIVER_ORDER_FIRST from the head of this queue and rotates any
+# remainder forward. Machine-checked: tests/test_registry_order.py
+# asserts every registered name is windowed, prior-rowed, or queued —
+# so a new query cannot silently miss its future driver row. The two
+# never-rowed rows-only entries (pca_top_component_power,
+# similarity_topk_pq) sit at the tail: a no_oracle driver row
+# verifies almost nothing, so hash-checkable queries go first.
+ROTATION_QUEUE: tuple[str, ...] = (
+    # never-rowed remainder after the round-6 window, oldest first
     "ivm_agg_retraction_daily",
     "ir_ndcg_bm25_eval",
     "threshold_sweep_stopword_en",

@@ -202,12 +202,14 @@ def write_shuffle_layout(
 
     from pyspark.sql import functions as F
 
-    from .operators.pipe import md5_partition_col
+    from .operators.pipe import md5_partition_col, reference_partition_key_col
 
     # Exact reference routing: int(md5_hex, 16) % R over the FULL
     # 128-bit digest, JVM-side (property-pinned vs the Python formula
-    # in tests/test_pipe_model.py).
-    key = F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+    # in tests/test_pipe_model.py). The key is derived from the raw
+    # newline-terminated line as the reference does, so a tabless
+    # record hashes md5(line + '\n').
+    key = reference_partition_key_col(F.col("value"))
     r_col = md5_partition_col(key, num_reducers)
 
     staged = output_dir + ".staging"

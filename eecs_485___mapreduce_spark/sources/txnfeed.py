@@ -183,19 +183,24 @@ def _snapshot_schema(table_dir: str) -> StructType:
     if not live:
         # A DML op can empty the table while its change feed stays
         # perfectly readable (the batch txn_changes does); derive the
-        # schema from the most recent version that HAD live files —
-        # schema evolution only ever arrives with added files, so that
-        # version's union schema is the full one. Vacuumed historical
-        # files are skipped. (Caught by the random-DML feed sweep:
-        # a delete emptying the table crashed the stream reader.)
-        for commit in reversed(txn_history(table_dir)):
-            live = [
-                f
-                for f in _live_files(table_dir, commit["version"])
-                if os.path.exists(f)
-            ]
-            if live:
-                break
+        # schema from ALL surviving historical files. Evolution only
+        # ever arrives with added files, but vacuum can keep an
+        # arbitrary SUBSET of history — picking the newest version
+        # with survivors could land on an older NARROW version (the
+        # evolved version's files vacuumed, pre-evolution files kept)
+        # and silently drop the evolved column from change batches the
+        # batch txn_changes feed still carries. The all-survivors
+        # union is the full schema because columns are never dropped.
+        # (Caught by the random-DML feed sweep: a delete emptying the
+        # table crashed the stream reader; the narrow-survivor case is
+        # the round-5 ADVICE refinement.)
+        seen: set[str] = set()
+        for commit in txn_history(table_dir):
+            for e in commit.get("add", []):
+                f = e["file"]
+                if f not in seen and os.path.exists(f):
+                    seen.add(f)
+                    live.append(f)
     if not live:
         raise FileNotFoundError(f"no committed data in {table_dir}")
     fields: dict[str, StructField] = {}

@@ -30,5 +30,6 @@ from .events import (  # noqa: F401
     run_stream_to_memory,
     sessionize_stream,
     sliding_rollup_stream,
+    user_value_stats_stream,
     user_value_stats_stream_v2,
 )

@@ -450,6 +450,74 @@ def rolling_distinct_stream(
     )
 
 
+USER_VALUE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+USER_VALUE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def user_value_stats_stream(events: DataFrame) -> DataFrame:
+    """State-API-v1 twin of :func:`user_value_stats_stream_v2`
+    (``applyInPandasWithState``): the SAME per-user (n_events,
+    total_cents) running aggregate — exact integer cents, HALF-UP
+    per-row rounding (``floor(v*100 + 0.5)`` on the non-negative value
+    column, Spark ROUND's behavior; numpy's default is banker's) —
+    on the state API that executes in this container.
+
+    The v2 operator stays as the real-cluster API (its state-server
+    protocol needs ``protobuf``, absent here); this twin gives the
+    semantics in-sandbox execution evidence: batch-equality-pinned in
+    tests/test_streaming.py and multi-micro-batch model-swept in
+    tests/test_streaming_model.py. State per user is one LongType
+    pair — O(users), never O(events); emissions are running totals in
+    update mode, so the final emission per user equals the batch
+    aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):  # noqa: ANN001
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64")
+            # int(): numpy scalars do not survive the state serializer
+            cents += int(np.floor(v * 100.0 + 0.5).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_cents": pd.Series([cents], dtype="int64"),
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_VALUE_OUTPUT_SCHEMA,
+            stateStructType=USER_VALUE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def user_value_stats_stream_v2(events: DataFrame) -> DataFrame:
     """Custom stateful operator on the Spark 4 arbitrary-state v2 API
     (``transformWithStateInPandas`` + ``ValueState``) — the successor
@@ -475,9 +543,10 @@ def user_value_stats_stream_v2(events: DataFrame) -> DataFrame:
     installs are disallowed), so the batch-equality test SKIPS here
     with the exact ImportError documented — on a standard Spark 4
     cluster (protobuf ships with pyspark[connect]) the operator runs
-    as written. The v1 twin (sessionize_stream, anomalies_stream,
-    applyInPandasWithState) carries the executable stateful coverage
-    in this environment.
+    as written. The DIRECT v1 twin :func:`user_value_stats_stream`
+    computes the same exact integer-cent aggregates on
+    ``applyInPandasWithState`` and carries the executable in-sandbox
+    coverage: batch-equality-pinned and multi-micro-batch model-swept.
     """
     import numpy as np
     import pandas as pd

@@ -139,6 +139,34 @@ def _live_files(table_dir: str, version: int | None = None) -> list[str]:
     return live
 
 
+def _table_columns(table_dir: str, live: list[str] | None = None) -> list[str]:
+    """Union column set of the table's CURRENT schema, from parquet
+    footers only (bounded by file count — no data scan). Live files
+    when any exist; for an emptied table, the union over every
+    surviving historical file: the schema outlives the rows (Delta
+    keeps it in table metadata; here it lives in the footers), vacuum
+    can keep an arbitrary SUBSET of history, and evolution only ever
+    ADDS columns — so the all-survivors union IS the current schema.
+    Empty list only when vacuum has removed every historical file."""
+    import pyarrow.parquet as pq
+
+    files = list(_live_files(table_dir) if live is None else live)
+    if not files:
+        seen: set[str] = set()
+        for commit in txn_history(table_dir):
+            for e in commit.get("add", []):
+                f = e["file"]
+                if f not in seen and os.path.exists(f):
+                    seen.add(f)
+                    files.append(f)
+    cols: list[str] = []
+    for path in files:
+        for name in pq.read_schema(path).names:
+            if name not in cols:
+                cols.append(name)
+    return cols
+
+
 def _commit(table_dir: str, record: dict) -> dict:
     """Atomically publish one commit: the payload is written and
     fsynced to a writer-private temp name FIRST, then hard-linked to
@@ -454,6 +482,23 @@ def txn_merge(
     a pure insert commit that rewrites nothing."""
     version = _next_version(table_dir)
     live = _live_files(table_dir)
+    # Schema discipline (the Delta autoMerge shape): EXTRA source
+    # columns evolve the table — survivors and older files null-fill,
+    # exactly like append-based evolution. A source MISSING table
+    # columns errors loudly on EVERY path (matched, all-keys-new, and
+    # emptied-table — a narrow all-miss source must not silently
+    # commit files lacking table columns): replace-by-key semantics
+    # cannot know whether the caller meant NULL or carry-forward, and
+    # Delta's INSERT */UPDATE SET * reject the same shape. The check
+    # runs against the full current table schema (footer union, which
+    # survives an emptied table), not just the affected files'.
+    narrow = [c for c in _table_columns(table_dir, live) if c not in source.columns]
+    if narrow:
+        raise ValueError(
+            f"txn_merge: source lacks table columns {narrow}; "
+            "select them explicitly (NULL literals are legal) — "
+            "column-subset SET semantics are not supported"
+        )
     keys = source.select(*key_cols).distinct()
     if not live:  # emptied table: every key is new, pure insert
         add = _write_commit_data(source, table_dir, version, "merge", num_files)
@@ -487,19 +532,6 @@ def txn_merge(
         affected_df = spark.read.option("mergeSchema", "true").parquet(
             *affected_files
         )
-        # Schema discipline (the Delta autoMerge shape): EXTRA source
-        # columns evolve the table — survivors and older files null-
-        # fill, exactly like append-based evolution. A source MISSING
-        # table columns errors loudly: replace-by-key semantics cannot
-        # know whether the caller meant NULL or carry-forward, and
-        # Delta's INSERT */UPDATE SET * reject the same shape.
-        narrow = [c for c in affected_df.columns if c not in source.columns]
-        if narrow:
-            raise ValueError(
-                f"txn_merge: source lacks table columns {narrow}; "
-                "select them explicitly (NULL literals are legal) — "
-                "column-subset SET semantics are not supported"
-            )
         survivors = affected_df.join(keys, key_cols, "anti")
         new_data = survivors.unionByName(source, allowMissingColumns=True)
         preimage = affected_df.join(keys, key_cols, "semi")

@@ -10,8 +10,9 @@ match a pure-Python simulator of the reference's documented semantics
 (reference mapreduce/worker/__main__.py):
 
 - map: every input line streams through the mapper executable; stdout
-  lines are ``key\tvalue`` records, key = text before the FIRST tab
-  (:141);
+  lines are ``key\tvalue`` records, key = text before the FIRST tab of
+  the RAW newline-terminated line (:141) — a tabless record's key
+  includes its trailing ``\n``;
 - partition: ``md5(key) % R`` (:142-144);
 - sort: each partition byte-sorted whole-line (:150-152) — for valid
   UTF-8, byte order == code-point order, so plain ``sorted()`` is the
@@ -121,7 +122,10 @@ def simulate_reference(
     mapped = _run_exec(mapper, corpus)
     parts: list[list[str]] = [[] for _ in range(num_reducers)]
     for rec in mapped:
-        key = rec.partition("\t")[0]
+        # Reference worker :141 splits the RAW newline-terminated
+        # stdout line, so a tabless record's key keeps its '\n' —
+        # simulate on rec + '\n', exactly the bytes the reference saw.
+        key = (rec + "\n").split("\t")[0]
         parts[md5_partition(key, num_reducers)].append(rec)
     out: list[list[str]] = []
     for part in parts:
@@ -158,6 +162,41 @@ def test_pipe_job_matches_reference_simulation(
     )
     want = [line for part in want_parts for line in part]
     assert got == want
+
+
+def test_tabless_record_routes_like_reference(spark, executables):
+    r"""Deterministic pin of the tabless divergence: the reference
+    hashes md5('word\n') for a tabless record but md5('word') for a
+    tabbed one, so the two record classes for the SAME key can land in
+    different reduce partitions. Find a key where the partitions
+    differ, run the real pipeline, and check partition placement
+    matches the reference simulation (round-5 ADVICE item)."""
+    from eecs_485___mapreduce_spark.operators.pipe import (
+        reference_partition_key,
+    )
+
+    r = 4
+    word = next(
+        w
+        for w in ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+        if md5_partition(w + "\n", r) != md5_partition(w, r)
+    )
+    assert reference_partition_key(word) == word + "\n"
+    assert reference_partition_key(word + "\tv") == word
+
+    corpus = [word, word + "\tv"]
+    df = spark.createDataFrame([(line,) for line in corpus], "line string")
+    mapped = pipe_map(df, executables["identity"], num_mappers=1)
+    reduced = pipe_reduce(mapped, executables["identity"], num_reducers=r)
+    got_parts = (
+        reduced.rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, row.value) for row in it]
+        ).collect()
+    )
+    placement = {line: idx for idx, line in got_parts}
+    assert placement[word] == md5_partition(word + "\n", r)
+    assert placement[word + "\tv"] == md5_partition(word, r)
+    assert placement[word] != placement[word + "\tv"]
 
 
 def test_profile_reducer_detects_key_only_sort(executables):

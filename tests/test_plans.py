@@ -785,3 +785,56 @@ def test_round4_ops_plan_shapes(spark):
     # parquet joins; the remaining Scan parquet strings sit inside the
     # cached relation's definition, not live subtrees)
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_bench_headliners_exchange_budgets(spark):
+    """Per-query shuffle ceilings for every bench headliner (round-5
+    VERDICT Next round #7): a future edit that silently adds an
+    exchange must FAIL here instead of only drifting PLANS.md. The
+    budgets are the PLANS.md values at round-5 HEAD — the plans the
+    audit certified scale-safe. Counting matches
+    tools/explain_report.py (`\\bExchange\\b` in the formatted plan,
+    so broadcast exchanges count too — a regression from broadcast to
+    shuffle join cannot hide)."""
+    import re
+
+    from eecs_485___mapreduce_spark.registry import all_queries
+
+    budgets = {
+        "asof_join_purchase_click": 2,
+        "ddsketch_price_quantiles": 10,
+        "dedup_exact": 2,
+        "dedup_minhash_lsh": 2,
+        "embedding_gram_matrix": 2,
+        "embedding_quantize_int8": 0,
+        "events_hourly": 2,
+        "events_sliding_windows": 2,
+        "funnel_view_click_purchase": 4,
+        "multimodal_frame_sample": 0,
+        "q10_returned_items": 2,
+        "q1_pricing_summary": 2,
+        "q3_top_orders": 2,
+        "q5_region_revenue": 2,
+        "q7_nation_volume": 2,
+        "rolling_1h_user_value": 2,
+        "sessionize_two_level_stitch": 4,
+        "similarity_topk_cosine": 2,
+        "text_tfidf_top_terms": 9,
+        "text_token_stats": 0,
+        "text_unigram_logprob": 6,
+        "wordcount": 2,
+    }
+    reg = all_queries()
+    bench_names = {n for n, q in reg.items() if q.bench}
+    assert bench_names == set(budgets), (
+        "bench set changed — update the exchange budgets: "
+        f"missing={sorted(bench_names - set(budgets))} "
+        f"stale={sorted(set(budgets) - bench_names)}"
+    )
+    over = {}
+    for name, ceiling in budgets.items():
+        plan = physical_plan(reg[name].fn(spark, SF_SMALL))
+        n = len(re.findall(r"\bExchange\b", plan))
+        if n > ceiling:
+            over[name] = (n, ceiling)
+    assert not over, f"exchange budgets exceeded (got, ceiling): {over}"

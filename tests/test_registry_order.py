@@ -59,6 +59,7 @@ def test_rotation_queue_covers_every_unrowed_query():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         p = os.path.join(root, f)
         if os.path.exists(p):

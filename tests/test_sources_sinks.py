@@ -277,7 +277,9 @@ def test_write_shuffle_layout_reproduces_reference_naming_and_routing(
     # routing + sort parity with the reference formula
     want: dict[str, list[str]] = {}
     for value, task in lines:
-        key = value.partition("\t")[0]
+        # reference worker :141 splits the raw newline-terminated line,
+        # so the tabless record's key carries its '\n'
+        key = (value + "\n").split("\t")[0]
         part = md5_partition(key, r)  # int(md5_hex, 16) % R
         want.setdefault(f"maptask{task:05d}-part{part:05d}", []).append(value)
     for name, vals in want.items():

@@ -500,3 +500,201 @@ def test_sprt_store_multibatch_matches_pure_python(
             (variant, len(hours), n_trials, n_success, llr, cross_sec, decision)
         )
     assert got == sorted(want)
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_user_value_stats_multibatch_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """The v1 user-value-stats twin (round-5 VERDICT #3) must carry
+    its (n_events, total_cents) state exactly across micro-batch
+    boundaries: the final emission per user equals a pure-Python
+    integer-cent recompute (floor(v*100 + 0.5) per row) regardless of
+    where the stream was cut."""
+    import math
+
+    from eecs_485___mapreduce_spark.streaming.events import (
+        user_value_stats_stream,
+    )
+
+    path = _write_chunks(
+        tmp_path_factory.mktemp("uvs"), events, [c % len(events) for c in cuts]
+    )
+    name = f"uvs_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        user_value_stats_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="update",
+    )
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {}
+    for r in rows:  # last emission per user = max running n_events
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.total_cents)
+
+    want: dict[int, tuple[int, int]] = {}
+    for e in events:
+        n, cents = want.get(e["user_id"], (0, 0))
+        want[e["user_id"]] = (
+            n + 1,
+            cents + int(math.floor(e["value"] * 100.0 + 0.5)),
+        )
+    assert got == want
+
+
+# --------------- restart/offset fuzz for the custom stream sources
+#
+# Round-5 VERDICT Next round #5: the example tests restart once at
+# fixed points; these sweeps randomize the kill points. Both custom
+# sources commit offsets only at micro-batch boundaries (tailtext:
+# file-count index; txnfeed: table version), so a kill lands ON a
+# boundary and recovery = re-listing from the checkpointed offset —
+# the fuzz therefore randomizes HOW MUCH new input each restart
+# window sees (including zero) and asserts exactly-once delivery of
+# the union against an independent ground truth.
+
+
+@given(
+    waves=st.lists(
+        st.lists(
+            st.lists(st.text(alphabet="abc ", max_size=8), max_size=3),
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tailtext_restart_fuzz_exactly_once(spark, tmp_path_factory, waves):
+    """tailtext across RANDOM restart schedules: files arrive in
+    random-sized waves (possibly empty), the stream is drained and
+    STOPPED after each wave (checkpointed restart), and the sink must
+    hold exactly one copy of every line ever written."""
+    from eecs_485___mapreduce_spark.sources import TailTextDataSource
+
+    spark.dataSource.register(TailTextDataSource)
+    base = tmp_path_factory.mktemp("tailfuzz")
+    src = base / "in"
+    src.mkdir()
+    sink = str(base / "out")
+    ckpt = str(base / "ckpt")
+
+    n_files = 0
+    want: list[tuple[str, str]] = []
+    for wave in waves:
+        for lines in wave:
+            p = src / f"{n_files:05d}.txt"
+            p.write_text("".join(line + "\n" for line in lines))
+            want += [(line, str(p)) for line in lines]
+            n_files += 1
+        q = (
+            spark.readStream.format("tailtext")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()  # kill point: next wave restarts from the checkpoint
+
+    import os as _os
+
+    if not _os.path.isdir(sink):  # every wave may be empty
+        assert not want
+        return
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).select("value", "file").collect()
+    )
+    assert got == sorted(want)
+
+
+@given(
+    windows=st.lists(  # DML to run BETWEEN drains: 0..2 ops per window
+
+        st.lists(
+            st.one_of(
+                st.tuples(st.just("append"), st.integers(1, 5)),
+                st.tuples(st.just("delete"), st.integers(2, 4)),
+                st.tuples(st.just("update"), st.integers(1, 6)),
+            ),
+            max_size=2,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txnfeed_restart_fuzz_exactly_once(
+    spark, tmp_path_factory, windows
+):
+    """txnfeed across RANDOM restart schedules: random DML lands
+    between drains (possibly none — a restart with nothing new), each
+    drain stops the query (checkpointed restart at a random version
+    boundary), and the union of all drained batches must equal the
+    batch change feed txn_changes(0) exactly once."""
+    from eecs_485___mapreduce_spark import txnlog
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    spark.dataSource.register(TxnFeedDataSource)
+    base = tmp_path_factory.mktemp("feedfuzz")
+    d = str(base / "tbl")
+    sink = str(base / "sink")
+    ckpt = str(base / "ckpt")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        d,
+        num_files=1,
+    )
+
+    n = 1
+    for window in windows:
+        for op in window:
+            if op[0] == "append":
+                txnlog.txn_append(
+                    spark.createDataFrame(
+                        [(100 * n + j, j) for j in range(op[1])],
+                        "id long, val long",
+                    ),
+                    d,
+                    num_files=1,
+                )
+            elif op[0] == "delete":
+                txnlog.txn_delete_where(spark, d, f"id % {op[1]} = 1", num_files=1)
+            else:
+                txnlog.txn_update_where(
+                    spark, d, "id % 2 = 0", {"val": f"val + {op[1]}"}, num_files=1
+                )
+            n += 1
+        q = (
+            spark.readStream.format("txnfeed")
+            .option("path", d)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()  # kill point: next window restarts from the checkpoint
+
+    cols = ["id", "val", "_change_type", "_commit_version"]
+    want = sorted(
+        tuple(r) for r in txnlog.txn_changes(spark, d, 0).select(*cols).collect()
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).select(*cols).collect()
+    )
+    assert got == want

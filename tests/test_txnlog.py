@@ -944,3 +944,116 @@ def test_merge_with_extra_source_columns_evolves_schema(spark, tmp_path):
         txnlog.txn_merge(
             spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
         )
+
+
+def test_merge_narrow_source_errors_on_every_path(spark, tmp_path):
+    """Round-5 ADVICE regression: the narrow-source guard was
+    data-dependent (only ran when affected_files was non-empty), so a
+    narrow source whose keys all MISS — or one merged into an emptied
+    table — silently committed files missing table columns. It also
+    compared against the AFFECTED files' columns, so a source missing
+    a column that exists only in unaffected files passed. All three
+    paths must now raise before anything commits."""
+    # Path 1: all keys miss (would have been the pure-insert commit)
+    d = str(tmp_path / "allmiss")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10, "a")], "id long, val long, tag string"),
+        d,
+        num_files=1,
+    )
+    with pytest.raises(ValueError, match="lacks table columns"):
+        txnlog.txn_merge(
+            spark, d, spark.createDataFrame([(9, 90)], "id long, val long"), ["id"]
+        )
+    assert [c["version"] for c in txnlog.txn_history(d)] == [0]
+
+    # Path 2: emptied table (the `not live` early return) — the schema
+    # outlives the rows, so a narrow source must still be rejected
+    d2 = str(tmp_path / "emptied")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10, "a")], "id long, val long, tag string"),
+        d2,
+        num_files=1,
+    )
+    txnlog.txn_delete_where(spark, d2, "true")
+    assert txnlog.txn_history(d2)[-1]["version"] == 1  # emptied, not gone
+    with pytest.raises(ValueError, match="lacks table columns"):
+        txnlog.txn_merge(
+            spark, d2, spark.createDataFrame([(9, 90)], "id long, val long"), ["id"]
+        )
+
+    # Path 3: source missing a column that exists ONLY in unaffected
+    # files — the old affected-columns check could not see `tag`
+    d3 = str(tmp_path / "unaffected")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        d3,
+        num_files=1,
+    )
+    txnlog.txn_append(  # evolving append: `tag` lives only in this file
+        spark.createDataFrame([(50, 500, "x")], "id long, val long, tag string"),
+        d3,
+        num_files=1,
+    )
+    with pytest.raises(ValueError, match="lacks table columns"):
+        txnlog.txn_merge(  # key 1 affects only the narrow v0 file
+            spark, d3, spark.createDataFrame([(1, 11)], "id long, val long"), ["id"]
+        )
+    # the well-formed equivalent commits fine
+    txnlog.txn_merge(
+        spark,
+        d3,
+        spark.createDataFrame([(1, 11, None)], "id long, val long, tag string"),
+        ["id"],
+        num_files=1,
+    )
+    got = sorted(
+        tuple(r)
+        for r in txnlog.read_snapshot(spark, d3).select("id", "val", "tag").collect()
+    )
+    assert got == [(1, 11, None), (2, 20, None), (50, 500, "x")]
+
+
+def test_txnfeed_schema_unions_all_surviving_files(spark, tmp_path):
+    """Round-5 ADVICE regression: with the table emptied, the stream
+    reader derived its schema from the newest version with ANY
+    surviving files — if that version's survivors are pre-evolution
+    (narrow) while the evolved column lives only in a file REMOVED by
+    a later commit but still on disk, the derived schema silently
+    dropped the evolved column. The schema must union footers across
+    ALL surviving historical files."""
+    from eecs_485___mapreduce_spark.sources.txnfeed import _snapshot_schema
+
+    d = str(tmp_path / "tbl")
+    # v0: narrow file F0
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        d,
+        num_files=1,
+    )
+    # v1: evolving append F1 carries `tag`
+    txnlog.txn_append(
+        spark.createDataFrame(
+            [(10, 100, "x"), (11, 110, "y")], "id long, val long, tag string"
+        ),
+        d,
+        num_files=1,
+    )
+    # v2: delete one F1 row -> F1 removed, survivors rewritten as F2
+    txnlog.txn_delete_where(spark, d, "id = 10")
+    # v3: empty the table
+    txnlog.txn_delete_where(spark, d, "true")
+    assert txnlog.txn_history(d)[-1]["version"] == 3  # emptied, not gone
+
+    # Simulate a vacuum that reclaimed v2's rewrite (the newest wide
+    # survivor set) while older files — including the REMOVED wide F1
+    # — are still on disk.
+    hist = txnlog.txn_history(d)
+    v2_adds = [e["file"] for e in hist[2]["add"]]
+    assert v2_adds, "v2 delete must have rewritten survivors"
+    for f in v2_adds:
+        os.remove(f)
+
+    names = [f.name for f in _snapshot_schema(d).fields]
+    assert "tag" in names, names  # was silently dropped before the fix
+    assert {"id", "val", "_change_type", "_commit_version"} <= set(names)

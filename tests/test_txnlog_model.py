@@ -287,3 +287,146 @@ def test_schema_evolution_dml_sequences_match_model(
             else:
                 want = sorted((i, v) for i, (v, t) in model.items())
             assert got == want, f"diverged after {op}"
+
+
+# ---------------- storage-maintenance ops in the random-DML model
+#
+# Round-5 VERDICT Next round #4: the DML model above covers
+# append/delete/update/merge/compact/restore; this sweep adds the
+# MAINTENANCE surface — OPTIMIZE with Z-order, VACUUM (zero grace:
+# single-writer test, no in-flight commit possible), and SHALLOW
+# CLONE — so interleavings like restore-after-vacuum,
+# clone-then-vacuum-the-clone, and zorder-then-DML get searched.
+# Model guarantees asserted:
+#   - maintenance ops are logically no-ops for the CURRENT snapshot;
+#   - vacuum(retain_versions=r) keeps time travel to the last r
+#     versions working (older versions MAY fail — not asserted);
+#   - restore to a version inside the retained window always works;
+#     restore to an older version either works (files survived) or
+#     raises FileNotFoundError leaving the table unchanged;
+#   - a clone snapshots the source exactly, and vacuuming the CLONE
+#     (own data root only) never disturbs the source, nor does DML on
+#     the clone.
+
+_mop = st.one_of(
+    st.tuples(st.just("append"), _batch),
+    st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
+    st.tuples(st.just("merge"), _batch),
+    st.tuples(st.just("compact_zorder")),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    st.tuples(st.just("restore"), st.integers(0, 10)),
+    st.tuples(st.just("clone"),),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(first=_batch, ops=st.lists(_mop, min_size=2, max_size=6))
+def test_maintenance_ops_random_interleavings_match_model(
+    spark, tmp_path_factory, first, ops
+):
+    base = tmp_path_factory.mktemp("maint")
+    d = str(base / "tbl")
+    model: dict[int, int] = dict(first)
+    txnlog.txn_create(spark.createDataFrame(list(first), SCHEMA), d, num_files=2)
+    history = [dict(model)]  # model state AT each committed version
+    guaranteed_from = 0  # oldest version vacuum still guarantees
+    n_clones = 0
+
+    def snap(table=d, version=None):
+        return _rows(
+            (r.id, r.val)
+            for r in txnlog.read_snapshot(spark, table, version=version).collect()
+        )
+
+    def check_current(tag):
+        if model:
+            assert snap() == _rows(model.items()), f"diverged after {tag}"
+        else:
+            with pytest.raises(Exception):
+                snap()
+
+    for op in ops:
+        if op[0] == "append":
+            batch = [(i + 100 * len(history), v) for i, v in op[1]]
+            txnlog.txn_append(spark.createDataFrame(batch, SCHEMA), d, num_files=2)
+            model.update(dict(batch))
+            history.append(dict(model))
+        elif op[0] == "delete":
+            _, k, r = op
+            txnlog.txn_delete_where(spark, d, f"id % {k} = {r}", num_files=2)
+            model = {i: v for i, v in model.items() if i % k != r}
+            history.append(dict(model))
+        elif op[0] == "merge":
+            txnlog.txn_merge(
+                spark, d, spark.createDataFrame(list(op[1]), SCHEMA), ["id"],
+                num_files=2,
+            )
+            model.update(dict(op[1]))
+            history.append(dict(model))
+        elif op[0] == "compact_zorder":
+            if not model:
+                continue  # OPTIMIZE of an emptied table has no live scan
+            txnlog.txn_compact(
+                spark, d, num_files=2, cluster_by=["id", "val"], zorder=True
+            )
+            history.append(dict(model))
+        elif op[0] == "vacuum":
+            _, retain = op
+            stats = txnlog.txn_vacuum(d, retain_versions=retain, min_age_s=0.0)
+            assert stats["deferred"] == 0  # zero grace, single writer
+            latest = len(history) - 1
+            guaranteed_from = max(guaranteed_from, latest - retain + 1)
+            # vacuum commits nothing: no history entry
+        elif op[0] == "restore":
+            target = op[1] % len(history)
+            if target >= guaranteed_from:
+                txnlog.txn_restore(d, target)
+                model = dict(history[target])
+                history.append(dict(model))
+            else:
+                # outside the retained window: files may be gone —
+                # either a clean FileNotFoundError with NO commit, or
+                # success (shared files survived)
+                before = len(txnlog.txn_history(d))
+                try:
+                    txnlog.txn_restore(d, target)
+                except FileNotFoundError:
+                    assert len(txnlog.txn_history(d)) == before, (
+                        "failed restore must not commit"
+                    )
+                else:
+                    model = dict(history[target])
+                    history.append(dict(model))
+        else:  # clone: snapshot isolation + vacuum containment
+            if not model:
+                continue  # cloning an emptied table reads no live files
+            n_clones += 1
+            c = str(base / f"clone{n_clones}")
+            txnlog.txn_clone(d, c)
+            assert snap(table=c) == _rows(model.items()), "clone snapshot"
+            # DML on the clone must not leak into the source
+            txnlog.txn_append(
+                spark.createDataFrame([(9999, 1)], SCHEMA), c, num_files=1
+            )
+            # vacuuming the CLONE walks only its own data root: the
+            # shared source files it references stay untouched
+            txnlog.txn_vacuum(c, retain_versions=1, min_age_s=0.0)
+            got_clone = snap(table=c)
+            assert got_clone == _rows({**model, 9999: 1}.items()), (
+                "clone must keep reading shared source files after its "
+                "own vacuum"
+            )
+        check_current(op)
+
+    # time travel must reproduce every state inside the retained window
+    for v in range(guaranteed_from, len(history)):
+        state = history[v]
+        if state:
+            assert snap(version=v) == _rows(state.items()), f"time travel v{v}"
+        else:
+            with pytest.raises(Exception):
+                snap(version=v)
