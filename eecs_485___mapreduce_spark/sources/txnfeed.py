@@ -78,6 +78,20 @@ def _commit_files(commit: dict) -> list[tuple[str, str | None]]:
     changes = commit.get("changes")
     if not changes:
         return []
+    if not os.path.isdir(changes):
+        # The _changes dir was vacuumed (txn_vacuum reclaims change
+        # dirs older than its retention cutoff). Silently emitting
+        # nothing would DROP this commit's changes from a lagging
+        # consumer — the batch feed (txn_changes) fails loudly on the
+        # same read, and Delta's CDF errors the same way. Fail the
+        # stream; the consumer must re-seed or start from a newer
+        # version.
+        raise FileNotFoundError(
+            f"txnfeed: _changes for version {commit['version']} was "
+            f"vacuumed ({changes}); the vacuum retention window must "
+            "cover consumer lag — restart from a newer startingVersion "
+            "after re-seeding the consumer"
+        )
     return [
         (p, None)
         for p in sorted(glob.glob(os.path.join(changes, "*.parquet")))

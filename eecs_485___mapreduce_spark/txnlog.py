@@ -147,7 +147,12 @@ def _table_columns(table_dir: str, live: list[str] | None = None) -> list[str]:
     keeps it in table metadata; here it lives in the footers), vacuum
     can keep an arbitrary SUBSET of history, and evolution only ever
     ADDS columns — so the all-survivors union IS the current schema.
-    Empty list only when vacuum has removed every historical file."""
+    Empty list only when vacuum has removed every historical file.
+
+    Scale note: the per-file footer loop here runs driver-side; use it
+    only for the bounded emptied-table fallback — live-set callers
+    (txn_merge) get the same union from Spark's distributed
+    mergeSchema read they already pay for."""
     import pyarrow.parquet as pq
 
     files = list(_live_files(table_dir) if live is None else live)
@@ -490,9 +495,18 @@ def txn_merge(
     # commit files lacking table columns): replace-by-key semantics
     # cannot know whether the caller meant NULL or carry-forward, and
     # Delta's INSERT */UPDATE SET * reject the same shape. The check
-    # runs against the full current table schema (footer union, which
-    # survives an emptied table), not just the affected files'.
-    narrow = [c for c in _table_columns(table_dir, live) if c not in source.columns]
+    # runs against the full current table schema, not just the
+    # affected files': Spark's DISTRIBUTED mergeSchema footer pass
+    # over the live set (the same read the affected-file scan reuses
+    # below — never a driver-side per-file footer loop, which would
+    # serialize 100k footer reads at scale); the pyarrow fallback in
+    # _table_columns only ever walks an emptied table's bounded
+    # historical survivors.
+    snap = (
+        spark.read.option("mergeSchema", "true").parquet(*live) if live else None
+    )
+    table_cols = snap.columns if live else _table_columns(table_dir, live)
+    narrow = [c for c in table_cols if c not in source.columns]
     if narrow:
         raise ValueError(
             f"txn_merge: source lacks table columns {narrow}; "
@@ -514,11 +528,7 @@ def txn_merge(
     # Tag the file name BELOW the join (Spark's PreReadCheck rejects
     # input_file_name above a multi-source join), then the key
     # SEMI-join + file-distinct yields the affected set.
-    tagged = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*live)
-        .select(F.input_file_name().alias("file"), *key_cols)
-    )
+    tagged = snap.select(F.input_file_name().alias("file"), *key_cols)
     affected = _read_meta(
         tagged.join(keys, key_cols, "semi")
         .groupBy("file")

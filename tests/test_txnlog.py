@@ -1057,3 +1057,41 @@ def test_txnfeed_schema_unions_all_surviving_files(spark, tmp_path):
     names = [f.name for f in _snapshot_schema(d).fields]
     assert "tag" in names, names  # was silently dropped before the fix
     assert {"id", "val", "_change_type", "_commit_version"} <= set(names)
+
+
+def test_txnfeed_vacuumed_changes_fail_loudly(spark, tmp_path):
+    """A lagging stream whose unread commit's _changes dir was
+    vacuumed must FAIL, not silently drop those changes: the planner
+    previously globbed the missing dir to an empty list, so the
+    stream skipped the commit while the batch feed (txn_changes)
+    errored on the same read — a silent stream/batch divergence and
+    exactly the quiet data loss Delta's CDF errors on."""
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    d = str(tmp_path / "tbl")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        d,
+        num_files=1,
+    )
+    txnlog.txn_update_where(spark, d, "id = 1", {"val": "val + 1"}, num_files=1)
+    txnlog.txn_append(
+        spark.createDataFrame([(3, 30)], "id long, val long"), d, num_files=1
+    )
+    # retain only the latest version: v1's _changes dir is reclaimed
+    stats = txnlog.txn_vacuum(d, retain_versions=1, min_age_s=0.0)
+    assert stats["changes_deleted"] > 0
+
+    spark.dataSource.register(TxnFeedDataSource)
+    q = (
+        spark.readStream.format("txnfeed")
+        .option("path", d)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="vacuumed"):
+        q.awaitTermination()

@@ -420,6 +420,13 @@ def test_maintenance_ops_random_interleavings_match_model(
                 "clone must keep reading shared source files after its "
                 "own vacuum"
             )
+            # restore the clone to its v0 (the clone commit): the
+            # referenced files live in the SOURCE's data root, so the
+            # clone's own vacuum must not have broken the restore
+            txnlog.txn_restore(c, 0)
+            assert snap(table=c) == _rows(model.items()), (
+                "clone restore to v0 must reproduce the source snapshot"
+            )
         check_current(op)
 
     # time travel must reproduce every state inside the retained window
