@@ -20,6 +20,16 @@ def test_driver_order_fits_checked_window():
     )
     assert len(set(DRIVER_ORDER_FIRST)) == len(DRIVER_ORDER_FIRST), "duplicates"
 
+    # While a rotation backlog exists, every window slot must be spent:
+    # an undersized window wastes a driver row a queued query needs.
+    from eecs_485___mapreduce_spark.registry import ROTATION_QUEUE
+
+    if ROTATION_QUEUE:
+        assert len(DRIVER_ORDER_FIRST) == 50, (
+            f"window has {len(DRIVER_ORDER_FIRST)} slots but "
+            f"{len(ROTATION_QUEUE)} queries still queue for a driver row"
+        )
+
 
 def test_priority_entries_lead_the_dict():
     names = list(all_queries())
