@@ -401,3 +401,105 @@ def test_distributed_prefix_max_equals_sequential(spark, rows, n_parts):
     for k, v in sorted(rows):
         run = v if run is None else max(run, v)
         assert got[k] == run, (k, v, run, got[k])
+
+
+def test_zorder_key_is_exact_morton_interleave(spark):
+    """The JVM-side Morton key must equal a pure-Python bit interleave
+    for random 16-bit pairs (an engine-independent pin: the DuckDB SQL
+    twin shares the same formula, so a shared misconception there
+    could not fail the oracle — this recompute can), and must be
+    MONOTONE in each coordinate holding the other fixed on powers of
+    two (the property pruning relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.functions import zorder_key
+
+    def morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {
+            (r.a, r.b): r.z
+            for r in df.withColumn(
+                "z", zorder_key(F.col("a"), F.col("b"))
+            ).collect()
+        }
+        for a, b in pairs:
+            assert got[(a, b)] == morton(a, b), (a, b)
+
+    check()
+
+    # per-axis monotonicity on the grid the interleave defines
+    for k in range(0, 16, 4):
+        assert morton(1 << k, 0) < morton(1 << (k + 1), 0)
+        assert morton(0, 1 << k) < morton(0, 1 << (k + 1))
+
+
+def test_distributed_rank_and_prefix_max_match_pure_python(spark):
+    """The TeraSort-pattern helpers behind global ranks and running
+    maxima must equal plain sorted() recomputes for random data with
+    heavy duplicates, across partition counts spanning 1, several, and
+    more-partitions-than-rows (the carry-in/offset seams)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eecs_485___mapreduce_spark.functions import (
+        distributed_prefix_max,
+        distributed_rank,
+        release_scope,
+    )
+
+    seq = iter(range(10**9))
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(-9, 9)),
+            min_size=1,
+            max_size=40,
+        ),
+        n_parts=st.sampled_from([1, 2, 7, 64]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(rows, n_parts):
+        # unique key `i` makes (k, i) a total order, as the contract asks
+        data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "k int, v int, i int")
+
+        ranked = distributed_rank(
+            df, ["k", "i"], scope_key=f"tr{next(seq)}", n_parts=n_parts
+        )
+        got = {r.i: r.rank for r in ranked.collect()}
+        order = sorted(data, key=lambda t: (t[0], t[2]))
+        want = {t[2]: pos + 1 for pos, t in enumerate(order)}
+        assert got == want
+
+        pmax = distributed_prefix_max(
+            df, ["k", "i"], "v", scope_key=f"tp{next(seq)}", n_parts=n_parts
+        )
+        gotm = {r.i: r.running_max for r in pmax.collect()}
+        run, wantm = None, {}
+        for t in order:
+            run = t[1] if run is None else max(run, t[1])
+            wantm[t[2]] = run
+        assert gotm == wantm
+
+    try:
+        check()
+    finally:
+        release_scope()
