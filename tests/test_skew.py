@@ -105,3 +105,52 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_equivalence_sweep(spark):
+    """Random-config equivalence: salted_join must equal the plain
+    inner join for ANY data — duplicate keys on BOTH sides (the
+    replicated small side must not multiply results beyond the true
+    row pairing), keys present on only one side, NULL-free domains of
+    varying skew, and n_salts from degenerate 1 to more salts than
+    rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from eecs_485___mapreduce_spark.operators.skew import salted_join
+
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 9)),
+            min_size=1,
+            max_size=30,
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 9)),
+            min_size=1,
+            max_size=10,
+        ),
+        n_salts=st.sampled_from([1, 2, 8, 64]),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(left, right, n_salts):
+        ldf = spark.createDataFrame(left, "k int, lv int")
+        rdf = spark.createDataFrame(right, "k int, rv int")
+        plain = sorted(
+            map(tuple, ldf.join(rdf, "k").select("k", "lv", "rv").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(ldf, rdf, on="k", n_salts=n_salts)
+                .select("k", "lv", "rv")
+                .collect(),
+            )
+        )
+        assert salted == plain
+
+    check()
