@@ -64,4 +64,9 @@ def two_phase_distinct(
     key = F.col(group_key) if isinstance(group_key, str) else group_key
     val = F.col(distinct_col) if isinstance(distinct_col, str) else distinct_col
     deduped = df.select(key.alias("key"), val.alias("val")).distinct()
-    return deduped.groupBy("key").agg(F.count(F.lit(1)).alias("n_distinct"))
+    # count("val"), not count(*): countDistinct ignores NULLs, so the
+    # surviving (key, NULL) row must contribute 0 — count(*) counted
+    # it and over-reported every NULL-carrying key by one (keys with
+    # ONLY NULLs reported 1 instead of 0). Caught by the equivalence
+    # sweep in tests/test_skew.py.
+    return deduped.groupBy("key").agg(F.count("val").alias("n_distinct"))

@@ -121,12 +121,18 @@ def test_salted_join_equivalence_sweep(spark):
 
     @given(
         left=st.lists(
-            st.tuples(st.integers(0, 4), st.integers(0, 9)),
+            st.tuples(
+                st.one_of(st.integers(0, 4), st.none()),  # NULL keys drop
+                st.integers(0, 9),
+            ),
             min_size=1,
             max_size=30,
         ),
         right=st.lists(
-            st.tuples(st.integers(0, 6), st.integers(0, 9)),
+            st.tuples(
+                st.one_of(st.integers(0, 6), st.none()),
+                st.integers(0, 9),
+            ),
             min_size=1,
             max_size=10,
         ),
@@ -152,5 +158,50 @@ def test_salted_join_equivalence_sweep(spark):
             )
         )
         assert salted == plain
+
+    check()
+
+
+def test_two_phase_distinct_equivalence_sweep(spark):
+    """two_phase_distinct must equal groupBy().countDistinct() — and a
+    pure-Python recompute — for random data including NULL values
+    (countDistinct ignores NULLs; the distinct-then-count form must
+    not count the NULL group) and single-value keys."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from eecs_485___mapreduce_spark.operators.skew import two_phase_distinct
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 4),
+                st.one_of(st.integers(0, 5), st.none()),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "k int, v int")
+        got = {
+            r.key: r.n_distinct
+            for r in two_phase_distinct(df, "k", "v").collect()
+        }
+        want_engine = {
+            r.k: r.n
+            for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+        }
+        want_py: dict[int, set] = {}
+        for k, v in rows:
+            want_py.setdefault(k, set())
+            if v is not None:
+                want_py[k].add(v)
+        assert got == want_engine == {k: len(s) for k, s in want_py.items()}
 
     check()

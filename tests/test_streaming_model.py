@@ -698,3 +698,76 @@ def test_txnfeed_restart_fuzz_exactly_once(
         tuple(r) for r in spark.read.parquet(sink).select(*cols).collect()
     )
     assert got == want
+
+
+@given(
+    waves=st.lists(
+        st.lists(
+            st.lists(st.integers(0, 9), min_size=1, max_size=4),  # rows per file
+            max_size=2,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txn_stream_sink_restart_fuzz_exactly_once(
+    spark, tmp_path_factory, waves
+):
+    """The exactly-once txnlog SINK across RANDOM restart schedules:
+    parquet files arrive in random waves (possibly empty), the stream
+    drains into a txnlog table via foreachBatch + batch_id dedup and
+    is STOPPED after each wave; the final table must hold every input
+    row exactly once, whatever batch boundaries and restarts the
+    schedule produced."""
+    from eecs_485___mapreduce_spark import txnlog
+    from eecs_485___mapreduce_spark.txnlog import txn_stream_sink
+
+    base = tmp_path_factory.mktemp("sinkfuzz")
+    src = base / "in"
+    src.mkdir()
+    tbl = str(base / "tbl")
+    ckpt = str(base / "ckpt")
+
+    n_files = 0
+    want: list[tuple[int, int]] = []
+    for wave in waves:
+        for rows in wave:
+            vals = [(n_files * 100 + j, v) for j, v in enumerate(rows)]
+            table = pa.table(
+                {
+                    "id": pa.array([t[0] for t in vals], pa.int64()),
+                    "v": pa.array([t[1] for t in vals], pa.int64()),
+                }
+            )
+            path = src / f"f{n_files:04d}.parquet"
+            pq.write_table(table, path)
+            os.utime(path, (1_700_000_000 + n_files, 1_700_000_000 + n_files))
+            want += vals
+            n_files += 1
+        q = (
+            spark.readStream.schema("id long, v long")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .writeStream.foreachBatch(txn_stream_sink(tbl, num_files=1))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()  # kill point: next wave restarts from the checkpoint
+
+    if not want:
+        return
+    got = sorted(
+        (r.id, r.v) for r in txnlog.read_snapshot(spark, tbl).collect()
+    )
+    assert got == sorted(want)
+    # every commit carries a distinct batch_id (no replayed batch landed)
+    bids = [c.get("batch_id") for c in txnlog.txn_history(tbl)]
+    assert len(bids) == len(set(bids))

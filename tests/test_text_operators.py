@@ -345,3 +345,75 @@ def test_threshold_sweep_invariants(spark):
             assert r.f1_milli == round(
                 2000.0 * r.tp / (2 * r.tp + r.fp + r.fn)
             )
+
+
+def test_wordcount_and_grep_match_python_model_random_corpora(
+    spark, tmp_path_factory
+):
+    """Random-corpus sweep for the two reference programs' DataFrame
+    forms (the goldens pin only the fixed corpus): wordcount must
+    equal a pure-Python replay of the wc_map.sh pipeline (lowercase,
+    split on every single [ \\t] separator — consecutive separators
+    yield empty tokens, kept under keep_empty), and grep must equal
+    Python's case-insensitive substring semantics (the reference
+    mapper IS Python), including the global output sort."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from eecs_485___mapreduce_spark.operators.grep import grep_text_dir
+    from eecs_485___mapreduce_spark.operators.wordcount import (
+        wordcount_text_dir,
+    )
+
+    seq = iter(range(10**9))
+
+    @given(
+        files=st.lists(
+            st.lists(
+                st.text(alphabet="aAbB xyZ\t.", max_size=12), max_size=4
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        query=st.text(alphabet="abxyz", min_size=1, max_size=3),
+        keep_empty=st.booleans(),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(files, query, keep_empty):
+        d = tmp_path_factory.mktemp("wcg") / f"in{next(seq)}"
+        d.mkdir()
+        all_lines = []
+        for i, lines in enumerate(files):
+            (d / f"{i:03d}.txt").write_text(
+                "".join(line + "\n" for line in lines)
+            )
+            all_lines += lines
+
+        got_wc = {
+            (r.word, r.cnt)
+            for r in wordcount_text_dir(
+                spark, str(d), keep_empty=keep_empty
+            ).collect()
+        }
+        want_wc: dict[str, int] = {}
+        for line in all_lines:
+            for tok in re.split("[ \t]", line.lower()):
+                if tok or keep_empty:
+                    want_wc[tok] = want_wc.get(tok, 0) + 1
+        assert got_wc == set(want_wc.items())
+
+        got_grep = [
+            r.value for r in grep_text_dir(spark, str(d), query=query).collect()
+        ]
+        want_grep = sorted(
+            line for line in all_lines if query.lower() in line.lower()
+        )
+        assert got_grep == want_grep
+
+    check()
