@@ -771,3 +771,74 @@ def test_txn_stream_sink_restart_fuzz_exactly_once(
     # every commit carries a distinct batch_id (no replayed batch landed)
     bids = [c.get("batch_id") for c in txnlog.txn_history(tbl)]
     assert len(bids) == len(set(bids))
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_dynamic_session_stream_multibatch_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """The engine-managed dynamic-gap session windows must MERGE
+    across micro-batch boundaries: a session spanning two batches (or
+    extended by an error event's short gap in a later batch) must
+    surface as one session equal to a pure-Python replay of the
+    session_window semantics (per-event window [ts, ts+gap), overlap
+    merges, end = max event end)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.queries.timeseries import (
+        DYNGAP_DEFAULT_S,
+        DYNGAP_ERROR_S,
+    )
+    from eecs_485___mapreduce_spark.streaming.events import (
+        dynamic_session_stream,
+    )
+
+    # make the dynamic gap bite: every third event is an error
+    events = [
+        {**e, "event_type": "error" if e["event_id"] % 3 == 0 else e["event_type"]}
+        for e in events
+    ]
+    path = _write_chunks(
+        tmp_path_factory.mktemp("dyn"), events, [c % len(events) for c in cuts]
+    )
+    name = f"dyn_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        dynamic_session_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="complete",
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(f"SELECT * FROM {name}")
+        .select(
+            "user_id",
+            F.col("session_start").cast("long").alias("s"),
+            F.col("session_end").cast("long").alias("e"),
+            "n_events",
+            "n_errors",
+        )
+        .collect()
+    )
+
+    per_user: dict[int, list[tuple[int, bool]]] = {}
+    for ev in events:
+        per_user.setdefault(ev["user_id"], []).append(
+            (ev["sec"], ev["event_type"] == "error")
+        )
+    want = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        cur = None  # (start, end, n, errors)
+        for sec, is_err in evs:
+            gap = DYNGAP_ERROR_S if is_err else DYNGAP_DEFAULT_S
+            if cur is not None and sec < cur[1]:  # [ts, ts+gap) overlap
+                cur = (cur[0], max(cur[1], sec + gap), cur[2] + 1, cur[3] + is_err)
+            else:
+                if cur is not None:
+                    want.append((uid, *cur))
+                cur = (sec, sec + gap, 1, int(is_err))
+        if cur is not None:
+            want.append((uid, *cur))
+    want = sorted((u, s, e, n, int(x)) for u, s, e, n, x in want)
+    assert got == want
