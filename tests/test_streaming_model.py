@@ -842,3 +842,55 @@ def test_dynamic_session_stream_multibatch_matches_model(
             want.append((uid, *cur))
     want = sorted((u, s, e, n, int(x)) for u, s, e, n, x in want)
     assert got == want
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_rolling_distinct_stream_multibatch_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """The streaming trailing-7-day distinct-user count must carry its
+    dropDuplicates state across micro-batches: a (user, cover-day)
+    pair seen in one batch must suppress the same pair arriving in a
+    later batch, so the complete-mode answer equals a pure-Python
+    trailing-window recompute on the whole corpus."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.streaming.events import (
+        rolling_distinct_stream,
+    )
+
+    path = _write_chunks(
+        tmp_path_factory.mktemp("roll7"), events, [c % len(events) for c in cuts]
+    )
+    days = sorted({e["sec"] // 86400 for e in events})
+    observed = spark.createDataFrame(
+        [(datetime.datetime.fromtimestamp(d * 86400, tz=datetime.timezone.utc).date(),) for d in days],
+        "cover_day date",
+    )
+    name = f"roll7_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        rolling_distinct_stream(_read_chunked_stream(spark, path), observed),
+        name,
+        output_mode="complete",
+    )
+    got = {
+        str(r.day): r.n_distinct_users_7d
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    active: dict[int, set[int]] = {}  # epoch-day -> users
+    for e in events:
+        active.setdefault(e["sec"] // 86400, set()).add(e["user_id"])
+    want = {}
+    for d in days:
+        users = set()
+        for back in range(7):
+            users |= active.get(d - back, set())
+        key = datetime.datetime.fromtimestamp(
+            d * 86400, tz=datetime.timezone.utc
+        ).date()
+        want[str(key)] = len(users)
+    assert got == want
