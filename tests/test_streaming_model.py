@@ -894,3 +894,67 @@ def test_rolling_distinct_stream_multibatch_matches_model(
         ).date()
         want[str(key)] = len(users)
     assert got == want
+
+
+@given(events=corpus(), cuts=_CUTS)
+@_SWEEP
+def test_stream_stream_left_join_multibatch_bounds(
+    spark, tmp_path_factory, events, cuts
+):
+    """The OUTER stream-stream join across micro-batches: matched rows
+    must be exact (cross-batch click state, and never both a match AND
+    a NULL row for the same purchase), every NULL row must be a
+    genuinely unmatched purchase, and every unmatched purchase whose
+    window provably closed a day before stream end must have emitted
+    its NULL row (watermark eviction across batches)."""
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.streaming.events import (
+        purchase_click_left_join_stream,
+    )
+
+    path = _write_chunks(
+        tmp_path_factory.mktemp("ssl"), events, [c % len(events) for c in cuts]
+    )
+    name = f"ssl_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        purchase_click_left_join_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="append",
+    )
+    rows = (
+        spark.table(name)
+        .select(
+            "p_event_id",
+            F.unix_timestamp("p_ts").alias("p_sec"),
+            F.unix_timestamp("c_ts").alias("c_sec"),
+        )
+        .collect()
+    )
+    got_matched = sorted(
+        (r.p_event_id, r.p_sec, r.c_sec) for r in rows if r.c_sec is not None
+    )
+    got_null = {r.p_event_id for r in rows if r.c_sec is None}
+
+    window_s = 30 * 60
+    purchases = [e for e in events if e["event_type"] == "purchase"]
+    clicks = [e for e in events if e["event_type"] == "click"]
+    want_matched = sorted(
+        (p["event_id"], p["sec"], c["sec"])
+        for p in purchases
+        for c in clicks
+        if c["user_id"] == p["user_id"]
+        and p["sec"] - window_s <= c["sec"] < p["sec"]
+    )
+    assert got_matched == want_matched
+    matched_ids = {t[0] for t in want_matched}
+    unmatched_ids = {p["event_id"] for p in purchases} - matched_ids
+    assert got_null <= unmatched_ids  # no false/duplicate NULL rows
+    max_sec = max(e["sec"] for e in events)
+    closed = {
+        p["event_id"]
+        for p in purchases
+        if p["event_id"] in unmatched_ids
+        and p["sec"] < max_sec - 24 * 3600
+    }
+    assert closed <= got_null
