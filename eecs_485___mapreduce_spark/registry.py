@@ -55,81 +55,23 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # Round-6 window: 50 hash-checkable slots. First the 6 queries the
-    # round-5 verdict flagged as stale-`no_oracle` — their only driver
-    # rows predate the round-5 upgrade to quantized-integer hash
-    # oracles, so those rows verify almost nothing and the upgraded
-    # oracles need real driver rows (round-5 VERDICT, Next round #1).
-    # Then the head of the never-rowed rotation queue in
-    # registration-age order (bitmap_user_activity_days first by age).
-    # All verified green via tools/driver_mimic.py at sf0.01 before
-    # this rotation.
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_kmeans",
-    "kmeans_assign_cells",
-    "kmeans_cell_profile",
-    "dedup_semantic_cells",
-    # rotation-queue head: never-rowed queries, oldest registration
-    # first
-    "bitmap_user_activity_days",
-    "integrity_checksum_orders",
-    "rolling_7d_distinct_users",
-    "equidepth_buckets_orders",
-    "trimmed_mean_price_by_status",
-    "fano_burstiness_by_type",
-    "bot_rate_audit",
-    "theil_decomposition_revenue",
-    "approx_users_kmv_mergeable",
-    "ddsketch_price_quantiles",
-    "exact_median_twopass",
-    "merkle_bucket_diff_orders",
-    "ddsketch_merge_by_source",
-    "winsorized_mean_price_by_status",
-    "xml_roundtrip_events",
-    "revenue_share_region_nation",
-    "global_sort_orders",
-    "orders_iso_week_profile",
-    "acf_hourly_events",
-    "cusum_changepoint_daily",
-    "event_seq_regex",
-    "decile_transition_matrix",
-    "peak_open_orders",
-    "backlog_lindley_daily",
-    "interval_union_coverage",
-    "seasonal_decompose_hourly",
-    "haar_energy_hourly",
-    "bpe_learn_merges",
-    "bpe_apply_corpus",
-    "trending_parts_7d",
-    "udtf_split_sentences",
-    "udf_cogroup_merge_arrow",
-    "udf_grouped_mad_arrow",
-    "udf_arrow_scalar_bucket",
-    "join_cardinality_estimate",
-    "listagg_parts_by_brand",
-    "negative_pair_mining",
-    "fuzzy_join_part_names",
-    "theilsen_monthly_revenue",
-    "mase_seasonal_naive_hourly",
-    "ccf_event_types_hourly",
-    "kaplan_meier_reorder_gaps",
-    "naive_bayes_source_confusion",
-    "padding_waste_batching",
-)
-
-# Round-7 rotation queue — every registered query that has NO green
-# hash driver row yet (r1-r5 rows in CORRECTNESS_r0*.json cover the
-# rest; the round-6 window above covers its 50). Round 7 rebuilds
-# DRIVER_ORDER_FIRST from the head of this queue and rotates any
-# remainder forward. Machine-checked: tests/test_registry_order.py
-# asserts every registered name is windowed, prior-rowed, or queued —
-# so a new query cannot silently miss its future driver row. The two
-# never-rowed rows-only entries (pca_top_component_power,
-# similarity_topk_pq) sit at the tail: a no_oracle driver row
-# verifies almost nothing, so hash-checkable queries go first.
-ROTATION_QUEUE: tuple[str, ...] = (
-    # never-rowed remainder after the round-6 window, oldest first
+    # Round-7 window: 50 hash-checkable slots, composed per the
+    # round-6 VERDICT ("Next round" #2 and #6):
+    #   1) the two session queries whose oracles changed this round
+    #      (exact-gap boundary fix: Spark's session_window merges
+    #      INCLUSIVELY at ts == prev_end; the old oracles pinned the
+    #      strict rule) — changed code outranks unchanged;
+    #   2) ALL 25 remaining never-rowed queries from the round-6
+    #      rotation queue (incl. pca_top_component_power and
+    #      similarity_topk_pq, which have had hash oracles since r5 —
+    #      the old "rows-only tail" label was stale), clearing the
+    #      rotation backlog to ZERO;
+    #   3) the 23 highest-risk previously-rowed queries by row age
+    #      (every one last rowed in round 1, in registration order).
+    # All 50 verified hash-green via tools/driver_mimic.py at sf0.01
+    # before this rotation.
+    "events_session_window",
+    "events_session_dynamic_gap",
     "ivm_agg_retraction_daily",
     "ir_ndcg_bm25_eval",
     "threshold_sweep_stopword_en",
@@ -142,7 +84,6 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "pacf_hourly_events",
     "hurst_rs_hourly",
     "fdr_drift_decisions",
-    # round-4 additions (minus the ones promoted into round 5's window)
     "q17_small_quantity_revenue",
     "t_closeness_audit",
     "quantile_normalize_doclen",
@@ -153,13 +94,41 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "greedy_coverage_selection",
     "kcore_peel_coorder",
     "ucb1_variant_replay",
-    # round-5 additions
     "text_byte_mass_census",
-    # rows-only tail (no_oracle driver rows verify almost nothing;
-    # these rotate in only after every hash-checkable query is rowed)
     "pca_top_component_power",
     "similarity_topk_pq",
+    "correlated_subquery_q17",
+    "exists_high_value_parts",
+    "cube_orders",
+    "pivot_status_by_priority",
+    "asof_join_purchase_click",
+    "range_join_click_burst",
+    "sql_q6_discount_revenue",
+    "q18_large_orders",
+    "full_outer_nation_activity",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_array_stats",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_feature_extract",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_stats",
+    "text_fingerprint",
 )
+
+# Round-7 rotation queue: EMPTY — every registered query is either in
+# the round-7 window above or already carries a hash-green driver row
+# from rounds 1-6 (machine-checked by tests/test_registry_order.py,
+# which globs every CORRECTNESS_r*.json). New queries registered in a
+# future round must be appended here (or windowed) so the closure test
+# keeps holding.
+ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def all_queries() -> dict[str, Query]:

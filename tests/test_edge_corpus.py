@@ -162,7 +162,19 @@ def _t(s: int) -> datetime.datetime:
 
 # NULL user/type/value/props, malformed and json-null payloads,
 # same-timestamp ties (both same-user and cross-user), a session-gap
-# boundary, negatives, and a zero value.
+# boundary, negatives, and a zero value. Events 12+ plant EXACT
+# session-boundary pairs (the r6 judge-found seam: Spark's
+# session_window merges INCLUSIVELY at ts == prev_end, so the shipped
+# sf corpora — which never place two same-user events exactly gap
+# seconds apart — could not distinguish the strict and inclusive
+# rules; this fixture can):
+#   user 4: pair exactly SESSION_GAP_S/DYNGAP_DEFAULT_S apart -> MERGE
+#   user 5: view exactly DYNGAP_ERROR_S after an error -> MERGE (the
+#           dynamic gap, not the static one, decides)
+#   user 6: running-max bridge — a short-gap error between two views;
+#           the third view lands exactly at the FIRST view's end
+#   user 7: one microsecond PAST the boundary -> SPLIT
+#   user 8: one microsecond SHORT of the boundary -> MERGE
 EDGE_EVENTS = [
     (1, _t(0), 1, "view", 1.0, '{"k": 1}'),
     (2, _t(0), 2, "view", 2.0, '{"k": 2}'),
@@ -175,6 +187,64 @@ EDGE_EVENTS = [
     (9, _t(3601), 3, "purchase", 5.0, '{"k": 9}'),
     (10, _t(0), 3, "view", -1.0, '{"k": -5}'),
     (11, _t(7203), 3, "click", 0.0, '{"k": 0}'),
+    (12, _t(10000), 4, "view", 1.0, '{"k": 1}'),
+    (13, _t(10000 + 1800), 4, "view", 1.0, '{"k": 1}'),
+    (14, _t(20000), 5, "error", 1.0, '{"k": 1}'),
+    (15, _t(20000 + 300), 5, "view", 1.0, '{"k": 1}'),
+    (16, _t(30000), 6, "view", 1.0, '{"k": 1}'),
+    (17, _t(30000 + 900), 6, "error", 1.0, '{"k": 1}'),
+    (18, _t(30000 + 1800), 6, "view", 1.0, '{"k": 1}'),
+    (19, _t(40000), 7, "view", 1.0, '{"k": 1}'),
+    (
+        20,
+        _t(40000 + 1800) + datetime.timedelta(microseconds=1),
+        7,
+        "view",
+        1.0,
+        '{"k": 1}',
+    ),
+    (21, _t(50000), 8, "view", 1.0, '{"k": 1}'),
+    (
+        22,
+        _t(50000 + 1800) - datetime.timedelta(microseconds=1),
+        8,
+        "view",
+        1.0,
+        '{"k": 1}',
+    ),
+    # user 9: as-of tie fixtures — a purchase at the SAME instant as
+    # two simultaneous clicks must match the strictly-earlier click
+    # (strict p.ts > c.ts on both engines); the later purchase must
+    # collapse the simultaneous-click tie to MAX(value).
+    (23, _t(60000), 9, "click", 5.0, '{"k": 1}'),
+    (24, _t(60060), 9, "click", 1.0, '{"k": 1}'),
+    (25, _t(60060), 9, "click", 9.0, '{"k": 1}'),
+    (26, _t(60060), 9, "purchase", 50.0, '{"k": 1}'),
+    (27, _t(60120), 9, "purchase", 60.0, '{"k": 1}'),
+    # user 10: range-join edge — a click EXACTLY 30 minutes before the
+    # purchase is IN (>= on both engines).
+    (28, _t(70000), 10, "click", 1.0, '{"k": 1}'),
+    (29, _t(70000 + 1800), 10, "purchase", 1.0, '{"k": 1}'),
+    # user 11: RANGE-frame edges for the sequence pattern — click
+    # EXACTLY SEQ_CLICK_WINDOW_S (600 s) after the view is IN
+    # (inclusive frame end on both engines); purchase EXACTLY
+    # SEQ_PURCHASE_WINDOW_S (3600 s) after the view is IN; a click at
+    # the view's own second is OUT (frame starts at 1 FOLLOWING).
+    (30, _t(75000), 11, "view", 1.0, '{"k": 1}'),
+    (31, _t(75000 + 600), 11, "click", 1.0, '{"k": 1}'),
+    (32, _t(75000 + 3600), 11, "purchase", 1.0, '{"k": 1}'),
+    (33, _t(76000), 11, "view", 1.0, '{"k": 1}'),
+    (34, _t(76000), 11, "click", 1.0, '{"k": 1}'),
+    # users 12/13/14: interval-overlap edges — user 12's session
+    # [80000, 80300] TOUCHES user 13's [80300, 80600] (zero-length
+    # intersection, strictly-positive overlap excludes it on both
+    # engines) while user 14's [80200, 80500] genuinely overlaps both.
+    (35, _t(80000), 12, "view", 1.0, '{"k": 1}'),
+    (36, _t(80300), 12, "view", 1.0, '{"k": 1}'),
+    (37, _t(80300), 13, "view", 1.0, '{"k": 1}'),
+    (38, _t(80600), 13, "view", 1.0, '{"k": 1}'),
+    (39, _t(80200), 14, "view", 1.0, '{"k": 1}'),
+    (40, _t(80500), 14, "view", 1.0, '{"k": 1}'),
 ]
 
 EDGE_EVENT_QUERIES = [
@@ -255,6 +325,15 @@ EDGE_EVENT_QUERIES = [
     # 2 occupied hours in a 256-leaf pyramid: all energy concentrates
     # where the pair boundary falls; zero-fill must agree end to end
     "haar_energy_hourly",
+    # r7 boundary-semantics audit: as-of ties (same-instant and
+    # simultaneous-click MAX collapse), range-join interval edges
+    # (exactly-at-window in, same-instant out), RANGE-frame edges
+    # (exactly at 600 s / 3600 s FOLLOWING), and touching-interval
+    # session overlaps — all planted in EDGE_EVENTS users 9-14
+    "asof_join_purchase_click",
+    "range_join_click_burst",
+    "seq_pattern_conversion",
+    "session_overlap_topk",
 ]
 
 

@@ -52,6 +52,7 @@ def test_rotation_queue_covers_every_unrowed_query():
     ROTATION_QUEUE for a future window — so no query can silently
     never earn a driver row. Queue entries must also resolve to real
     registry names (a typo here would mislead next round's curation)."""
+    import glob
     import json
     import os
 
@@ -64,16 +65,8 @@ def test_rotation_queue_covers_every_unrowed_query():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rowed: set[str] = set()
-    for f in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-    ):
-        p = os.path.join(root, f)
-        if os.path.exists(p):
-            rowed |= set(json.load(open(p)))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rowed |= set(json.load(open(p)))
     uncovered = set(reg) - set(DRIVER_ORDER_FIRST) - rowed - set(ROTATION_QUEUE)
     assert not uncovered, (
         f"queries with no driver row, not windowed, not queued: "
