@@ -64,7 +64,40 @@ def main() -> int:
             acc += i * i
         return round(time.perf_counter() - t0, 3)
 
+    def calibrate_parallel(n_threads: int = 8) -> float:
+        # Parallel memory-bandwidth probe. The single-thread loop
+        # above was BLIND to the r6 ~15-20% uniform bench shift (its
+        # 0.65-0.71 band did not move while every query did) — pure-
+        # Python arithmetic fits in cache and shares nothing, so host
+        # drift that only hits parallel/memory-bound workloads (SMT
+        # contention, bandwidth saturation from co-tenants) never
+        # shows up in it. numpy releases the GIL during reductions, so
+        # n threads summing one shared 64 MB array genuinely contend
+        # for memory bandwidth the way the 32-thread JVM does. Read
+        # the pair together (SURVEY.md section 6): cpu_calibration
+        # flat + mem_calibration elevated => parallel-only host drift,
+        # expect a uniform query shift that is NOT a code regression.
+        import threading
+
+        import numpy as np
+
+        a = np.ones(8_000_000, dtype=np.float64)
+        a.sum()  # touch once: fault pages outside the timed region
+
+        def work() -> None:
+            for _ in range(60):
+                a.sum()
+
+        threads = [threading.Thread(target=work) for _ in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return round(time.perf_counter() - t0, 3)
+
     cal_before = calibrate()
+    mem_before = calibrate_parallel()
     all_samples: dict[str, list[float]] = {n: [] for n, _ in bench_queries}
     for _ in range(n_runs):
         for name, q in bench_queries:
@@ -72,6 +105,7 @@ def main() -> int:
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             all_samples[name].append(time.time() - t0)
     cal_after = calibrate()
+    mem_after = calibrate_parallel()
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -115,6 +149,8 @@ def main() -> int:
         "total_min": round(sum(mins.values()), 3),
         "cpu_calibration_s": cal_before,
         "cpu_calibration_after_s": cal_after,
+        "mem_calibration_s": mem_before,
+        "mem_calibration_after_s": mem_after,
     }
     line = json.dumps(slim)
     if len(line) > 1800:  # belt-and-braces: never outgrow the window

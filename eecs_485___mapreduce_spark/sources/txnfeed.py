@@ -104,11 +104,15 @@ class TxnFeedStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txnfeed requires .option('path', <table_dir>)")
         self.schema = schema
+        self.start_version = int(options.get("startingVersion", 0))
 
     def initialOffset(self) -> dict:
-        # Option startingVersion=N would begin mid-log; default is the
-        # whole history (Delta's startingVersion=0 shape).
-        return {"version": 0}
+        # Option startingVersion=N begins mid-log (Delta's
+        # startingVersion shape) — the remediation the vacuumed-
+        # _changes error advertises: a fresh consumer skips the
+        # reclaimed commits instead of being wedged at version 0.
+        # Default is the whole history.
+        return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         history = txn_history(self.path)
@@ -189,32 +193,19 @@ def _snapshot_schema(table_dir: str) -> StructType:
 
     from pyspark.sql.pandas.types import from_arrow_type
 
-    import os
-
-    from ..txnlog import _live_files, txn_history
+    from ..txnlog import _live_files, _surviving_files
 
     live = _live_files(table_dir)
     if not live:
         # A DML op can empty the table while its change feed stays
         # perfectly readable (the batch txn_changes does); derive the
-        # schema from ALL surviving historical files. Evolution only
-        # ever arrives with added files, but vacuum can keep an
-        # arbitrary SUBSET of history — picking the newest version
-        # with survivors could land on an older NARROW version (the
-        # evolved version's files vacuumed, pre-evolution files kept)
-        # and silently drop the evolved column from change batches the
-        # batch txn_changes feed still carries. The all-survivors
-        # union is the full schema because columns are never dropped.
-        # (Caught by the random-DML feed sweep: a delete emptying the
-        # table crashed the stream reader; the narrow-survivor case is
-        # the round-5 ADVICE refinement.)
-        seen: set[str] = set()
-        for commit in txn_history(table_dir):
-            for e in commit.get("add", []):
-                f = e["file"]
-                if f not in seen and os.path.exists(f):
-                    seen.add(f)
-                    live.append(f)
+        # schema from ALL surviving historical files via the SAME
+        # history walk txnlog._table_columns uses (shared helper —
+        # round-6 ADVICE: two hand-maintained copies could drift).
+        # The all-survivors union is the full schema because columns
+        # are never dropped; picking only the newest version with
+        # survivors could land on a pre-evolution NARROW file set.
+        live = _surviving_files(table_dir)
     if not live:
         raise FileNotFoundError(f"no committed data in {table_dir}")
     fields: dict[str, StructField] = {}

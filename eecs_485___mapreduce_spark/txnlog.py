@@ -139,6 +139,26 @@ def _live_files(table_dir: str, version: int | None = None) -> list[str]:
     return live
 
 
+def _surviving_files(table_dir: str) -> list[str]:
+    """Every historical data file that still exists on disk, in commit
+    order, deduplicated — the emptied-table schema-recovery walk.
+    Vacuum can keep an arbitrary SUBSET of history, and evolution only
+    ever ADDS columns, so the all-survivors set carries the full
+    current schema even when the newest version's files were vacuumed
+    and only pre-evolution files survive. Shared by ``_table_columns``
+    (names) and ``sources.txnfeed._snapshot_schema`` (typed fields) so
+    the two consumers cannot drift (round-6 ADVICE)."""
+    seen: set[str] = set()
+    files: list[str] = []
+    for commit in txn_history(table_dir):
+        for e in commit.get("add", []):
+            f = e["file"]
+            if f not in seen and os.path.exists(f):
+                seen.add(f)
+                files.append(f)
+    return files
+
+
 def _table_columns(table_dir: str, live: list[str] | None = None) -> list[str]:
     """Union column set of the table's CURRENT schema, from parquet
     footers only (bounded by file count — no data scan). Live files
@@ -157,13 +177,7 @@ def _table_columns(table_dir: str, live: list[str] | None = None) -> list[str]:
 
     files = list(_live_files(table_dir) if live is None else live)
     if not files:
-        seen: set[str] = set()
-        for commit in txn_history(table_dir):
-            for e in commit.get("add", []):
-                f = e["file"]
-                if f not in seen and os.path.exists(f):
-                    seen.add(f)
-                    files.append(f)
+        files = _surviving_files(table_dir)
     cols: list[str] = []
     for path in files:
         for name in pq.read_schema(path).names:

@@ -83,6 +83,55 @@ def corpus(draw):
     return events
 
 
+# Boundary-biased corpus for the session sweeps: per-user event gaps
+# drawn from EXACT-BOUNDARY deltas ({gap-1, gap, gap+1} for both the
+# default and error session gaps) mixed with ordinary small/large
+# gaps. The uniform corpus() above almost never lands two events
+# exactly gap seconds apart — which is how the r6 session_window
+# inclusive-merge divergence stayed green for five rounds; this
+# generator makes the boundary the COMMON case, not a lottery draw.
+@st.composite
+def boundary_corpus(draw):
+    from eecs_485___mapreduce_spark.queries.timeseries import (
+        DYNGAP_DEFAULT_S,
+        DYNGAP_ERROR_S,
+    )
+
+    deltas = st.sampled_from(
+        [
+            DYNGAP_DEFAULT_S - 1,
+            DYNGAP_DEFAULT_S,
+            DYNGAP_DEFAULT_S + 1,
+            DYNGAP_ERROR_S - 1,
+            DYNGAP_ERROR_S,
+            DYNGAP_ERROR_S + 1,
+            0,  # same-second tie
+            30,
+            7200,
+        ]
+    )
+    events = []
+    eid = 0
+    for uid in range(1, draw(st.integers(2, 4)) + 1):
+        sec = BASE_SEC + draw(st.integers(0, 3600))
+        for _ in range(draw(st.integers(2, 8))):
+            events.append(
+                {
+                    "event_id": eid,
+                    "sec": sec,
+                    "user_id": uid,
+                    "event_type": draw(
+                        st.sampled_from(["click", "view", "purchase"])
+                    ),
+                    "value": float(draw(st.integers(0, 50))),
+                }
+            )
+            eid += 1
+            sec += draw(deltas)
+    events.sort(key=lambda e: (e["sec"], e["event_id"]))
+    return events
+
+
 def _write_chunks(tmp_path, events, cut_points) -> str:
     """Write event chunks as separate parquet files with increasing
     mtimes so the file stream drains them in chunk order."""
@@ -933,6 +982,17 @@ def test_dynamic_session_stream_multibatch_matches_model(
     session_window semantics (per-event window [ts, ts+gap] with an
     INCLUSIVE right edge — an event exactly at the running max end
     merges, Spark's native rule — end = max event end)."""
+    # make the dynamic gap bite: every third event is an error
+    events = [
+        {**e, "event_type": "error" if e["event_id"] % 3 == 0 else e["event_type"]}
+        for e in events
+    ]
+    _check_dynamic_session(spark, tmp_path_factory, events, cuts)
+
+
+def _check_dynamic_session(spark, tmp_path_factory, events, cuts) -> None:
+    """Drain the dynamic-gap session stream over the chunked events
+    and compare against the pure-Python inclusive-merge replay."""
     from pyspark.sql import functions as F
 
     from eecs_485___mapreduce_spark.queries.timeseries import (
@@ -943,11 +1003,6 @@ def test_dynamic_session_stream_multibatch_matches_model(
         dynamic_session_stream,
     )
 
-    # make the dynamic gap bite: every third event is an error
-    events = [
-        {**e, "event_type": "error" if e["event_id"] % 3 == 0 else e["event_type"]}
-        for e in events
-    ]
     path = _write_chunks(
         tmp_path_factory.mktemp("dyn"), events, [c % len(events) for c in cuts]
     )
@@ -992,6 +1047,64 @@ def test_dynamic_session_stream_multibatch_matches_model(
         if cur is not None:
             want.append((uid, *cur))
     want = sorted((u, s, e, n, int(x)) for u, s, e, n, x in want)
+    assert got == want
+
+
+@given(events=boundary_corpus(), cuts=_CUTS)
+@_SWEEP_DEEP
+def test_dynamic_session_stream_boundary_corpus_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """The same dynamic-session engine==model equality, but over the
+    BOUNDARY-BIASED corpus whose inter-event gaps are drawn from
+    {gap-1, gap, gap+1} for both session gaps plus same-second ties —
+    the exact-boundary cases the uniform corpus reaches only by
+    lottery. 'error' events arrive from the generator's event-type
+    draw replaced below, so the short gap genuinely alternates."""
+    events = [
+        {**e, "event_type": "error" if e["event_id"] % 3 == 0 else e["event_type"]}
+        for e in events
+    ]
+    _check_dynamic_session(spark, tmp_path_factory, events, cuts)
+
+
+@given(events=boundary_corpus(), cuts=_CUTS)
+@_SWEEP_DEEP
+def test_sessionize_stream_boundary_corpus_matches_model(
+    spark, tmp_path_factory, events, cuts
+):
+    """The CUSTOM applyInPandasWithState sessionizer over the
+    boundary-biased corpus: its documented rule is diff > gap splits
+    (exactly-gap-apart events share a session) — the opposite edge
+    treatment from nothing, but the same on engine and model by
+    construction; this sweep pins that the STATE handoff across batch
+    cuts preserves it when boundary deltas are the common case."""
+    path = _write_chunks(
+        tmp_path_factory.mktemp("sessb"), events, [c % len(events) for c in cuts]
+    )
+    name = f"sessb_model_{next(_name_seq)}"
+    run_stream_to_memory(
+        sessionize_stream(_read_chunked_stream(spark, path)),
+        name,
+        output_mode="update",
+    )
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {}
+    for r in rows:  # last emission per user = max running n_events
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.n_sessions)
+
+    want = {}
+    per_user: dict[int, list[int]] = {}
+    for e in events:
+        per_user.setdefault(e["user_id"], []).append(e["sec"])
+    for uid, secs in per_user.items():
+        last, n_sessions = None, 0
+        for sec in sorted(secs):
+            if last is None or sec - last > SESSION_GAP_S:
+                n_sessions += 1
+            last = sec
+        want[uid] = (len(secs), n_sessions)
     assert got == want
 
 

@@ -1095,3 +1095,46 @@ def test_txnfeed_vacuumed_changes_fail_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="vacuumed"):
         q.awaitTermination()
+
+
+def test_txnfeed_starting_version_skips_vacuumed_commits(spark, tmp_path):
+    """The remediation the vacuumed-_changes error advertises must
+    actually exist (round-6 ADVICE): a FRESH consumer starting with
+    .option('startingVersion', N) past the reclaimed commits streams
+    successfully and sees exactly the commits >= N."""
+    from eecs_485___mapreduce_spark.sources import TxnFeedDataSource
+
+    d = str(tmp_path / "tbl")
+    txnlog.txn_create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        d,
+        num_files=1,
+    )
+    # v1: update whose _changes dir the vacuum below reclaims
+    txnlog.txn_update_where(spark, d, "id = 1", {"val": "val + 1"}, num_files=1)
+    # v2: append a lagging-consumer-visible commit
+    txnlog.txn_append(
+        spark.createDataFrame([(3, 30)], "id long, val long"), d, num_files=1
+    )
+    stats = txnlog.txn_vacuum(d, retain_versions=1, min_age_s=0.0)
+    assert stats["changes_deleted"] > 0
+
+    spark.dataSource.register(TxnFeedDataSource)
+    sink = str(tmp_path / "sink2")
+    q = (
+        spark.readStream.format("txnfeed")
+        .option("path", d)
+        .option("startingVersion", 2)  # first un-vacuumed commit
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # must NOT raise
+    rows = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [(3, 30, "insert", 2)]
