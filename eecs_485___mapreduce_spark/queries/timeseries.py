@@ -394,6 +394,80 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_session_boundary_fixture",
+    tags=("window", "datetime", "boundary"),
+    oracle=f"""
+    WITH base AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+    lastev AS (SELECT user_id, MAX(ts) AS mts FROM base GROUP BY user_id),
+    planted AS (
+      SELECT user_id, ts FROM base
+      UNION ALL
+      SELECT user_id, mts + INTERVAL {SESSION_GAP_S} SECOND FROM lastev
+      UNION ALL
+      SELECT user_id,
+             mts + INTERVAL {2 * SESSION_GAP_S + 1} SECOND FROM lastev
+    ),
+    g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {SESSION_GAP_S} * 1000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM planted
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def events_session_boundary_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window EXACT-GAP boundary twin: the oracle gate itself
+    exercises the inclusive-merge edge on every run. Each user's last
+    event is replanted at exactly ``last_ts + gap`` (must MERGE into
+    the final session — Spark's ``session_window`` right edge is
+    inclusive, the r6 judge-reproduced rule) and again at
+    ``last_ts + 2*gap + 1`` (one second PAST the merged session's new
+    end — must SPLIT), so the shipped corpus can no longer be
+    data-coincidentally green about the boundary: a strict-rule
+    regression in either engine flips every user's session count.
+
+    Scale: one groupBy(user_id) for the per-user max, a broadcast-free
+    union (the planted side is one row per user, ~|users| not
+    |events|), then the same single user_id shuffle as
+    events_session_window.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    base = events.select("user_id", "ts")
+    lastev = base.groupBy("user_id").agg(F.max("ts").alias("mts"))
+    planted = base.unionByName(
+        lastev.select(
+            "user_id",
+            (F.col("mts") + F.expr(f"INTERVAL {SESSION_GAP_S} SECOND")).alias("ts"),
+        )
+    ).unionByName(
+        lastev.select(
+            "user_id",
+            (
+                F.col("mts")
+                + F.expr(f"INTERVAL {2 * SESSION_GAP_S + 1} SECOND")
+            ).alias("ts"),
+        )
+    )
+    sw = F.session_window("ts", f"{SESSION_GAP_S} seconds")
+    sessions = planted.groupBy("user_id", sw.alias("sw")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+    )
+
+
 # ------------------------------------------------ time-decayed features
 
 DECAY_ANCHOR = "2024-02-01"  # scoring date: just past the event horizon

@@ -70,8 +70,15 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     #      (every one last rowed in round 1, in registration order).
     # All 50 verified hash-green via tools/driver_mimic.py at sf0.01
     # before this rotation.
+    # (the third session entry, events_session_boundary_fixture, is
+    # the round-6 verdict's optional item 7: a twin whose planted
+    # exact-gap events make the ORACLE GATE itself discriminate the
+    # inclusive vs strict merge rule on every run — it displaced
+    # text_fingerprint, the youngest of the age-refresh fills, which
+    # keeps its r1 hash-green row as evidence)
     "events_session_window",
     "events_session_dynamic_gap",
+    "events_session_boundary_fixture",
     "ivm_agg_retraction_daily",
     "ir_ndcg_bm25_eval",
     "threshold_sweep_stopword_en",
@@ -119,7 +126,6 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_stats",
-    "text_fingerprint",
 )
 
 # Round-7 rotation queue: EMPTY — every registered query is either in

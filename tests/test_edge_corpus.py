@@ -334,6 +334,9 @@ EDGE_EVENT_QUERIES = [
     "range_join_click_burst",
     "seq_pattern_conversion",
     "session_overlap_topk",
+    # the planted-exact-gap twin must also hold on a corpus that
+    # ALREADY contains exact-boundary pairs (double-planting)
+    "events_session_boundary_fixture",
 ]
 
 
