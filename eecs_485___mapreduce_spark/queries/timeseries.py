@@ -444,17 +444,17 @@ def events_session_boundary_fixture(spark: SparkSession, sf_dir: str) -> DataFra
     )
     base = events.select("user_id", "ts")
     lastev = base.groupBy("user_id").agg(F.max("ts").alias("mts"))
+    # single agg, both planted rows via explode — two separate
+    # union branches would each recompute the per-user max
     planted = base.unionByName(
         lastev.select(
             "user_id",
-            (F.col("mts") + F.expr(f"INTERVAL {SESSION_GAP_S} SECOND")).alias("ts"),
-        )
-    ).unionByName(
-        lastev.select(
-            "user_id",
-            (
-                F.col("mts")
-                + F.expr(f"INTERVAL {2 * SESSION_GAP_S + 1} SECOND")
+            F.explode(
+                F.array(
+                    F.col("mts") + F.expr(f"INTERVAL {SESSION_GAP_S} SECOND"),
+                    F.col("mts")
+                    + F.expr(f"INTERVAL {2 * SESSION_GAP_S + 1} SECOND"),
+                )
             ).alias("ts"),
         )
     )
