@@ -50,6 +50,7 @@ EDGE_CUSTOMER = [
     (6, "Customer#6", 2, 5000.00, "AUTOMOBILE"),
     (7, "Customer#7", 3, 5000.00, "HOUSEHOLD"), # cross-nation tie (max tie)
     (8, "Customer#8", 3, 42.42, "HOUSEHOLD"),   # childless: no orders
+    (9, "Customer#9", 4, 123.00, "BUILDING"),   # the only region-2 buyer
 ]
 
 # o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -103,6 +104,110 @@ EDGE_LINEITEM = [
     (888, 17, 27, 1, 4.0, 444.44, 0.03, 0.02, "R", "F", _d(2024, 3, 20)),
     (113, 11, 21, 1, 6.0, 333.33, 0.04, 0.03, "N", "O", _d(2024, 5, 2)),
     (114, 12, 22, 1, 6.0, 333.33, 0.04, 0.03, "N", "O", _d(2024, 5, 3)),
+]
+
+# The TPC-H-shaped queries window on 1996-1999 dates, so a block of
+# edge rows lives INSIDE those windows (ties, returned items, promo
+# parts, multi-supplier parts) — otherwise the date filters would
+# reduce every multi-table query to a vacuous 0==0 pass.
+EDGE_ORDERS += [
+    (201, 1, "F", 4000.00, _d(1996, 3, 10), "1-URGENT"),
+    (202, 2, "O", 4000.00, _d(1996, 3, 10), "2-HIGH"),   # tie + same day
+    (203, 3, "F", 1500.50, _d(1996, 12, 31), "3-MEDIUM"),
+    (204, 4, "O", 1500.50, _d(1997, 1, 1), "5-LOW"),     # year straddle
+    (205, 5, "F", 800.00, _d(1997, 2, 14), "4-NOT SPECIFIED"),
+    (206, 6, "O", 800.00, _d(1997, 3, 31), "1-URGENT"),  # month edge
+    (207, 7, "F", 12345.67, _d(1997, 6, 30), "2-HIGH"),
+    # q8: the region-2 customer's two orders, one per market-share year
+    (208, 9, "O", 2500.00, _d(1996, 6, 1), "1-URGENT"),
+    (209, 9, "F", 2600.00, _d(1997, 6, 1), "2-HIGH"),
+    # q21: multi-supplier order with lateness at the exact +60d edge
+    (210, 1, "F", 700.00, _d(1996, 8, 1), "3-MEDIUM"),
+]
+
+EDGE_LINEITEM += [
+    # q10 wants R-flag items inside 1997H1; ties across orders
+    (201, 11, 21, 1, 20.0, 2000.00, 0.05, 0.04, "R", "F", _d(1996, 4, 1)),
+    (201, 18, 22, 2, 20.0, 2000.00, 0.05, 0.04, "N", "O", _d(1996, 4, 2)),
+    (202, 18, 23, 1, 8.0, 2000.00, 0.06, 0.05, "R", "F", _d(1996, 4, 1)),
+    # promo part inside q14's 1997-03 window; same part two suppliers
+    # (q2/q20 min-offer and dominant-supplier shapes)
+    (203, 19, 21, 1, 12.0, 600.00, 0.00, 0.00, "N", "O", _d(1997, 3, 5)),
+    (204, 19, 22, 1, 12.0, 600.00, 0.00, 0.00, "N", "O", _d(1997, 3, 15)),
+    (205, 20, 23, 1, 30.0, 3000.00, 0.10, 0.08, "R", "F", _d(1997, 1, 1)),
+    (206, 20, 24, 1, 30.0, 3000.00, 0.10, 0.08, "A", "F", _d(1997, 3, 31)),
+    (207, 11, 25, 1, 2.0, 150.00, 0.01, 0.00, "N", "O", _d(1997, 7, 1)),
+    # q8 market share: 1996 splits the region-2 customer's volume
+    # 50/50 between a region-2 and a region-0 supplier (share exactly
+    # 0.5); 1997 is all region-2 (share exactly 1.0)
+    (208, 11, 28, 1, 10.0, 1000.00, 0.00, 0.00, "N", "O", _d(1996, 6, 5)),
+    (208, 12, 21, 2, 10.0, 1000.00, 0.00, 0.00, "N", "O", _d(1996, 6, 6)),
+    (209, 13, 29, 1, 5.0, 500.00, 0.00, 0.00, "N", "O", _d(1997, 6, 5)),
+    # q2 min-offer: part 29 (STANDARD, size exactly <= 5 edge) offered
+    # by TWO EUROPE suppliers at the SAME minimum — both rows emit
+    (205, 29, 25, 2, 4.0, 80.00, 0.00, 0.00, "N", "O", _d(1997, 1, 10)),
+    (206, 29, 26, 2, 4.0, 80.00, 0.00, 0.00, "N", "O", _d(1997, 2, 10)),
+    # q20 dominance: part 30 ('small...') qty 70 vs 10 — 70*8 > 80
+    # dominates, 10*8 == 80 sits EXACTLY on the strict > boundary and
+    # must NOT dominate
+    (207, 30, 25, 2, 70.0, 4200.00, 0.00, 0.00, "N", "O", _d(1997, 7, 2)),
+    (210, 30, 26, 1, 10.0, 600.00, 0.00, 0.00, "N", "O", _d(1996, 8, 5)),
+    # q21 lateness: order 210 (1996-08-01) has three suppliers — one
+    # on time, one shipping EXACTLY +60 days (1996-09-30, strict >
+    # means NOT late), one at +61 (late) -> n_late is exactly 1
+    (210, 15, 27, 2, 3.0, 150.00, 0.00, 0.00, "N", "F", _d(1996, 10, 1)),
+    (210, 16, 21, 3, 3.0, 150.00, 0.00, 0.00, "N", "F", _d(1996, 9, 30)),
+]
+
+# r_regionkey, r_name
+EDGE_REGION = [(0, "AMERICA"), (1, "EUROPE"), (2, "ASIA")]
+
+# n_nationkey, n_name, n_regionkey — nation 3 belongs to EUROPE and
+# has customers but NO suppliers (full-outer / anti-join shapes);
+# nations 4/5 are ASIA (the q8 market-share region)
+EDGE_NATION = [
+    (0, "BRAZIL", 0),
+    (1, "CANADA", 0),
+    (2, "FRANCE", 1),
+    (3, "GERMANY", 1),
+    (4, "JAPAN", 2),
+    (5, "INDIA", 2),
+]
+
+# s_suppkey, s_name, s_nationkey, s_acctbal — acctbal ties, a name
+# nearly colliding with a customer name (fuzzy match), suppliers
+# concentrated so some nations have none
+EDGE_SUPPLIER = [
+    (21, "Supplier#21", 0, 500.00, ),
+    (22, "Supplier#22", 0, 500.00, ),   # tie, same nation
+    (23, "Supplier#23", 1, 500.00, ),   # tie, other nation
+    (24, "Customer#4", 1, -42.00, ),    # name collides with a customer
+    (25, "Supplier#25", 2, 0.00, ),
+    (26, "Supplier#26", 2, 9000.00, ),
+    (27, "Supplier#27", 2, 9000.00, ),  # max tie
+    (28, "Supplier#28", 4, 777.77, ),   # region-2 (q8 numerator)
+    (29, "Supplier#29", 5, 777.77, ),   # region-2, balance tie
+]
+
+# p_partkey, p_name, p_brand, p_type, p_size, p_retailprice — brand
+# and retailprice ties, near-duplicate names, a PROMO type (q14), a
+# part no lineitem ever references (28)
+EDGE_PART = [
+    (11, "ivory linen rose navajo khaki", "Brand#11", "STANDARD PLATED TIN", 10, 100.00),
+    (12, "ivory linen rose navajo peach", "Brand#11", "SMALL POLISHED COPPER", 10, 100.00),
+    (13, "blue chiffon midnight slate", "Brand#12", "STANDARD PLATED TIN", 20, 100.00),
+    (14, "blue chiffon midnight slates", "Brand#12", "LARGE BRUSHED STEEL", 20, 250.25),
+    (15, "red ghost turquoise honeydew", "Brand#13", "MEDIUM ANODIZED BRASS", 5, 50.00),
+    (16, "red ghost turquoise honeydew", "Brand#14", "MEDIUM ANODIZED BRASS", 5, 50.00),
+    (17, "orphan order part cobalt", "Brand#15", "SMALL BURNISHED NICKEL", 15, 75.75),
+    (18, "tie price part almond forest", "Brand#11", "STANDARD PLATED TIN", 10, 100.00),
+    (19, "promo part lavender metallic", "Brand#16", "PROMO BRUSHED COPPER", 25, 300.00),
+    (20, "dominant pair part smoke", "Brand#16", "ECONOMY PLATED ZINC", 25, 300.00),
+    (28, "never ordered part void", "Brand#17", "LARGE POLISHED JUMBO", 50, 999.99),
+    # q2: type exactly 'STANDARD' at the size <= 5 boundary
+    (29, "standard tiny boundary part", "Brand#18", "STANDARD", 5, 80.00),
+    # q20: name LIKE 'small%'
+    (30, "small dominant share part", "Brand#18", "ECONOMY BURNISHED TIN", 30, 60.00),
 ]
 
 # Queries whose oracles read ONLY {orders, lineitem, customer}. Kept
@@ -200,6 +305,38 @@ EDGE_RELATIONAL_QUERIES = [
     "txnlog_cdf_type_counts",
     "txnlog_time_travel_counts",
     "merge_upsert_orders",
+    # multi-table queries over the dims (region/nation/supplier/part):
+    # ties inside the 1996-1997 TPC-H date windows, nations with
+    # customers but no suppliers, colliding names, promo parts,
+    # never-ordered parts, FK orphans in both fact directions
+    "itemcf_topk_similar_parts",
+    "q17_small_quantity_revenue",
+    "correlated_subquery_q17",
+    "exists_high_value_parts",
+    "full_outer_nation_activity",
+    "fk_integrity_audit",
+    "fuzzy_match_customer_supplier",
+    "regr_qty_price_by_nation",
+    "hits_customer_part",
+    "fuzzy_join_part_names",
+    "join_cardinality_estimate",
+    "gini_revenue_by_nation",
+    "weighted_median_price_by_nation",
+    "q5_region_revenue",
+    "string_part_stats",
+    "revenue_share_region_nation",
+    "listagg_parts_by_brand",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q2_min_offer_supplier",
+    "q9_nation_profit",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -238,6 +375,39 @@ def edge_rel_dir(spark, tmp_path_factory) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(d, "lineitem.parquet"))
     )
+    (
+        spark.createDataFrame(EDGE_REGION, "r_regionkey long, r_name string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "region.parquet"))
+    )
+    (
+        spark.createDataFrame(
+            EDGE_NATION, "n_nationkey long, n_name string, n_regionkey long"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "nation.parquet"))
+    )
+    (
+        spark.createDataFrame(
+            EDGE_SUPPLIER,
+            "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "supplier.parquet"))
+    )
+    (
+        spark.createDataFrame(
+            EDGE_PART,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size long, p_retailprice double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "part.parquet"))
+    )
     yield d
     release_scope(d)
 
@@ -245,7 +415,10 @@ def edge_rel_dir(spark, tmp_path_factory) -> str:
 @pytest.fixture(scope="module")
 def edge_rel_duck(edge_rel_dir):
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem"):
+    for t in (
+        "customer", "orders", "lineitem", "region", "nation", "supplier",
+        "part",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{edge_rel_dir}/{t}.parquet/*.parquet')"
