@@ -79,7 +79,16 @@ def shingles(tok: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (for MinHash / Jaccard dedup).
 
     Documents shorter than k tokens yield their whole token string as a
-    single shingle so they still participate in dedup.
+    single shingle so they still participate in dedup; documents with
+    NO tokens at all yield the EMPTY set — not a degenerate ['']
+    shingle. The degenerate form was a live cross-engine divergence:
+    Spark's array_join([]) renders '', DuckDB's array_to_string([])
+    renders NULL, so an empty doc and a whitespace-only doc paired at
+    jaccard 1.0 on the Spark side while the oracle (NULL never joins)
+    emitted nothing — green on the shipped corpora only because they
+    contain no token-less docs (caught by the r7 edge-corpus
+    enrollment of the MinHash family). Token-less docs are exact-dup
+    territory (dedup_exact), not near-dup material.
 
     Performance: pass a MATERIALIZED token column (its own projection),
     not the fused ``shingles(tokens(text))`` expression — ``tok`` is
@@ -92,7 +101,11 @@ def shingles(tok: Column, k: int = 3) -> Column:
         F.sequence(F.lit(1), F.size(tok) - (k - 1)),
         lambda i: F.array_join(F.slice(tok, i, k), " "),
     )
-    return F.array_distinct(F.when(F.size(tok) >= k, k_shingles).otherwise(F.array(joined)))
+    return F.array_distinct(
+        F.when(F.size(tok) >= k, k_shingles)
+        .when(F.size(tok) > 0, F.array(joined))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 # ---------------------------------------------------------------- hashing

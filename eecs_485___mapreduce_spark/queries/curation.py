@@ -670,8 +670,11 @@ def daily_active_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame
                                 t -> t <> '')[i+1], ' ',
                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                 t -> t <> '')[i+2])))
-             ELSE [array_to_string(list_filter(regexp_split_to_array(
-                      lower(text), '\\s+'), t -> t <> ''), ' ')] END AS sh
+             WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) > 0
+             THEN [array_to_string(list_filter(regexp_split_to_array(
+                      lower(text), '\\s+'), t -> t <> ''), ' ')]
+             ELSE CAST([] AS VARCHAR[]) END AS sh
         FROM documents),
     ss AS (SELECT DISTINCT source, unnest(sh) AS s FROM t),
     per AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1),

@@ -44,11 +44,16 @@ from ..registry import register
 from ..sources import load_table
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+# Token-less docs get the EMPTY shingle set on both engines (see
+# functions.shingles docstring: the old single-element fallback
+# rendered '' in Spark but NULL in DuckDB — a live divergence).
 _SHINGLES = f"""
     CASE WHEN len({_TOKS}) >= 3
          THEN list_distinct(list_transform(range(1, len({_TOKS}) - 1),
               i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))
-         ELSE [array_to_string({_TOKS}, ' ')] END
+         WHEN len({_TOKS}) > 0
+         THEN [array_to_string({_TOKS}, ' ')]
+         ELSE CAST([] AS VARCHAR[]) END
 """
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 

@@ -32,11 +32,16 @@ from ..registry import register
 from ..sources import load_table
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+# Token-less docs shingle to the EMPTY set on both engines (see
+# functions.shingles: the single-element fallback rendered '' in
+# Spark but NULL in DuckDB).
 _SHINGLES = f"""
     CASE WHEN len({_TOKS}) >= 3
          THEN list_distinct(list_transform(range(1, len({_TOKS}) - 1),
               i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))
-         ELSE [array_to_string({_TOKS}, ' ')] END
+         WHEN len({_TOKS}) > 0
+         THEN [array_to_string({_TOKS}, ' ')]
+         ELSE CAST([] AS VARCHAR[]) END
 """
 
 BENCH_SOURCE = "src0"  # the held-out "benchmark" split of the corpus

@@ -105,6 +105,63 @@ EDGE_QUERIES = [
     "dedup_containment_pairs",
     "ir_doc_cosine_topk",
     "quantile_normalize_doclen",
+    # r7 full enrollment: every remaining documents-only oracle query
+    # joins the edge harness (previously only a curated subset ran
+    # here — the rest saw adversarial text never)
+    "ir_ndcg_bm25_eval",
+    "threshold_sweep_stopword_en",
+    "brier_decomposition_langid",
+    "conformal_token_interval",
+    "wasserstein_doclen_sources",
+    "spearman_chars_tokens",
+    "gate_ablation_census",
+    "fdr_drift_decisions",
+    "stored_query_matches",
+    "greedy_coverage_selection",
+    "text_byte_mass_census",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_feature_extract",
+    "sample_weighted_topk",
+    "source_overlap_matrix",
+    "split_leakage_audit",
+    "stratified_kfold_assignment",
+    "curriculum_interleave_order",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_survivorship",
+    "dedup_lsh_recall_audit",
+    "ir_inverted_index",
+    "ir_bm25_topk",
+    "ir_pmi_collocations",
+    "training_manifest",
+    "bigram_lm_doc_perplexity",
+    "negative_pair_mining",
+    "naive_bayes_source_confusion",
+    "padding_waste_batching",
+    "decontaminate_containment",
+    "pack_sequences_greedy",
+    "text_pii_audit",
+    "sample_fixed_per_source",
+    "pipeline_e2e_funnel",
+    "sample_stratified",
+    "dedup_chunk_windows",
+    "text_unicode_hygiene",
+    "cohens_kappa_langid",
+    "wordcount",
+    "grep",
+    "grep_count_by_source",
+    "pipe_wordcount",
+    "bpe_learn_merges",
+    "bpe_apply_corpus",
+    "udf_token_stats_arrow",
+    "udf_grouped_rank_arrow",
+    "udf_mapinpandas_bytes",
 ]
 
 
@@ -337,6 +394,15 @@ EDGE_EVENT_QUERIES = [
     # the planted-exact-gap twin must also hold on a corpus that
     # ALREADY contains exact-boundary pairs (double-planting)
     "events_session_boundary_fixture",
+    # r7 full enrollment: every remaining events-only oracle query
+    "pacf_hourly_events",
+    "hurst_rs_hourly",
+    "watermark_lateness_audit",
+    "ucb1_variant_replay",
+    "hll_register_census_users",
+    "mase_seasonal_naive_hourly",
+    "ccf_event_types_hourly",
+    "funnel_view_click_purchase",
 ]
 
 
