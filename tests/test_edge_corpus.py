@@ -499,6 +499,8 @@ EDGE_EMBEDDING_QUERIES = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
     "similarity_topk_pq",
+    # r7 full enrollment: the last embeddings-only oracle query
+    "pca_top_component_power",
 ]
 
 

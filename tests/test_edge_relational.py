@@ -1,7 +1,11 @@
-"""Adversarial-input harness for the RELATIONAL families: every query
-whose oracle reads only {orders, lineitem, customer} runs against its
+"""Adversarial-input harness for the RELATIONAL families — the TIE
+AND THRESHOLD-BOUNDARY complement to the star-schema extremes corpus
+in tests/test_edge_corpus.py (_EDGE_STAR targets referential damage:
+dangling keys, NULL segments, empty regions, zero prices; THIS corpus
+targets exact-equality seams, the r7 boundary-audit class). Every
+query whose oracle reads the TPC-H-shaped tables runs against its
 own DuckDB oracle over an EDGE corpus planted with the cases the
-synthetic TPC-H-ish tables essentially never produce:
+synthetic tables essentially never produce:
 
 - exact o_totalprice / l_extendedprice / c_acctbal TIES (rank, NTILE,
   decile, skyline, and top-k tiebreak discipline — the same
@@ -440,4 +444,102 @@ def test_relational_query_matches_oracle_on_edge_corpus(
     assert len(s_rows) == len(o_rows), f"{name}: row counts differ"
     assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
         f"{name}: values differ on the edge relational corpus"
+    )
+
+
+# ------------------------------------------- combined cross-family dir
+
+# The handful of queries whose oracles span table FAMILIES (events x
+# customers, documents x orders, documents x embeddings, the
+# ten-table catalog census) need every edge table in ONE directory —
+# composed from this module's relational fixtures plus the
+# events/documents/embeddings rows of tests/test_edge_corpus.py, so
+# cross-family joins see ties, orphans, NULL users, empty text, and
+# zero-norm vectors simultaneously.
+CROSS_FAMILY_QUERIES = [
+    "catalog_table_stats",
+    "functional_dependency_audit",
+    "rtbf_delete_audit",
+    "skew_salted_join_events",
+    "join_skew_profile",
+    "ir_rrf_hybrid_topk",
+    "encoding_advisor",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_all_dir(spark, edge_rel_dir, tmp_path_factory) -> str:
+    import shutil
+
+    from .test_edge_corpus import EDGE_EMBEDDINGS, EDGE_EVENTS, EDGE_ROWS
+
+    d = str(tmp_path_factory.mktemp("edge-all"))
+    for t in (
+        "customer", "orders", "lineitem", "region", "nation", "supplier",
+        "part",
+    ):
+        shutil.copytree(
+            os.path.join(edge_rel_dir, f"{t}.parquet"),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    (
+        spark.createDataFrame(
+            EDGE_ROWS,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    (
+        spark.createDataFrame(
+            EDGE_EVENTS,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "events.parquet"))
+    )
+    (
+        spark.createDataFrame(
+            EDGE_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    yield d
+    release_scope(d)
+
+
+@pytest.fixture(scope="module")
+def edge_all_duck(edge_all_dir):
+    con = duckdb.connect()
+    for t in (
+        "customer", "orders", "lineitem", "region", "nation", "supplier",
+        "part", "documents", "events", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_all_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", CROSS_FAMILY_QUERIES)
+def test_cross_family_query_matches_oracle_on_edge_corpus(
+    name, spark, edge_all_dir, edge_all_duck
+):
+    q = all_queries()[name]
+    sdf = q.fn(spark, edge_all_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = edge_all_duck.execute(q.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(o_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(o_rows), f"{name}: row counts differ"
+    assert normalize(s_rows, sdf.columns) == normalize(o_rows, o_cols), (
+        f"{name}: values differ on the combined edge corpus"
     )
