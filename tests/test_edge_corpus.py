@@ -27,6 +27,21 @@ EDGE_ROWS = [
     (5, "x" * 500, "en", "srcC", 500),
     (6, "the quick brown fox jumps over the lazy dog", "en", "srcC", 43),
     (7, "ONE TWO THREE one two three", "en", "srcC", 27),
+    # Docs 8-11 plant EXACT-THRESHOLD jaccard pairs (the dedup
+    # analogue of the r6 session exact-gap boundary; both dedup
+    # thresholds filter with >=, so exactly-at-threshold pairs must
+    # EMIT on both engines):
+    #   (8, 9): 2 vs 4 shingles sharing 2 -> jaccard exactly 0.5 ==
+    #           MINHASH_JACCARD_THRESHOLD (the ngram inverted index
+    #           always pairs them; the LSH path pairs them only when a
+    #           band collides — identical hashes on both engines
+    #           either way)
+    #   (10, 11): 1 vs 5 shingles sharing 1 -> jaccard exactly 0.2 ==
+    #           NGRAM_JACCARD_THRESHOLD
+    (8, "alpha beta gamma delta", "en", "srcD", 22),
+    (9, "alpha beta gamma delta epsil zeta", "en", "srcD", 33),
+    (10, "omega phi chi", "en", "srcD", 13),
+    (11, "omega phi chi one two three four", "en", "srcD", 32),
 ]
 
 # Document-shaped queries whose oracles read only the documents table.
@@ -747,7 +762,7 @@ def test_rows_only_compression_queries_survive_edge_corpus(spark, edge_dir):
     from eecs_485___mapreduce_spark.queries.text import text_compression_census
 
     census = {r.source: r for r in text_compression_census(spark, edge_dir).collect()}
-    assert set(census) == {"srcA", "srcB", "srcC"}
+    assert set(census) == {"srcA", "srcB", "srcC", "srcD"}
     for r in census.values():
         assert r.comp_bytes > 0 and r.min_doc_ratio_milli >= 0
     # srcA holds the empty + whitespace-only docs: the guard must have
