@@ -1237,9 +1237,11 @@ _MW_SRC_B = "src1"
     )
     SELECT t.n_a, t.n_b, r.rank_sum_a_x2,
            (r.rank_sum_a_x2 - t.n_a * (t.n_a + 1)) // 2 AS u_a_floor,
-           CAST(ROUND(1000.0
-                 * (r.rank_sum_a_x2 - t.n_a * (t.n_a + 1 + t.n_b))
-                 / (1.0 * t.n_a * t.n_b)) AS BIGINT) AS rank_biserial_milli
+           CASE WHEN t.n_a * t.n_b > 0
+                THEN CAST(ROUND(1000.0
+                      * (r.rank_sum_a_x2 - t.n_a * (t.n_a + 1 + t.n_b))
+                      / (1.0 * t.n_a * t.n_b)) AS BIGINT)
+                ELSE NULL END AS rank_biserial_milli
     FROM tot t CROSS JOIN r
     """,
 )
@@ -1293,14 +1295,23 @@ def mannwhitney_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U_a = R_a - n_a(n_a+1)/2 with R_a the tie-averaged rank sum of
     # sample A; rank-biserial r = 2*U_a/(n_a*n_b) - 1. Verified against
     # a brute-force pair count (tests/test_mining_extras.py).
+    # Effect size is undefined when EITHER sample is empty: explicit
+    # NULL on both engines — when only ONE tested source exists, n_a
+    # or n_b is 0 (not NULL), so the old unguarded division threw
+    # DIVIDE_BY_ZERO under ANSI where DuckDB quietly NULLed (caught by
+    # the r7 edge corpus gaining a src0 doc with no src1).
     u_a_floor = F.expr("(rank_sum_a_x2 - n_a * (n_a + 1)) div 2")
-    biserial = F.round(
-        F.lit(1000.0)
-        * (
-            F.col("rank_sum_a_x2") - F.col("n_a") * (F.col("n_a") + 1 + F.col("n_b"))
-        ).cast("double")
-        / (F.lit(1.0) * F.col("n_a") * F.col("n_b"))
-    ).cast("long")
+    biserial = F.when(
+        F.col("n_a") * F.col("n_b") > 0,
+        F.round(
+            F.lit(1000.0)
+            * (
+                F.col("rank_sum_a_x2")
+                - F.col("n_a") * (F.col("n_a") + 1 + F.col("n_b"))
+            ).cast("double")
+            / (F.lit(1.0) * F.col("n_a") * F.col("n_b"))
+        ).cast("long"),
+    )
     return (
         tot.crossJoin(F.broadcast(r))
         .select(

@@ -42,6 +42,12 @@ EDGE_ROWS = [
     (9, "alpha beta gamma delta epsil zeta", "en", "srcD", 33),
     (10, "omega phi chi", "en", "srcD", 13),
     (11, "omega phi chi one two three four", "en", "srcD", 32),
+    # Doc 12 is the BENCHMARK split (src0 = pipeline.BENCH_SOURCE):
+    # 5 distinct shingles, exactly ONE shared with train docs 10/11 ->
+    # containment exactly 1/5 = 0.2 == CONTAINMENT_THRESHOLD, so the
+    # decontamination filter (>=) must flag both pairs — previously
+    # the edge corpus had no src0 docs and the query passed vacuously.
+    (12, "omega phi chi b1 b2 b3 b4", "en", "src0", 25),
 ]
 
 # Document-shaped queries whose oracles read only the documents table.
@@ -762,7 +768,7 @@ def test_rows_only_compression_queries_survive_edge_corpus(spark, edge_dir):
     from eecs_485___mapreduce_spark.queries.text import text_compression_census
 
     census = {r.source: r for r in text_compression_census(spark, edge_dir).collect()}
-    assert set(census) == {"srcA", "srcB", "srcC", "srcD"}
+    assert set(census) == {"srcA", "srcB", "srcC", "srcD", "src0"}
     for r in census.values():
         assert r.comp_bytes > 0 and r.min_doc_ratio_milli >= 0
     # srcA holds the empty + whitespace-only docs: the guard must have
