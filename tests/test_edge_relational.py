@@ -127,6 +127,13 @@ EDGE_ORDERS += [
     (209, 9, "F", 2600.00, _d(1997, 6, 1), "2-HIGH"),
     # q21: multi-supplier order with lateness at the exact +60d edge
     (210, 1, "F", 700.00, _d(1996, 8, 1), "3-MEDIUM"),
+    # twin-invoice screen: same customer, same cents, exactly
+    # TWIN_MAX_DAY_GAP (3) days apart -> twin (<= is inclusive);
+    # the third copy at +4 days pairs with neither... only with the
+    # middle one (1 day gap) — exercising both sides of the edge
+    (211, 2, "O", 777.77, _d(1996, 9, 1), "2-HIGH"),
+    (212, 2, "F", 777.77, _d(1996, 9, 4), "3-MEDIUM"),
+    (213, 2, "O", 777.77, _d(1996, 9, 5), "4-NOT SPECIFIED"),
 ]
 
 EDGE_LINEITEM += [
