@@ -323,6 +323,13 @@ EDGE_EVENTS = [
     (38, _t(80600), 13, "view", 1.0, '{"k": 1}'),
     (39, _t(80200), 14, "view", 1.0, '{"k": 1}'),
     (40, _t(80500), 14, "view", 1.0, '{"k": 1}'),
+    # user 15: calendar-edge fixtures — an event EXACTLY at midnight
+    # (day-bucket boundary on both engines' CAST AS DATE), one exactly
+    # 24 h later (consecutive-day streak edge for islands/retention),
+    # then a 2-day gap that must break the streak
+    (41, _t(43200), 15, "view", 1.0, '{"k": 1}'),        # Jan 11 00:00:00
+    (42, _t(43200 + 86400), 15, "view", 1.0, '{"k": 1}'),  # Jan 12 00:00:00
+    (43, _t(43200 + 3 * 86400), 15, "click", 1.0, '{"k": 1}'),  # Jan 14
 ]
 
 EDGE_EVENT_QUERIES = [
