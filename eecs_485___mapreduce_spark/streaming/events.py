@@ -112,20 +112,25 @@ def purchase_click_join_stream(
     join state: clicks older than the window beyond the watermark are
     dropped from state. Without the time bound the state would grow
     unboundedly — this is THE rule for stream-stream joins at scale.
+
+    The watermark is declared ONCE on the shared events stream BEFORE
+    the purchase/click split, not per branch. With per-branch
+    watermarks the global (min-policy) watermark is starved by the
+    sparser branch: a quiet purchase stream pins the join's watermark
+    at the LAST purchase even as click traffic flows, so state never
+    expires and (in the outer variant) unmatched results never emit —
+    observed live in the r7 deepened sweep. Filters don't change event
+    time, so one pre-split watermark is semantically identical and
+    advances with ALL traffic.
     """
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_event_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
+    ev = events.withWatermark("ts", watermark)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
     )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", watermark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
     )
     return purchases.join(
         clicks,
@@ -157,20 +162,22 @@ def purchase_click_left_join_stream(
     drain stops — on a continuous trigger they emit on the next
     micro-batch. State stays bounded by exactly the same time-bound
     predicate as the inner variant.
+
+    The watermark is declared ONCE before the purchase/click split —
+    see purchase_click_join_stream: per-branch watermarks let a quiet
+    purchase stream pin the global min-policy watermark at the LAST
+    purchase forever, so unmatched purchases never emitted their NULL
+    rows while click traffic flowed (the r7 deepened sweep's
+    falsifying example, pinned in tests/test_streaming_model.py).
     """
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_event_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
+    ev = events.withWatermark("ts", watermark)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
     )
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", watermark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
     )
     return purchases.join(
         clicks,

@@ -1177,6 +1177,53 @@ def test_rolling_distinct_stream_multibatch_matches_model(
     ],
     cuts={2},
 )
+# r7 falsifying example (max_examples=25 found it; 6 never did): the
+# unmatched purchase (id 2, same-second clicks only) lands in the
+# FINAL batch together with its day-later events, so no later batch
+# exists to emit its NULL row — the model must not declare it closed.
+@example(
+    events=[
+        {"event_id": 0, "sec": 1_700_011_629, "user_id": 4,
+         "event_type": "click", "value": 4.0},
+        {"event_id": 1, "sec": 1_700_012_951, "user_id": 2,
+         "event_type": "view", "value": 18.0},
+        {"event_id": 2, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "purchase", "value": 0.0},
+        {"event_id": 3, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 4, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 5, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 6, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 7, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 8, "sec": 1_700_082_000, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 9, "sec": 1_700_107_200, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+    ],
+    cuts={1},
+)
+# the positive twin of the same structure: purchase in batch 0,
+# day-later events in batch 1, and a final batch 2 whose processing
+# sees a watermark past the purchase's whole window — now the NULL
+# row MUST emit and `closed` catches a silently-never-emitting
+# regression.
+@example(
+    events=[
+        {"event_id": 2, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "purchase", "value": 0.0},
+        {"event_id": 3, "sec": 1_700_013_600, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 8, "sec": 1_700_107_200, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 9, "sec": 1_700_108_000, "user_id": 1,
+         "event_type": "click", "value": 0.0},
+    ],
+    cuts={2, 3},
+)
 @_SWEEP_DEEP
 def test_stream_stream_left_join_multibatch_bounds(
     spark, tmp_path_factory, events, cuts
@@ -1230,11 +1277,44 @@ def test_stream_stream_left_join_multibatch_bounds(
     matched_ids = {t[0] for t in want_matched}
     unmatched_ids = {p["event_id"] for p in purchases} - matched_ids
     assert got_null <= unmatched_ids  # no false/duplicate NULL rows
-    max_sec = max(e["sec"] for e in events)
+
+    # Sound lower bound on WHICH unmatched purchases must have emitted
+    # their NULL row. Two batch-structure conditions, both required
+    # (the operator's documented one-batch watermark lag — found by
+    # the deepened sweep at max_examples=25, pinned below):
+    #   1) the purchase is NOT in the final micro-batch (NULL emission
+    #      happens during a LATER batch's processing; availableNow
+    #      stops after the last one), and
+    #   2) the watermark available to the final batch — max event time
+    #      over all PRIOR batches, minus the 10-minute delay — has
+    #      passed the purchase's whole candidate window by a wide
+    #      margin (24 h >> window + delay).
+    # The old model used stream-end minus 24 h without condition 1: a
+    # purchase in the final batch with day-later events in the SAME
+    # batch was declared closed, but no subsequent batch exists to
+    # emit it.
+    bounds = [0, *sorted(c % len(events) for c in cuts), len(events)]
+    batch_of: dict[int, int] = {}
+    batch_id = 0
+    batch_max: list[int] = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = events[lo:hi]
+        if not chunk:
+            continue
+        for e in chunk:
+            batch_of[e["event_id"]] = batch_id
+        batch_max.append(max(e["sec"] for e in chunk))
+        batch_id += 1
+    n_batches = batch_id
+    wm_final = (
+        max(batch_max[:-1]) - 600 if n_batches >= 2 else None
+    )
     closed = {
         p["event_id"]
         for p in purchases
         if p["event_id"] in unmatched_ids
-        and p["sec"] < max_sec - 24 * 3600
+        and wm_final is not None
+        and batch_of[p["event_id"]] < n_batches - 1
+        and p["sec"] < wm_final - 24 * 3600
     }
     assert closed <= got_null
