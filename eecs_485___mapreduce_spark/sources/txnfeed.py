@@ -13,7 +13,10 @@ commits instead of polling versions by hand:
                  .option("path", table_dir).load())
 
 Offset model: the committed offset is ``{"version": n}`` — the count
-of commits fully emitted. ``latestOffset`` re-reads the commit log
+of commits fully emitted. A fresh consumer starts at
+``.option("startingVersion", N)`` (default 0 = whole history) — the
+Delta-CDF shape, and the documented remediation when older commits'
+``_changes`` dirs were vacuumed. ``latestOffset`` re-reads the commit log
 (file-count-bounded metadata); ``partitions(start, end)`` maps every
 DATA FILE of the new commits to one input partition (create/append
 inserts come straight from the commit's own add-files; delete/update/
