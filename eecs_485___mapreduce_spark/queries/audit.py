@@ -288,13 +288,21 @@ def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- interval overlap join
 
 OVERLAP_TOPK = 20
+# Split rule in FLOORED SECONDS (epoch_us // 1e6 diff), matching the
+# engine's unix_timestamp arithmetic and the custom-sessionizer family
+# convention (sessionize_users uses date_diff('second') = the same
+# floor). The old microsecond-exact rule diverged from the engine on
+# sub-second gaps straddling the boundary (a 1800.000001 s gap split
+# in the oracle but merged in the engine) — caught by the r7
+# generative boundary sweep; the shipped corpora never straddle.
 _SESSIONS_SQL = f"""
     g AS (
       SELECT user_id, event_id,
              epoch_us(ts) // 1000000 AS ts_s,
              CASE WHEN lag(ts) OVER w IS NULL THEN 0
-                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                       > {SESSION_GAP_S} * 1000000 THEN 1
+                  WHEN epoch_us(ts) // 1000000
+                       - epoch_us(lag(ts) OVER w) // 1000000
+                       > {SESSION_GAP_S} THEN 1
                   ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -57,6 +57,17 @@ SESSION_QUERIES = [
     "sessionize_two_level_stitch",
 ]
 
+# The interval/as-of family shares the same boundary seams (strict vs
+# inclusive edges of time windows); the corpus's purchase/click mix
+# plus exact-gap deltas exercises their window edges generatively.
+INTERVAL_QUERIES = [
+    "asof_join_purchase_click",
+    "range_join_click_burst",
+    "seq_pattern_conversion",
+    "session_overlap_topk",
+    "interval_union_coverage",
+]
+
 
 @st.composite
 def boundary_events(draw):
@@ -123,6 +134,42 @@ def test_session_family_matches_oracle_on_boundary_corpora(
     )
     try:
         for name in SESSION_QUERIES:
+            q = all_queries()[name]
+            sdf = q.fn(spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(q.oracle)
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+            assert sorted(sdf.columns) == sorted(o_cols), name
+            assert len(s_rows) == len(o_rows), (
+                f"{name}: {len(s_rows)} vs {len(o_rows)} rows"
+            )
+            assert normalize(s_rows, sdf.columns) == normalize(
+                o_rows, o_cols
+            ), f"{name}: values differ on a boundary corpus"
+    finally:
+        release_scope(sf_dir)
+
+
+@given(rows=boundary_events())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_family_matches_oracle_on_boundary_corpora(
+    spark, tmp_path_factory, rows
+):
+    from eecs_485___mapreduce_spark.functions import release_scope
+
+    sf_dir = _write_events(str(tmp_path_factory.mktemp("intbnd")), rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    try:
+        for name in INTERVAL_QUERIES:
             q = all_queries()[name]
             sdf = q.fn(spark, sf_dir)
             s_rows = [tuple(r) for r in sdf.collect()]
