@@ -348,13 +348,18 @@ def test_dedup_stream_exactly_at_watermark_duplicate_dropped(
     spark, tmp_path_factory
 ):
     """Watermark-eviction boundary, pinned deterministically (the
-    r7 boundary-semantics audit): after batch 1 ends with max event
-    time T0+600 under a 10-minute watermark delay, the watermark is
-    exactly T0 — a batch-2 duplicate whose event time EQUALS the
-    watermark must still be dropped, because state eviction in
-    dropDuplicatesWithinWatermark is STRICT (ts < watermark evicts;
-    ts == watermark is retained). Engine-probed on Spark 4.1; if an
-    upgrade flips this edge, this test is the tripwire."""
+    r7 boundary-semantics audit): a batch-2 duplicate whose event
+    time equals the batch-2 watermark (T0) must still be dropped.
+
+    r8 correction of the mechanism (the outcome was always right):
+    the r7 comment attributed the drop to "strict eviction" at the
+    T0 watermark, but the r8 probes (tests/test_watermark_late_sweep
+    .py) showed the LATE-ROW FILTER lags eviction by one batch —
+    here filter_wm(batch 2) is still unset and eviction at the end
+    of batch 1 used an unset watermark too, so BOTH keys are simply
+    still in state and the replays drop on the state hit. The
+    generative late-arrival sweep now pins the full lag semantics;
+    this deterministic case stays as the cheap tripwire."""
     from pyspark.sql import functions as F
 
     from eecs_485___mapreduce_spark.streaming.events import (
