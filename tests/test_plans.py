@@ -838,3 +838,163 @@ def test_bench_headliners_exchange_budgets(spark):
         if n > ceiling:
             over[name] = (n, ceiling)
     assert not over, f"exchange budgets exceeded (got, ceiling): {over}"
+
+
+# ----------------- single-partition window budget (r7 verdict #5)
+#
+# 2,391 WindowExec single-partition WARNs per full driver mimic means
+# a NEW unbounded Window.orderBy() would drown in audited noise. Two
+# gates make it loud instead:
+#  - a SOURCE gate: every `Window.orderBy(` site in the package is
+#    pinned per file; an unaudited addition fails until it is
+#    consciously enrolled here (each of the 33 r6-audited sites
+#    operates on a bounded or pre-aggregated relation — see the r6
+#    audit trail in SURVEY.md section 6);
+#  - a PLAN gate on the bench headliners: the scale-graded queries
+#    must plan ZERO single-partition Window nodes, except the pinned
+#    ddsketch census window (constant-size bucket relation).
+
+
+def _top_bracket_groups(line: str) -> list[str]:
+    groups, depth, cur = [], 0, None
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+            else:
+                cur += ch
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                cur = None
+            else:
+                cur += ch
+        elif depth >= 1:
+            cur += ch
+    return groups
+
+
+def single_partition_windows(plan: str) -> int:
+    """Count Window nodes with an ORDER spec but no partition spec.
+
+    Plan-text grammar (probed on Spark 4.1): a Window node renders
+    `Window [funcs], [partitionSpec], [orderSpec]`; an unordered
+    window drops the order group, an UNPARTITIONED one drops the
+    partition group. The partition spec never contains ASC/DESC; the
+    order spec always does — so a Window whose every non-function
+    group is an order spec runs on Exchange SinglePartition."""
+    n = 0
+    for raw in plan.splitlines():
+        s = raw.strip().lstrip("+-: ").strip()
+        if not s.startswith("Window "):
+            continue
+        rest = _top_bracket_groups(s)[1:]
+        if rest and all((" ASC" in r or " DESC" in r) for r in rest):
+            n += 1
+    return n
+
+
+def test_single_partition_window_detector_power(spark):
+    """The detector must flag a deliberately unpartitioned window over
+    raw events (the verdict's scratch-test criterion) and stay quiet
+    on partitioned and partitioned-unordered windows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eecs_485___mapreduce_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    bad = ev.select(F.row_number().over(Window.orderBy("ts")).alias("rn"))
+    assert single_partition_windows(plan_of(bad)) == 1
+
+    good = ev.select(
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts"))
+        .alias("rn")
+    )
+    assert single_partition_windows(plan_of(good)) == 0
+
+    unordered = ev.select(
+        F.min("ts").over(Window.partitionBy("user_id")).alias("first_ts")
+    )
+    assert single_partition_windows(plan_of(unordered)) == 0
+
+
+def test_bench_headliners_single_partition_window_budget(spark):
+    from eecs_485___mapreduce_spark.registry import all_queries
+
+    budget = {"ddsketch_price_quantiles": 1}  # constant-size census
+    reg = all_queries()
+    over = {}
+    for name, q in sorted(reg.items()):
+        if not q.bench:
+            continue
+        plan = q.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        n = single_partition_windows(plan)
+        if n > budget.get(name, 0):
+            over[name] = n
+    assert not over, (
+        "bench headliners grew single-partition windows (count): "
+        f"{over} — partition the window or enroll a bounded-relation "
+        "exemption here with its audit"
+    )
+
+
+def test_window_orderby_source_sites_are_audited():
+    """Static allowlist of `Window.orderBy(` sites per module — the 33
+    r6-audited bounded sites. A new site anywhere in the package fails
+    until its relation is audited as bounded and the count updated."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "eecs_485___mapreduce_spark"
+    audited = {
+        "queries/advanced.py": 1,
+        "queries/curation.py": 2,
+        "queries/inference.py": 1,
+        "queries/inference_order.py": 7,
+        "queries/ir.py": 4,
+        "queries/mining.py": 5,
+        "queries/mining_behavioral.py": 4,
+        "queries/privacy.py": 1,
+        "queries/quality.py": 1,
+        "queries/quality_sketch.py": 2,
+        "queries/similarity.py": 2,
+        "queries/temporal.py": 3,
+    }
+    # the other single-partition form: an explicit empty partitionBy
+    # (UNORDERED grand-total window). The audited sites all run over
+    # pre-aggregated bounded relations (e.g. region x nation shares,
+    # flag x status cells) — cheap at any corpus size.
+    audited_empty = {
+        "queries/inference.py": 1,
+        "queries/inference_order.py": 3,
+        "queries/mlprep.py": 1,
+        "queries/quality.py": 1,
+        "queries/relational.py": 1,
+    }
+    got = {}
+    got_empty = {}
+    for p in pkg.rglob("*.py"):
+        src = p.read_text()
+        rel = str(p.relative_to(pkg))
+        n = len(re.findall(r"Window\.orderBy\(", src))
+        if n:
+            got[rel] = n
+        n_empty = src.count("partitionBy()")
+        if n_empty:
+            got_empty[rel] = n_empty
+    assert got == audited, (
+        "Window.orderBy( sites changed — audit the new site's relation "
+        f"(bounded/pre-aggregated?) and update the allowlist: {got}"
+    )
+    assert got_empty == audited_empty, (
+        "empty Window.partitionBy() sites changed — audit the new "
+        f"site's relation and update the allowlist: {got_empty}"
+    )
