@@ -286,6 +286,127 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_boundary_fixture",
+    tags=("dedup", "boundary"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) >= 2),
+    v AS (
+      SELECT doc_id, sh, CAST({MINHASH_JACCARD_THRESHOLD} AS DOUBLE) AS thr,
+             'at' AS variant, n AS k FROM s
+      UNION ALL SELECT doc_id, sh, CAST({MINHASH_JACCARD_THRESHOLD} AS DOUBLE),
+             'below', n + 1 FROM s
+      UNION ALL SELECT doc_id, sh, CAST({MINHASH_JACCARD_THRESHOLD} AS DOUBLE),
+             'above', n - 1 FROM s
+      UNION ALL SELECT doc_id, sh, CAST({NGRAM_JACCARD_THRESHOLD} AS DOUBLE),
+             'at', 4 * n FROM s
+      UNION ALL SELECT doc_id, sh, CAST({NGRAM_JACCARD_THRESHOLD} AS DOUBLE),
+             'below', 4 * n + 1 FROM s
+      UNION ALL SELECT doc_id, sh, CAST({NGRAM_JACCARD_THRESHOLD} AS DOUBLE),
+             'above', 4 * n - 1 FROM s
+    ),
+    p AS (
+      SELECT doc_id, thr, variant, sh,
+             list_concat(sh, list_transform(range(1, k + 1),
+               i -> chr(9) || 'pad:' || CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(i AS VARCHAR))) AS twin
+      FROM v
+    ),
+    j AS (
+      SELECT thr, variant,
+             CAST(len(list_intersect(sh, twin)) AS DOUBLE)
+               / len(list_distinct(list_concat(sh, twin))) AS jaccard
+      FROM p
+    )
+    SELECT thr AS threshold, variant,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN jaccard >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MIN(jaccard) AS min_jaccard,
+           MAX(jaccard) AS max_jaccard
+    FROM j GROUP BY 1, 2
+    """,
+)
+def dedup_jaccard_boundary_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold EXACT-BOUNDARY twin: the oracle gate itself
+    exercises the dedup keep/drop edge on every run — the
+    ``events_session_boundary_fixture`` pattern applied to the dedup
+    family (round-7 verdict, "Next round" item 7).
+
+    For every 10th document (shingle set S, |S| = n >= 2), plant a
+    synthetic twin per (threshold, variant): the twin's set is S plus
+    k pad shingles disjoint from every real shingle (pads contain a
+    TAB, which the whitespace tokenizer can never emit), so exact
+    Jaccard is n/(n+k) BY CONSTRUCTION — exactly AT the threshold
+    (k = n for 0.5, k = 4n for 0.2; integer/integer division is
+    correctly rounded, so n/(2n) and n/(5n) are bit-equal to the
+    literal on both engines), one shingle BELOW, and one ABOVE. A
+    regression in either engine's comparison rule (``>=`` vs ``>``,
+    float vs ratio compare — the divergence class the generative sweep
+    in tests/test_dedup_threshold_sweep.py hunts) flips n_kept for the
+    'at' rows from n_pairs to 0 and hash-fails the driver row.
+
+    Scale: |docs|/10 fixture rows, 6 twins each; no join anywhere —
+    one projection and one 6-group aggregate. The pad arrays are the
+    only blowup (<= 5n strings per twin), proportional to the sampled
+    corpus' own shingle mass.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    t = docs.select("doc_id", tokens("text").alias("tok")).select(
+        "doc_id", shingles(F.col("tok")).alias("sh")
+    )
+    s = t.select("doc_id", "sh", F.size("sh").alias("n")).filter(F.col("n") >= 2)
+    n = F.col("n")
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(float(thr)).alias("thr"),
+                F.lit(variant).alias("variant"),
+                k.cast("int").alias("k"),
+            )
+            for thr, variant, k in [
+                (MINHASH_JACCARD_THRESHOLD, "at", n),
+                (MINHASH_JACCARD_THRESHOLD, "below", n + 1),
+                (MINHASH_JACCARD_THRESHOLD, "above", n - 1),
+                (NGRAM_JACCARD_THRESHOLD, "at", 4 * n),
+                (NGRAM_JACCARD_THRESHOLD, "below", 4 * n + 1),
+                (NGRAM_JACCARD_THRESHOLD, "above", 4 * n - 1),
+            ]
+        ]
+    )
+    v = s.select("doc_id", "sh", F.explode(variants).alias("v")).select(
+        "doc_id", "sh", "v.thr", "v.variant", "v.k"
+    )
+    pad = F.transform(
+        F.sequence(F.lit(1), F.col("k")),
+        lambda i: F.concat(
+            F.lit("\tpad:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            i.cast("string"),
+        ),
+    )
+    p = v.select(
+        "thr", "variant", "sh", F.concat(F.col("sh"), pad).alias("twin")
+    )
+    # the SAME exact-verify expression the dedup operators filter on
+    jaccard = F.size(F.array_intersect("sh", "twin")).cast("double") / F.size(
+        F.array_union("sh", "twin")
+    )
+    j = p.select("thr", "variant", jaccard.alias("jaccard"))
+    return j.groupBy(F.col("thr").alias("threshold"), "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("jaccard") >= F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@register(
     "dedup_simhash",
     tags=("dedup", "hash"),
     oracle=f"""

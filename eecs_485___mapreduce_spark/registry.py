@@ -55,85 +55,86 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # Round-7 window: 50 hash-checkable slots, composed per the
-    # round-6 VERDICT ("Next round" #2 and #6):
-    #   1) the two session queries whose oracles changed this round
-    #      (exact-gap boundary fix: Spark's session_window merges
-    #      INCLUSIVELY at ts == prev_end; the old oracles pinned the
-    #      strict rule) — changed code outranks unchanged;
-    #   2) ALL 25 remaining never-rowed queries from the round-6
-    #      rotation queue (incl. pca_top_component_power and
-    #      similarity_topk_pq, which have had hash oracles since r5 —
-    #      the old "rows-only tail" label was stale), clearing the
-    #      rotation backlog to ZERO;
-    #   3) the 23 highest-risk previously-rowed queries by row age
-    #      (every one last rowed in round 1, in registration order).
-    # All 50 verified hash-green via tools/driver_mimic.py at sf0.01
-    # before this rotation.
-    # (the third session entry, events_session_boundary_fixture, is
-    # the round-6 verdict's optional item 7: a twin whose planted
-    # exact-gap events make the ORACLE GATE itself discriminate the
-    # inclusive vs strict merge rule on every run — it displaced
-    # text_fingerprint, the youngest of the age-refresh fills, which
-    # keeps its r1 hash-green row as evidence)
-    "events_session_window",
-    "events_session_dynamic_gap",
-    "events_session_boundary_fixture",
-    "ivm_agg_retraction_daily",
-    "ir_ndcg_bm25_eval",
-    "threshold_sweep_stopword_en",
-    "brier_decomposition_langid",
-    "itemcf_topk_similar_parts",
-    "conformal_token_interval",
-    "wasserstein_doclen_sources",
-    "spearman_chars_tokens",
-    "gate_ablation_census",
-    "pacf_hourly_events",
-    "hurst_rs_hourly",
-    "fdr_drift_decisions",
-    "q17_small_quantity_revenue",
-    "t_closeness_audit",
-    "quantile_normalize_doclen",
-    "lpa_communities_coorder",
-    "stored_query_matches",
-    "watermark_lateness_audit",
-    "target_encode_mktsegment",
-    "greedy_coverage_selection",
-    "kcore_peel_coorder",
-    "ucb1_variant_replay",
-    "text_byte_mass_census",
-    "pca_top_component_power",
-    "similarity_topk_pq",
-    "correlated_subquery_q17",
-    "exists_high_value_parts",
-    "cube_orders",
-    "pivot_status_by_priority",
-    "asof_join_purchase_click",
-    "range_join_click_burst",
-    "sql_q6_discount_revenue",
-    "q18_large_orders",
-    "full_outer_nation_activity",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "embedding_array_stats",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "multimodal_feature_extract",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_stats",
+    # Round-8 window: 50 slots, composed per the round-7 VERDICT
+    # ("Next round" items 3 and 7) — a pure AGE REFRESH plus the one
+    # registration the verdict authorized:
+    #   1) dedup_jaccard_boundary_fixture — NEW this round (the only
+    #      code change touching the registry): the threshold-fixture
+    #      twin that makes the oracle gate discriminate the Jaccard
+    #      keep/drop boundary on every run, the
+    #      events_session_boundary_fixture pattern applied to the
+    #      dedup family;
+    #   2) all 21 queries whose latest driver row dates from round 1,
+    #      text_fingerprint first (it was displaced from the r7 window
+    #      by the session fixture twin), then registration order
+    #      (includes approx_distinct_parts, rows-only by design — its
+    #      row refreshes as rows-only);
+    #   3) the first 28 round-2-rowed queries in registration order
+    #      (includes approx_percentiles_price, rows-only by design).
+    # The 13 remaining r2-rowed queries keep their hash-green r2 rows
+    # and compose the natural round-9 refresh window. All 50 verified
+    # via tools/driver_mimic.py at sf0.01 before this rotation.
+    "dedup_jaccard_boundary_fixture",
+    # -- round-1 age refresh (21) --
+    "text_fingerprint",
+    "text_top_bigrams",
+    "text_lang_id",
+    "wordcount",
+    "grep",
+    "grep_count_by_source",
+    "pipe_wordcount",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "topk_customers",
+    "semi_anti_join",
+    "set_ops_custkeys",
+    "window_events",
+    "topk_per_group",
+    "date_agg_orders",
+    "math_lineitem",
+    "agg_distinct_stats",
+    "approx_distinct_parts",
+    "rollup_orders",
+    "percentiles_lineitem",
+    # -- round-2 age refresh, oldest 28 in registration order --
+    "events_sliding_windows",
+    "events_hourly",
+    "events_multires_rollup",
+    "sessionize_users",
+    "events_gapfill_ffill",
+    "approx_percentiles_price",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "decontaminate_containment",
+    "pack_sequences_greedy",
+    "sample_fixed_per_source",
+    "skew_salted_join_events",
+    "pipeline_e2e_funnel",
+    "text_bpe_token_stats",
+    "text_repetition_signals",
+    "sample_stratified",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "set_ops_multiset",
+    "grouping_sets_revenue",
+    "histogram_totalprice",
 )
 
-# Round-7 rotation queue: EMPTY — every registered query is either in
-# the round-7 window above or already carries a hash-green driver row
-# from rounds 1-6 (machine-checked by tests/test_registry_order.py,
-# which globs every CORRECTNESS_r*.json). New queries registered in a
-# future round must be appended here (or windowed) so the closure test
-# keeps holding.
+# Round-8 rotation queue: EMPTY — the one new registration this round
+# (dedup_jaccard_boundary_fixture) leads the round-8 window above, and
+# every other registered query already carries a green driver row from
+# rounds 1-7 (machine-checked by tests/test_registry_order.py, which
+# globs every CORRECTNESS_r*.json). New queries registered in a future
+# round must be appended here (or windowed) so the closure test keeps
+# holding.
 ROTATION_QUEUE: tuple[str, ...] = ()
 
 

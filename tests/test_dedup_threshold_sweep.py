@@ -287,3 +287,34 @@ def test_dedup_cluster_family_matches_oracle_on_threshold_corpora(
 ):
     sf_dir = _write_documents(str(tmp_path_factory.mktemp("dedupcc")), rows)
     _assert_queries_match(spark, sf_dir, CLUSTER_QUERIES)
+
+
+def test_jaccard_boundary_fixture_discriminates_both_thresholds(spark):
+    """The driver-gate fixture twin (dedup_jaccard_boundary_fixture)
+    must pin the comparison rule, not merely match its oracle: every
+    'at' pair lands EXACTLY on the threshold double (so a strict `>`
+    regression in either engine flips n_kept from n_pairs to 0), and
+    the one-shingle-either-side variants bracket it strictly."""
+    from eecs_485___mapreduce_spark.queries.dedup import (
+        MINHASH_JACCARD_THRESHOLD,
+        NGRAM_JACCARD_THRESHOLD,
+        dedup_jaccard_boundary_fixture,
+    )
+    from .conftest import SF_SMALL
+
+    rows = {
+        (r.threshold, r.variant): r
+        for r in dedup_jaccard_boundary_fixture(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 6
+    for thr in (MINHASH_JACCARD_THRESHOLD, NGRAM_JACCARD_THRESHOLD):
+        at = rows[(thr, "at")]
+        below = rows[(thr, "below")]
+        above = rows[(thr, "above")]
+        assert at.n_pairs > 0
+        # planted EXACTLY at the threshold: bit-equal double, kept by >=
+        assert at.min_jaccard == at.max_jaccard == thr
+        assert at.n_kept == at.n_pairs
+        # one pad shingle either side brackets the boundary strictly
+        assert below.max_jaccard < thr and below.n_kept == 0
+        assert above.min_jaccard > thr and above.n_kept == above.n_pairs

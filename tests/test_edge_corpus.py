@@ -144,6 +144,11 @@ EDGE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    # r8 driver-gate twin: on this corpus both sampled docs (0, 10)
+    # fall below the 2-shingle floor, so the check degrades to
+    # empty-on-both-engines; the discriminating shape is pinned by
+    # test_dedup_threshold_sweep.py::test_jaccard_boundary_fixture_*
+    "dedup_jaccard_boundary_fixture",
     "multimodal_binary_meta",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
