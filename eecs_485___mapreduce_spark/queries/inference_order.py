@@ -610,7 +610,7 @@ def wasserstein_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(n * sab - sa * sb AS DOUBLE)
                  / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE))
                           * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 0.0),
-                 6) AS spearman_rho
+                 6) + 0 AS spearman_rho
     FROM m
     """,
 )

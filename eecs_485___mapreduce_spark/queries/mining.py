@@ -62,12 +62,12 @@ from ..sources import load_table, load_tables
            n,
            CASE WHEN n * sxx - sx * sx <> 0 THEN
              ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0 END AS slope,
            CASE WHEN n * sxx - sx * sx <> 0 THEN
              ROUND((CAST(sy AS DOUBLE)
                     - (CAST(n * sxy - sx * sy AS DOUBLE)
                        / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-                   / CAST(n AS DOUBLE), 6) END               AS intercept,
+                   / CAST(n AS DOUBLE), 6) + 0 END           AS intercept,
            CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
              ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
                    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),

@@ -676,7 +676,7 @@ def _pca_oracle() -> str:
       FROM (SELECT x AS ax FROM {vf}
             ORDER BY abs(x) DESC, dim ASC LIMIT 1))
     SELECT v.dim,
-           ROUND(v.x * a.s, 6) AS component,
+           ROUND(v.x * a.s, 6) + 0 AS component,
            ROUND(l.eigenvalue, 3) AS eigenvalue
     FROM {vf} v CROSS JOIN anchor a CROSS JOIN lam l
     """

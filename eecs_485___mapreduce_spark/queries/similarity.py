@@ -84,7 +84,7 @@ def _qmean_sql(src: str, keys: str, dim: int, vcol: str = "v") -> str:
                FROM embeddings WHERE vec_id < {N_QUERIES} AND {VALID_VEC_SQL}),
     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
           FROM embeddings WHERE {VALID_VEC_SQL}),
-    s AS (SELECT qid, nid, round({_COS_SQL}, 6) AS sim
+    s AS (SELECT qid, nid, round({_COS_SQL}, 6) + 0 AS sim
           FROM q CROSS JOIN c WHERE qid <> nid),
     r AS (SELECT qid, nid, sim,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
@@ -212,7 +212,7 @@ def _lsh_oracle() -> str:
       FROM c_bands c JOIN q_probes q ON c.band = q.band AND c.key = q.key
       WHERE q.qid <> c.nid),
     scored AS (
-      SELECT cand.qid, cand.nid, ROUND({_cos_sql("qv.v", "cv.v")}, 6) AS sim
+      SELECT cand.qid, cand.nid, ROUND({_cos_sql("qv.v", "cv.v")}, 6) + 0 AS sim
       FROM cand JOIN vecs cv ON cv.vec_id = cand.nid
                 JOIN vecs qv ON qv.vec_id = cand.qid)
     SELECT qid, nid, sim, rk FROM (
@@ -403,7 +403,7 @@ def ivf_topk(
       WHERE cell_rk <= {N_PROBE}),
     scored AS (
       SELECT p.qid, e.vec_id AS nid,
-             ROUND({_cos_sql("p.qe", "e.v")}, 6) AS sim
+             ROUND({_cos_sql("p.qe", "e.v")}, 6) + 0 AS sim
       FROM probed p JOIN vecs e ON e.label = p.label AND e.vec_id <> p.qid)
     SELECT qid, nid, sim, rk FROM (
       SELECT qid, nid, sim,
@@ -434,7 +434,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (SELECT label, d, val
           FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS d,
                                   unnest(v) AS val))
-    SELECT label, d AS dim, round(SUM(val), 6) AS coord_sum, COUNT(*) AS n
+    SELECT label, d AS dim, round(SUM(val), 6) + 0 AS coord_sum, COUNT(*) AS n
     FROM u GROUP BY label, d
     """,
 )
@@ -475,7 +475,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform(embedding,
                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                  'sum')), 6) AS l2,
-           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) + 0 AS vmax
     FROM embeddings
     """,
 )
@@ -753,7 +753,7 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE cell_rk <= {N_PROBE}),
     scored AS (
       SELECT p.qid, e.vec_id AS nid,
-             ROUND({_cos_sql("p.qe", "e.v")}, 6) AS sim
+             ROUND({_cos_sql("p.qe", "e.v")}, 6) + 0 AS sim
       FROM probed p JOIN labeled e ON e.cell = p.cell AND e.vec_id <> p.qid)
     SELECT qid, nid, sim, rk FROM (
       SELECT qid, nid, sim,
@@ -1018,7 +1018,7 @@ def _pq_oracle() -> str:
         FROM adc)
       WHERE srk <= {PQ_SHORTLIST}),
     scored AS (
-      SELECT s.qid, s.nid, ROUND({_cos_sql("qv.v", "cv.v")}, 6) AS sim
+      SELECT s.qid, s.nid, ROUND({_cos_sql("qv.v", "cv.v")}, 6) + 0 AS sim
       FROM shortlist s
       JOIN vecs cv ON cv.vec_id = s.nid
       JOIN vecs qv ON qv.vec_id = s.qid)

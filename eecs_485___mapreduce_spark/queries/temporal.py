@@ -73,7 +73,7 @@ _ACF_LAGS = (1, 24)
            ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
                  / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
                           * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0),
-                 6) AS acf
+                 6) + 0 AS acf
     FROM m
     """,
 )
@@ -720,7 +720,7 @@ _SEAS_HALF = 12  # centered 25-hour moving average window
     SELECT hod,
            COUNT(*) AS n_points,
            round(CAST(CAST(SUM(dev_milli) AS BIGINT) AS DOUBLE)
-                 / (1000.0 * COUNT(*)), 3) AS seasonal_dev
+                 / (1000.0 * COUNT(*)), 3) + 0 AS seasonal_dev
     FROM dev GROUP BY 1
     """,
 )
@@ -1050,7 +1050,7 @@ _CCF_LAGS = (-24, -1, 0, 1, 24)
            ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
                  / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
                           * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0),
-                 6) AS ccf
+                 6) + 0 AS ccf
     FROM m ORDER BY type_a, type_b, lag
     """,
 )
@@ -1193,10 +1193,10 @@ def ccf_event_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM piv
     )
     SELECT event_type,
-           ROUND(r1, 6) AS pacf1,
-           ROUND(p22, 6) AS pacf2,
+           ROUND(r1, 6) + 0 AS pacf1,
+           ROUND(p22, 6) + 0 AS pacf2,
            ROUND((r3 - (r1 - p22 * r1) * r2 - p22 * r1)
-                 / NULLIF((1.0 - r1 * r1) * (1.0 - p22 * p22), 0.0), 6)
+                 / NULLIF((1.0 - r1 * r1) * (1.0 - p22 * p22), 0.0), 6) + 0
                AS pacf3
     FROM lev ORDER BY event_type
     """,

@@ -888,7 +888,7 @@ def _hygiene_census(docs: DataFrame) -> DataFrame:
            ROUND(206.835
                  - 1.015 * (words / CAST(NULLIF(sentences, 0) AS DOUBLE))
                  - 84.6 * (syllables / CAST(NULLIF(words, 0) AS DOUBLE)),
-                 4) AS flesch
+                 4) + 0 AS flesch
     FROM agg
     """,
 )

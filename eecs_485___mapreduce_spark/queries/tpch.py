@@ -583,9 +583,10 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sy / n, 6) AS mean_price,
            ROUND((sxx - sx * sx / n) / (n - 1), 2) AS var_qty,
            ROUND((syy - sy * sy / n) / (n - 1), 2) AS var_price,
-           ROUND((sxy - sx * sy / n) / (n - 1), 2) AS covar,
+           ROUND((sxy - sx * sy / n) / (n - 1), 2) + 0 AS covar,
            ROUND((sxy - sx * sy / n)
-             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 8) AS corr_qp
+             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 8) + 0
+               AS corr_qp
     FROM m
     """,
 )
