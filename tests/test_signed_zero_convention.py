@@ -236,3 +236,47 @@ def test_centroid_guard_closes_the_divergence(
         ") WHERE d = 1"
     ).fetchone()[0]
     assert raw == 0.0 and math.copysign(1.0, raw) == -1.0, repr(raw)
+
+
+def test_special_value_seams_are_loud(spark):
+    """The OTHER cross-engine special-value seams are self-announcing,
+    unlike the silent signed-zero one: Spark (ANSI) errors on double
+    division by zero where DuckDB yields NULL, DuckDB errors on
+    ln(0)/ln(<0)/sqrt(<0)/asin(>1) where Spark yields NULL or NaN — so
+    an unguarded oracle/engine pair that reaches them FAILS the gate
+    loudly instead of hash-matching wrongly. Both agree on inf
+    (power(0,-1), exp(1000)) and on NaN propagation through SUM/MAX.
+    Pinned so a future engine upgrade that silently changes any of
+    these (e.g. NULL instead of an error) is caught here, not in a
+    production oracle."""
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT CAST(0.0 AS DOUBLE)/CAST(0.0 AS DOUBLE)"
+    ).fetchone()[0] is None
+    with pytest.raises(Exception, match="(?i)logarithm"):
+        con.execute("SELECT ln(CAST(0.0 AS DOUBLE))").fetchone()
+    with pytest.raises(Exception, match="(?i)square root"):
+        con.execute("SELECT sqrt(CAST(-1.0 AS DOUBLE))").fetchone()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT CAST(0.0 AS DOUBLE)/CAST(0.0 AS DOUBLE)").collect()
+    assert spark.sql("SELECT ln(CAST(0.0 AS DOUBLE)) AS v").collect()[0].v is None
+    v = spark.sql("SELECT sqrt(CAST(-1.0 AS DOUBLE)) AS v").collect()[0].v
+    assert math.isnan(v)
+    # agreements both engines share (no guard needed for these)
+    assert con.execute("SELECT exp(CAST(1000.0 AS DOUBLE))").fetchone()[0] == math.inf
+    assert (
+        spark.sql("SELECT exp(CAST(1000.0 AS DOUBLE)) AS v").collect()[0].v
+        == math.inf
+    )
+    assert math.isnan(
+        con.execute(
+            "SELECT MAX(x) FROM (VALUES (CAST('nan' AS DOUBLE)),"
+            "(CAST(1.0 AS DOUBLE))) t(x)"
+        ).fetchone()[0]
+    )
+    assert math.isnan(
+        spark.sql(
+            "SELECT MAX(x) AS v FROM VALUES (CAST('NaN' AS DOUBLE)),"
+            "(CAST(1.0 AS DOUBLE)) t(x)"
+        ).collect()[0].v
+    )
