@@ -110,8 +110,11 @@ def _shingle_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per sf_dir. Tokenize in its OWN projection: inlining tokens()
     inside shingles() re-evaluates the regexp split per emitted shingle
     (Catalyst duplicates the sub-expression into the lambda) — the
-    two-step form is ~6x faster at sf0.1."""
-    docs = load_table(spark, sf_dir, "documents")
+    two-step form is ~6x faster at sf0.1. fanout=True: the shingle +
+    minhash expression work dominates this family's cost and runs
+    before any exchange — fanning the unsplittable scan across cores
+    measured 1.9s -> 1.2s on the sf0.1 bench headliner."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     return scoped_persist(
         ("minhash_shingles", sf_dir),
         docs.select("doc_id", tokens("text").alias("tok")).select(
@@ -252,7 +255,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path — this operator is the exact verifier / small-corpus
     tool. AQE skew-join splitting handles moderate skew.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # Persist: the shingled relation feeds BOTH sides of the self-join
     # plus the size lookups — four plan references; uncached, each one
     # re-tokenizes the corpus with the CollapseProject lambda-fusion

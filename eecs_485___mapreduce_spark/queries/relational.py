@@ -62,8 +62,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single scan with shipdate pushed to parquet, partial hash agg
     map-side, 4-group shuffle. No other strategy needed at any SF.
+    fanout=True: the decimal partial aggregation is the dominant cost
+    and otherwise runs inside the single scan task on unsplittable
+    input (measured 1.05s -> 0.78s at sf0.1); join-shaped consumers of
+    lineitem deliberately do NOT opt in — the fan-out exchange there
+    duplicates the join shuffle (measured 1.3-1.6x slower).
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", fanout=True).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))

@@ -45,8 +45,12 @@ _STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counting: total, distinct, mean token length."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Per-document token counting: total, distinct, mean token length.
+
+    fanout=True: zero-exchange scan->project pipeline whose per-row
+    HOF work all sits in the single scan task otherwise (measured
+    0.40s -> 0.32s at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # Materialize tokens once: inlining tokens() into every use would
     # re-run the regexp split per reference (see functions.shingles).
     base = docs.select("doc_id", "n_chars", tokens("text").alias("tok"))

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -7,6 +8,12 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+# Plan-shape tests assert the PRODUCTION plan (scans splittable, no
+# small-file fan-out exchange), so the scan fan-out is pinned off for
+# the suite; tests/test_scan_fanout.py exercises the fan-out itself by
+# flipping this knob locally.
+os.environ.setdefault("SPARK_GRAFT_SCAN_FANOUT", "off")
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
