@@ -1519,8 +1519,8 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg gain count, and a TakeOrdered limit(1) argmax
     re-joined as a 1-row broadcast — zero driver data, the BPE
     trainer's argmax discipline. K rounds = K bounded passes over the
-    SAME cached relation, never a growing lineage (per-round persists
-    truncate it).
+    SAME cached relation, never a growing lineage (per-round
+    localCheckpoints truncate it).
     """.format(k=GREEDY_COVER_K)
     from .dedup import _shingle_relation
 
@@ -1544,20 +1544,25 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = cand.join(selected, "doc_id", "left_anti")
         if covered is not None:
             cand = cand.join(covered, "term", "left_anti")
-        pick = scoped_persist(
-            (f"cover.p{i}", sf_dir),
+        # localCheckpoint, not scoped_persist: the pick feeds three
+        # consumers and the covered set two, so a lazy persist leaves
+        # the full round lineage nested in every consumer's LOGICAL
+        # plan — Catalyst re-analysis + cache matching over those trees
+        # dominated the cold run (measured ~30s at sf0.01, ~3s
+        # checkpointed; same pathology as the kcore loop).
+        pick = (
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
-            .limit(1),
+            .limit(1)
+            .localCheckpoint()
         )
         new_terms = tok.join(pick.select("doc_id"), "doc_id").select("term")
-        covered = scoped_persist(
-            (f"cover.c{i}", sf_dir),
+        covered = (
             new_terms
             if covered is None
-            else covered.unionByName(new_terms).distinct(),
-        )
+            else covered.unionByName(new_terms).distinct()
+        ).localCheckpoint()
         selected = (
             pick.select("doc_id")
             if selected is None

@@ -84,8 +84,9 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join-agg loop as connected components (dedup.py), with edges
     partitioned once and rank vectors (|nodes| rows, tiny next to
     |edges|) flowing to the edges. No driver-side state, no cartesian
-    anything; iterations are a static 3-deep plan unroll (a longer run
-    would localCheckpoint every few hops like dedup_clusters does).
+    anything; each iteration localCheckpoints its rank vector (the
+    dedup_clusters discipline) so the unrolled plan stays one
+    join+agg deep regardless of iteration count.
     Integer rank mass makes the result bit-reproducible under any
     partitioning (see module docstring).
     """.format(iters=PAGERANK_ITERS)
@@ -133,7 +134,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.select(
             "node",
             F.expr(f"(15 * {PAGERANK_BASE} + 85 * s) div 100").alias("r"),
-        )
+        ).localCheckpoint()  # truncate per-iteration lineage (see kcore)
     return ranks.join(deg.withColumnRenamed("node", "n2"), ranks.node == F.col("n2")).select(
         F.col("node").alias("node_id"),
         F.col("r").alias("rank_fixed"),
@@ -199,9 +200,10 @@ def bfs_hops_part_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks frontier-adjacent edges, never |V|x|V|. Frontier and
     visited relations stay distributed (no driver sets); AQE
     broadcasts small frontiers automatically — the billion-node-safe
-    default (same rationale as the PageRank hop join above). The
-    fixed {hops}-hop unroll keeps the plan static; an unbounded BFS
-    would localCheckpoint each level like dedup_clusters.
+    default (same rationale as the PageRank hop join above). Each
+    level localCheckpoints frontier and visited (the dedup_clusters
+    discipline), so the unrolled plan stays one hop deep no matter
+    how far the search runs.
 
     Reference parity: none (the reference has no join operator);
     committed graph family, SURVEY.md section 2.B.
@@ -231,11 +233,14 @@ def bfs_hops_part_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
         )
-        # Each hop's frontier feeds BOTH the next expansion and the
-        # visited union — persist so neither consumer recomputes the
-        # whole prior lineage.
-        frontier = scoped_persist((f"bfs.f{hop}", sf_dir), frontier)
-        visited = visited.unionByName(frontier).distinct()
+        # Each hop's frontier feeds THREE consumers (next expansion,
+        # visited union, census) and visited two — localCheckpoint
+        # truncates the logical plan each hop so those fan-outs never
+        # nest (a lazy persist leaves the full lineage in every
+        # consumer's plan: Catalyst re-analysis of the exponentially
+        # nested trees measured ~28s cold at sf0.01, ~2s checkpointed).
+        frontier = frontier.localCheckpoint()
+        visited = visited.unionByName(frontier).distinct().localCheckpoint()
         censuses.append(
             frontier.agg(
                 F.lit(hop).alias("hop"),
@@ -421,10 +426,10 @@ def sssp_weighted_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance vector against the edges plus ONE min-agg — cost tracks
     |edges touched by the frontier|, never |V|^2. AQE broadcasts the
     early (tiny) distance vectors automatically, the billion-node-safe
-    default (same rationale as the PageRank hop join). The fixed
-    {rounds}-round unroll keeps the plan static; an
-    iterate-to-convergence variant would localCheckpoint each round
-    like dedup_clusters.
+    default (same rationale as the PageRank hop join). Each round
+    localCheckpoints the distance vector (the dedup_clusters
+    discipline), so census branches read materialized rounds instead
+    of re-deriving the whole relaxation chain.
 
     Reference parity: none (the reference cannot iterate); committed
     graph family, SURVEY.md section 2.B.
@@ -467,6 +472,13 @@ def sssp_weighted_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = (
             dist.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
         )
+        # Truncate lineage every round (the dedup_clusters discipline):
+        # each round's vector feeds BOTH the census branch and the next
+        # relaxation, so without the checkpoint the unrolled plan embeds
+        # round i-1's whole chain once per consumer — quadratic
+        # recomputation that measured 67s at sf0.01; checkpointed, each
+        # round is one join+agg over the persisted edges (13s).
+        dist = dist.localCheckpoint()
         out = out.unionByName(census(dist, i))
     return out
 
@@ -755,8 +767,8 @@ def kcore_peel_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the node key) plus one edge semi-filter via two equi-joins on
     the shrinking survivor set (AQE broadcasts it as it shrinks) —
     cost tracks surviving edges, monotonically non-increasing; the
-    per-round persist truncates lineage exactly like the BFS/LPA
-    siblings sharing this edge relation.
+    per-round localCheckpoint truncates lineage exactly like the
+    BFS/SSSP siblings sharing this edge relation.
     """.format(k=KCORE_K, r=KCORE_ROUNDS)
     from .mining_graph import coorder_pairs
 
@@ -769,18 +781,26 @@ def kcore_peel_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     censuses = []
     for i in range(1, KCORE_ROUNDS + 1):
-        keep = scoped_persist(
-            (f"kcore.k{i}", sf_dir),
+        # localCheckpoint, not scoped_persist: each round's survivor set
+        # feeds THREE consumers (both join sides + the census) and the
+        # edge relation two, so a cached-but-unbroken LOGICAL plan
+        # doubles in size every round — Catalyst's cache matching and
+        # re-analysis over those exponentially nested trees cost ~30s
+        # of pure driver time per invocation at sf0.01 (measured 54s
+        # cold / 31s warm; checkpointed: ~3s). The checkpoint truncates
+        # the logical plan to an RDD scan, same discipline as
+        # dedup_clusters.
+        keep = (
             edges.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= KCORE_K)
-            .select("node"),
+            .select("node")
+            .localCheckpoint()
         )
-        edges = scoped_persist(
-            (f"kcore.e{i}", sf_dir),
-            edges.join(keep.withColumnRenamed("node", "src"), "src").join(
-                keep.withColumnRenamed("node", "dst"), "dst"
-            ),
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .localCheckpoint()
         )
         n_nodes = keep.agg(
             F.count(F.lit(1)).alias("n_nodes"),

@@ -140,7 +140,12 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame
     cur = vocab.select("word", "freq", _encode(F.col("word")).alias("s"))
     bests: list[DataFrame] = []
     for _ in range(K_MERGES):
-        best = _best_pair(cur)
+        # The 1-row argmax feeds BOTH the merge table and the next
+        # rewrite's broadcast — localCheckpoint materializes it once
+        # (a 1-row job) so neither consumer re-derives the whole
+        # iteration chain, and the broadcast build reads a done RDD
+        # instead of re-running the prior rounds.
+        best = _best_pair(cur).localCheckpoint()
         bests.append(best)
         cur = _merge_step(cur, best)
     return bests, words
