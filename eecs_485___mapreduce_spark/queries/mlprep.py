@@ -1023,19 +1023,19 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine; wrap-around handled by modular distance
     (no special case).
 
-    Scale (100 TB): the vnode table (33 x 8 rows) broadcasts; per-key
-    assignment is a scan-side fan-out into a map-side partial MIN
-    (the shuffle carries one row per key, immediately re-aggregated
-    into the 2x3 census). Both epochs' assignments come from the SAME
-    pass (the before-ring is the CASE-filtered subset of the after
-    ring's vnodes).
+    Scale (100 TB): the vnode ring (33 x 8 entries) is a plan-time
+    literal array, so per-key assignment is a pure scan-side array
+    argmin — no join, no fan-out, no per-key shuffle; the only
+    exchange is the constant-size census aggregation. Both epochs'
+    assignments come from the SAME projection (the before-ring is the
+    filtered subset of the after ring's array).
 
     Reference parity: the reference hard-codes md5(key) % R routing
     (mapreduce/worker/__main__.py:142-144, SURVEY.md section 2.A
     row 4) — exactly the mod-N strategy whose resharding cost this
     audit quantifies; the ring is the production alternative.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", fanout=True)
 
     def h40(c) -> F.Column:
         return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("long")
@@ -1044,33 +1044,49 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         h40(F.concat(F.lit("k:"), F.col("o_orderkey").cast("string"))).alias("h"),
     )
-    vn = (
-        spark.range(_CH_SHARDS + 1)
-        .select(F.col("id").alias("shard"))
-        .crossJoin(spark.range(_CH_VNODES).select(F.col("id").alias("vnode")))
-        .select(
-            "shard",
-            h40(
-                F.concat(
-                    F.lit("vn:"),
-                    F.col("shard").cast("string"),
-                    F.lit(":"),
-                    F.col("vnode").cast("string"),
+    # The ring is a CONSTANT 33x8 relation: fold it into a literal
+    # struct array (vnode hashes computed once at plan build, exactly
+    # like minhash_params derives its constants) and take the per-key
+    # argmin with array expressions in the scan projection. The former
+    # crossJoin(broadcast(vn)) + groupBy(k) materialized a |keys| x 264
+    # row fan-out through the aggregation machinery and re-aggregated
+    # 150k groups — ~40M rows of partial-MIN state for a value each row
+    # can compute alone; this form is one projection, no fan-out, no
+    # per-key exchange (measured ~5-6s -> ~1s at sf0.01). Same packed
+    # integer math, bit-identical results.
+    import hashlib
+
+    vn_lits = []
+    for shard in range(_CH_SHARDS + 1):
+        for vnode in range(_CH_VNODES):
+            vh = int(
+                hashlib.md5(f"vn:{shard}:{vnode}".encode()).hexdigest()[:10], 16
+            )
+            vn_lits.append(
+                F.struct(
+                    F.lit(vh).cast("long").alias("vh"),
+                    F.lit(shard).cast("long").alias("shard"),
                 )
-            ).alias("vh"),
+            )
+    vn_arr = F.array(*vn_lits)
+
+    def ring_min(only_before: bool) -> F.Column:
+        arr = (
+            F.filter(vn_arr, lambda x: x.shard < _CH_SHARDS)
+            if only_before
+            else vn_arr
         )
-    )
-    dist = F.pmod(F.col("vh") - F.col("h") + _CH_SCALE, F.lit(_CH_SCALE))
-    packed = dist * 64 + F.col("shard")
-    assign = (
-        keys.crossJoin(F.broadcast(vn))
-        .groupBy("k")
-        .agg(
-            (F.min(F.when(F.col("shard") < _CH_SHARDS, packed)) % 64)
-            .cast("long")
-            .alias("ring_before"),
-            (F.min(packed) % 64).cast("long").alias("ring_after"),
+        packed = F.transform(
+            arr,
+            lambda x: F.pmod(x.vh - F.col("h") + _CH_SCALE, F.lit(_CH_SCALE)) * 64
+            + x.shard,
         )
+        return (F.array_min(packed) % 64).cast("long")
+
+    assign = keys.select(
+        "k",
+        ring_min(only_before=True).alias("ring_before"),
+        ring_min(only_before=False).alias("ring_after"),
     )
     mod_n = keys.agg(
         F.lit("mod_n").alias("strategy"),
