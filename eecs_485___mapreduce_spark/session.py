@@ -44,7 +44,15 @@ def get_spark(
         return active
 
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
-    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # Default shuffle partitions track the ACTUAL core count (the
+    # driver re-runs the bench at lower core counts to measure
+    # scaling; a constant 32 would hand an 8-core run 4x more, smaller
+    # tasks than it has cores). Explicit SPARK_GRAFT_SHUFFLE wins.
+    env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    default_shuffle = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 32)
+    n_shuffle = shuffle_partitions or (
+        int(env_shuffle) if env_shuffle else default_shuffle
+    )
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
