@@ -630,7 +630,6 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- power-iteration PCA
 
 POWER_ITERS = 60  # eigengap on this corpus is ~0.93: need ~60 hops
-POWER_CHECKPOINT_EVERY = 10
 
 
 def _pca_oracle() -> str:
@@ -694,15 +693,17 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitening, spectral hashing, and embedding-drift monitors.
 
     The Gram relation reuses embedding_gram_matrix's integer-exact
-    (i, j, gram) upper triangle (mirrored to full symmetry and
-    persisted once); each iteration is ONE equi-join of the d-row
-    vector against the d^2-row matrix plus one partial+final agg on
-    the row index, then a scalar-norm broadcast — the matvec never
-    materializes anything bigger than the matrix relation itself. At
-    production d (say 4096) the matrix is 16M rows: same plan,
-    shuffle-on-key, no driver state. Sign is fixed deterministically
-    (the largest-|component| dimension, lowest dim on ties, is made
-    positive), so the result is reproducible run to run.
+    (i, j, gram) upper triangle (mirrored to full symmetry). The
+    matrix is d x d for model width d — constant-size at ANY corpus
+    scale (100 TB only changes the cell values) — so the whole
+    60-hop loop is dense linear algebra over one Arrow batch: a
+    single repartition(1) collects the d^2 relation (16M rows at
+    d=4096) into the same BLAS-via-mapInPandas execution the Gram
+    builder itself uses, and numpy runs matvec + normalize per hop
+    in-process. No driver state; nothing row-at-a-time. Sign is
+    fixed deterministically (the largest-|component| dimension,
+    lowest dim on ties, is made positive), so the result is
+    reproducible run to run.
 
     Hash-oracled (round-5 conversion): the Gram input is integer-exact
     in both engines and power iteration is contractive, so the oracle
@@ -713,58 +714,67 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative, unit norm.
     """.format(it=POWER_ITERS)
     ut = embedding_gram_matrix(spark, sf_dir)
-    full = scoped_persist(
-        ("pca.gram_full", sf_dir),
-        ut.unionByName(
-            ut.where(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "gram"
-            )
-        ).select("i", "j", F.col("gram").cast("double").alias("g")),
-    )
-    dims = full.select(F.col("i").alias("dim")).distinct()
-    v = dims.select("dim", F.lit(1.0).alias("x"))
-    for it in range(1, POWER_ITERS + 1):
-        w = (
-            full.join(v, full.j == v.dim)
-            .groupBy(full.i.alias("dim"))
-            .agg(F.sum(F.col("g") * F.col("x")).alias("wx"))
+    full = ut.unionByName(
+        ut.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram"
         )
-        # normalize with a whole-relation WINDOW aggregate, not a
-        # separate agg + crossJoin: the two-branch form makes every
-        # downstream consumer evaluate w's subtree TWICE, which
-        # compounds to 2^k plan blowup across k unrolled iterations
-        # (measured: 60 hops never finished; this form runs in
-        # seconds). The window is one partition of d rows — trivial.
-        nrm = F.sqrt(
-            F.sum(F.col("wx") * F.col("wx")).over(Window.partitionBy())
+    ).select("i", "j", F.col("gram").cast("double").alias("g"))
+
+    # The Gram relation is d x d where d is the MODEL width — a
+    # constant, not a data-scale quantity (the 100 TB corpus only
+    # changes the integer cell values, never the row count). Iterating
+    # a d x d matvec as 60 distributed join+agg+window rounds paid
+    # ~180 scheduled stages to move a few-KB vector (measured 13s at
+    # d=64 with per-round checkpoints; a broadcast-hint variant was
+    # 33s — each hop's broadcast build re-serializes through the
+    # driver). The right execution for constant-size dense algebra is
+    # the same one embedding_gram_matrix already uses for its partial
+    # products: hand the whole relation to BLAS inside one Arrow
+    # batch. One repartition(1) (bounded by d^2 rows — 16M at
+    # d=4096), one numpy power loop, identical recurrence: matvec,
+    # L2-normalize per hop, Rayleigh quotient, largest-|component|
+    # (lowest dim on ties) sign anchor. Float-sum order differs from
+    # the old per-partition partial sums at the last ulp — the same
+    # cross-engine tolerance the oracle already absorbs by design
+    # (contractive iteration + ROUND quantization; see _pca_oracle).
+    def _power_all(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        rows = pd.concat(parts)
+        d = int(rows["i"].max()) + 1
+        g = np.zeros((d, d), dtype=np.float64)
+        g[rows["i"].to_numpy(), rows["j"].to_numpy()] = rows["g"].to_numpy()
+        v = np.ones(d, dtype=np.float64)
+        for _ in range(POWER_ITERS):
+            w = g @ v
+            v = w / np.sqrt(float(np.dot(w, w)))
+        lam = float(v @ (g @ v))
+        # deterministic sign: the largest-|x| dimension (lowest dim
+        # wins ties) is made positive
+        k = int(np.lexsort((np.arange(d), -np.abs(v)))[0])
+        s = float(np.sign(v[k]))
+
+        def round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+            # Spark/DuckDB ROUND semantics (half away from zero), plus
+            # `+ 0.0` so a rounded-to-zero negative is +0.0 on both
+            # engines (the signed-zero convention the oracles pin).
+            scale = 10.0 ** digits
+            return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale + 0.0
+
+        yield pd.DataFrame(
+            {
+                "dim": np.arange(d, dtype=np.int32),
+                "component": round_half_up(v * s, 6),
+                "eigenvalue": np.full(d, round_half_up(np.array([lam]), 3)[0]),
+            }
         )
-        v = w.select("dim", (F.col("wx") / nrm).alias("x"))
-        # the vector is d rows but its LINEAGE deepens by a join+agg per
-        # hop — truncate periodically exactly like dedup_clusters /
-        # k-means, or iteration 60's plan tree is 60 joins deep
-        if it % POWER_CHECKPOINT_EVERY == 0:
-            v = v.localCheckpoint()
-    v = scoped_persist(("pca.v_final", sf_dir), v)
-    # Rayleigh quotient lambda = v' G v (||v|| = 1 post-normalization)
-    lam = (
-        full.join(v.select(F.col("dim").alias("jd"), F.col("x").alias("xj")), full.j == F.col("jd"))
-        .join(v.select(F.col("dim").alias("id"), F.col("x").alias("xi")), full.i == F.col("id"))
-        .agg(F.sum(F.col("xi") * F.col("g") * F.col("xj")).alias("eigenvalue"))
-    )
-    # deterministic sign: the largest-|x| dimension (lowest dim wins
-    # ties) is made positive
-    anchor = v.agg(
-        F.max(F.struct(F.abs("x").alias("a"), (-F.col("dim")).alias("nd"), F.col("x").alias("ax")))
-        .alias("m")
-    ).select(F.signum(F.col("m.ax")).alias("s"))
-    return (
-        v.crossJoin(F.broadcast(anchor))
-        .crossJoin(F.broadcast(lam))
-        .select(
-            "dim",
-            F.round(F.col("x") * F.col("s"), 6).alias("component"),
-            F.round("eigenvalue", 3).alias("eigenvalue"),
-        )
+
+    return full.repartition(1).mapInPandas(
+        _power_all, "dim int, component double, eigenvalue double"
     )
 
 
