@@ -975,7 +975,8 @@ def test_window_orderby_source_sites_are_audited():
     audited_empty = {
         "queries/inference.py": 1,
         "queries/inference_order.py": 3,
-        "queries/mlprep.py": 1,
+        # mlprep's site was the PCA per-hop norm window; the r8 numpy
+        # rewrite removed the windowed loop entirely (OPTIMIZATION_r08).
         "queries/quality.py": 1,
         "queries/relational.py": 1,
     }
