@@ -264,6 +264,45 @@ def release_scope(sf_dir: str | None = None) -> int:
     return n
 
 
+# ----------------------------------------------------- plan truncation
+
+
+def truncate_plan(df, eager: bool = True):
+    """Materialize ``df`` and truncate its lineage/logical plan — the
+    per-round discipline of every bounded iterative loop (graph
+    propagation, k-means/PQ passes, BPE argmax, greedy coverage):
+    without it each round's full plan nests inside every consumer and
+    Catalyst re-analysis becomes exponential driver time.
+
+    Default is ``localCheckpoint`` (executor-local blocks: cheap, no
+    configured storage needed — right for the per-round driver
+    process; an executor loss forfeits the blocks and the query must
+    rerun). Set ``SPARK_GRAFT_CHECKPOINT=reliable`` for cluster
+    deployments that must survive executor loss mid-query: rounds then
+    go through reliable ``checkpoint()`` into
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` (default
+    /tmp/spark-graft-checkpoints; point it at durable shared storage
+    on a real cluster). Same truncated plan shape either way — pinned
+    by tests/test_iterative_plans.py.
+
+    Call as ``df.transform(truncate_plan)`` so chained call sites stay
+    postfix. This is lineage truncation INSIDE one query invocation,
+    recomputed on every call — never a cross-run result cache.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CHECKPOINT", "local") == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():  # noqa: SLF001
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark-graft-checkpoints"
+                )
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 # ------------------------------------------------------------ z-order
 
 ZORDER_BITS = 16

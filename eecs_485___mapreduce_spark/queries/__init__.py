@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     multimodal,
     pipeline,
     privacy,
+    probe,
     pruning,
     quality,
     quality_sketch,

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dec, md5_long, md5_long_sql, scoped_persist, tokens
+from ..functions import dec, md5_long, md5_long_sql, scoped_persist, tokens, truncate_plan
 from ..registry import register
 from ..sources import load_table
 
@@ -136,9 +136,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle to (doc_id, term) for tf, one agg to term for
     df (both partial-agg first — term space is much smaller than token
-    count), a broadcast of the scalar N, then a per-doc window (planned
-    as WindowGroupLimit, so only each doc's running top-k survives the
-    final exchange). The tf relation feeds BOTH the score and the df
+    count), the scalar N folded into the vocab-sized idf relation (so
+    the big (doc, term) side crosses only ONE broadcast hash join and
+    the ln runs per vocab entry, not per row), then a per-doc window
+    (planned as WindowGroupLimit, so only each doc's running top-k
+    survives the final exchange). The tf relation feeds BOTH the score and the df
     branch, so it is scoped-persisted — without the barrier Catalyst
     re-runs scan+tokenize+partial-agg once per branch, doubling the
     dominant cost at 100 TB. df is vocabulary-sized and broadcast
@@ -154,20 +156,31 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tfidf_tf", sf_dir),
         tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(dfreq, "term")
+    # idf is a pure function of (df, N): compute it once per VOCAB
+    # entry — the scalar N attaches to the vocab-sized df relation, so
+    # the (doc, term) relation never passes through a nested-loop
+    # join and the per-row score is one multiply (the ln ran per
+    # (doc, term) row before). Same IEEE doubles, same rounding.
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "doc_id",
             "term",
-            "tf",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
-                6,
-            ).alias("tfidf"),
+            F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            ).alias("idf"),
         )
+    )
+    # Explicit hint: the vocab-sized idf relation is the side that must
+    # broadcast (guide-standard deliberate join strategy) — without it
+    # the planner's post-crossJoin size estimate flipped the build side
+    # to the (doc, term) relation, which cannot broadcast at scale.
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -1555,14 +1568,14 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
-            .localCheckpoint()
+            .transform(truncate_plan)
         )
         new_terms = tok.join(pick.select("doc_id"), "doc_id").select("term")
         covered = (
             new_terms
             if covered is None
             else covered.unionByName(new_terms).distinct()
-        ).localCheckpoint()
+        ).transform(truncate_plan)
         selected = (
             pick.select("doc_id")
             if selected is None

@@ -38,6 +38,7 @@ from ..functions import (
     scoped_persist,
     shingles,
     tokens,
+    truncate_plan,
     valid_vector,
 )
 from ..registry import register
@@ -600,13 +601,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint()
+    edges = edges.transform(truncate_plan)
 
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(truncate_plan)
     )
     for _ in range(_CC_MAX_ROUNDS):
         prop = edges.join(
@@ -616,7 +617,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .transform(truncate_plan)
         )
         changed = (
             new_labels.alias("n")

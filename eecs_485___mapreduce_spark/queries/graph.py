@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import scoped_persist
+from ..functions import scoped_persist, truncate_plan
 from ..registry import register
 from ..sources import load_table
 
@@ -134,7 +134,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.select(
             "node",
             F.expr(f"(15 * {PAGERANK_BASE} + 85 * s) div 100").alias("r"),
-        ).localCheckpoint()  # truncate per-iteration lineage (see kcore)
+        ).transform(truncate_plan)  # truncate per-iteration lineage (see kcore)
     return ranks.join(deg.withColumnRenamed("node", "n2"), ranks.node == F.col("n2")).select(
         F.col("node").alias("node_id"),
         F.col("r").alias("rank_fixed"),
@@ -239,8 +239,8 @@ def bfs_hops_part_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nest (a lazy persist leaves the full lineage in every
         # consumer's plan: Catalyst re-analysis of the exponentially
         # nested trees measured ~28s cold at sf0.01, ~2s checkpointed).
-        frontier = frontier.localCheckpoint()
-        visited = visited.unionByName(frontier).distinct().localCheckpoint()
+        frontier = frontier.transform(truncate_plan)
+        visited = visited.unionByName(frontier).distinct().transform(truncate_plan)
         censuses.append(
             frontier.agg(
                 F.lit(hop).alias("hop"),
@@ -478,7 +478,7 @@ def sssp_weighted_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round i-1's whole chain once per consumer — quadratic
         # recomputation that measured 67s at sf0.01; checkpointed, each
         # round is one join+agg over the persisted edges (13s).
-        dist = dist.localCheckpoint()
+        dist = dist.transform(truncate_plan)
         out = out.unionByName(census(dist, i))
     return out
 
@@ -795,12 +795,12 @@ def kcore_peel_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= KCORE_K)
             .select("node")
-            .localCheckpoint()
+            .transform(truncate_plan)
         )
         edges = (
             edges.join(keep.withColumnRenamed("node", "src"), "src")
             .join(keep.withColumnRenamed("node", "dst"), "dst")
-            .localCheckpoint()
+            .transform(truncate_plan)
         )
         n_nodes = keep.agg(
             F.count(F.lit(1)).alias("n_nodes"),

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_long, md5_long_sql, tokens
+from ..functions import md5_long, md5_long_sql, tokens, truncate_plan
 from ..registry import register
 from ..sources import load_table
 
@@ -164,7 +164,7 @@ def isotonic_calibration_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("s").over(w) - F.col("s")).alias("ps"),
         F.sum("n").over(w).alias("cn"),
         F.sum("s").over(w).alias("cs"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan, eager=False)
     j = pre.select(
         F.col("bin").alias("bin_j"), F.col("pn").alias("pn_j"), F.col("ps").alias("ps_j")
     )

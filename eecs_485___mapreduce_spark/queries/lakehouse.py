@@ -84,10 +84,32 @@ def _dml_table(spark: SparkSession, sf_dir: str, variant: str) -> str:
     fixed DML chain. variant='cdf' stops after MERGE so the whole
     change feed and every version stay readable; variant='compacted'
     additionally OPTIMIZEs and VACUUMs down to the latest snapshot —
-    the production end-state a reader actually scans."""
+    the production end-state a reader actually scans.
+
+    I/O discipline (optimization round 9): the compacted variant is a
+    SHALLOW CLONE of the cdf table (metadata-only v0 referencing the
+    same immutable live files — txn_clone) followed by OPTIMIZE +
+    VACUUM, instead of a second full create→DELETE→UPDATE→MERGE chain:
+    identical end state by construction (clone references the exact
+    live set; compaction is a logical no-op), and the fixture build
+    stops paying the DML chain's dozen write jobs twice. Vacuuming the
+    clone walks only the clone's OWN data root, so the source table's
+    files are untouched (the txn_clone contract)."""
     key = (sf_dir, variant)
     if key in _TABLES:
         return _TABLES[key]
+    if variant == "compacted":
+        src = _dml_table(spark, sf_dir, "cdf")
+        root = tempfile.mkdtemp(prefix="txnlog-q-compacted-")
+        tbl = os.path.join(root, "orders_tbl")
+        txnlog.txn_clone(src, tbl)  # v0: same live files, zero data copied
+        txnlog.txn_compact(spark, tbl, num_files=2)  # v1, logical no-op
+        # zero grace: single-writer scratch build, no one in flight.
+        # Reclaims nothing but the clone's own data root — the cdf
+        # table's files are outside it and stay live for its readers.
+        txnlog.txn_vacuum(tbl, retain_versions=1, min_age_s=0.0)
+        _TABLES[key] = tbl
+        return tbl
     root = tempfile.mkdtemp(prefix=f"txnlog-q-{variant}-")
     tbl = os.path.join(root, "orders_tbl")
     orders = load_table(spark, sf_dir, "orders")
@@ -98,10 +120,6 @@ def _dml_table(spark: SparkSession, sf_dir: str, variant: str) -> str:
         "o_totalprice", F.col("o_totalprice") * 2  # *2 is IEEE-exact
     )
     txnlog.txn_merge(spark, tbl, source, ["o_orderkey"])  # v3
-    if variant == "compacted":
-        txnlog.txn_compact(spark, tbl, num_files=2)  # v4, logical no-op
-        # zero grace: single-writer scratch build, no one in flight
-        txnlog.txn_vacuum(tbl, retain_versions=1, min_age_s=0.0)
     _TABLES[key] = tbl
     return tbl
 

@@ -103,26 +103,41 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the two consumers (term counts, per-doc join). Term counts are
     one partial+final agg on the term key (vocab-sized result, ~1e7
     rows — broadcast-able at 100 TB or shuffled as an equi-join; AQE
-    picks). The per-doc rollup is one shuffle on doc_id. Nothing is
-    ever all-pairs and no Python touches the data path.
+    picks). The corpus total rides the SAME vocab relation as an
+    unpartitioned-unordered window (total tokens = sum of term counts
+    — exact identity), so the old third pass over the token relation
+    (a count(*) branch + BroadcastNestedLoopJoin of the scalar) is
+    gone; the window's single-partition exchange moves only the
+    vocab-sized rollup, never corpus data. The per-doc surprisal is
+    quantized per TERM (it depends only on (total, cnt)) before the
+    join fans it out to token rows — same double math, computed once
+    per vocab entry instead of once per token. The per-doc rollup is
+    one shuffle on doc_id. Nothing is ever all-pairs and no Python
+    touches the data path.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = scoped_persist(
         ("text_unigram_logprob.tok", sf_dir),
         docs.select("doc_id", F.explode(tokens("text")).alias("term")),
     )
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
-    scored = (
-        tok.join(cnt, "term")
-        .crossJoin(F.broadcast(total))
+    # total = sum(cnt) over the vocab-sized term rollup — identical to
+    # count(*) over tok, without re-scanning the token relation.
+    total = F.sum("cnt").over(Window.partitionBy())
+    cnt = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            "doc_id",
-            F.round(1000 * F.log(F.col("total").cast("double") / F.col("cnt")))
+            "term",
+            # surprisal millinats per TERM: round(1000*ln(total/cnt))
+            # is a pure function of (total, cnt) — same IEEE doubles as
+            # the old per-token expression, evaluated |vocab| times
+            # instead of |tokens| times.
+            F.round(1000 * F.log(total.cast("double") / F.col("cnt")))
             .cast("bigint")
             .alias("s"),
         )
     )
+    scored = tok.join(cnt, "term").select("doc_id", "s")
     perdoc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("s").alias("sum_s"),
@@ -746,6 +761,15 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         rows = pd.concat(parts)
         d = int(rows["i"].max()) + 1
+        # Contract with embedding_gram_matrix: it emits the COMPLETE
+        # upper triangle (zeros included, via triu_indices), so after
+        # mirroring the relation is exactly d*d cells. If that producer
+        # ever started dropping zero cells, this dense fill would
+        # silently mis-shape — fail loudly instead (round-8 ADVICE).
+        assert len(rows) == d * d, (
+            f"gram relation is {len(rows)} cells, expected {d}*{d} — "
+            "embedding_gram_matrix no longer emits the full triangle?"
+        )
         g = np.zeros((d, d), dtype=np.float64)
         g[rows["i"].to_numpy(), rows["j"].to_numpy()] = rows["g"].to_numpy()
         v = np.ones(d, dtype=np.float64)
@@ -762,6 +786,13 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark/DuckDB ROUND semantics (half away from zero), plus
             # `+ 0.0` so a rounded-to-zero negative is +0.0 on both
             # engines (the signed-zero convention the oracles pin).
+            # Residual ulp risk (round-8 ADVICE, accepted): this scales
+            # in binary floating point (abs(x)*10^d + 0.5), which can
+            # disagree with an engine's decimal-exact ROUND only when a
+            # component lands exactly on a representation boundary —
+            # probability ~1e-10 per value for these contractive
+            # iterates, and the oracle quantizes identically; green at
+            # every shipped SF.
             scale = 10.0 ** digits
             return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale + 0.0
 

@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..functions import VALID_VEC_SQL, as_double_array, cosine, l2_norm, valid_vector
+from ..functions import (
+    VALID_VEC_SQL,
+    as_double_array,
+    cosine,
+    l2_norm,
+    truncate_plan,
+    valid_vector,
+)
 from ..registry import register
 from ..sources import load_table
 
@@ -574,7 +581,7 @@ def kmeans_fit(
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", as_double_array("embedding").alias("v")
-    ).localCheckpoint()
+    ).transform(truncate_plan)
 
     # Seed selection must NOT be a global window (that would sort the
     # whole corpus on one partition): orderBy().limit(k) plans
@@ -596,7 +603,7 @@ def kmeans_fit(
             "rk", F.row_number().over(Window.orderBy("hkey", "vec_id"))
         )
         .select((F.col("rk") - 1).alias("cell"), F.col("v").alias("cvec"))
-        .localCheckpoint()
+        .transform(truncate_plan)
     )
 
     assign = None
@@ -619,7 +626,7 @@ def kmeans_fit(
             .filter(F.col("rk") == 1)
             .drop("rk")
         )
-        cents = _qmean_centroids(assign, ["cell"]).localCheckpoint()
+        cents = _qmean_centroids(assign, ["cell"]).transform(truncate_plan)
     return assign.select("vec_id", "cell", F.round("dist2", 6).alias("dist2"))
 
 
@@ -881,8 +888,8 @@ def pq_fit_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     )
     vecs = emb.select(
         "vec_id", as_double_array("embedding").alias("v")
-    ).localCheckpoint()
-    subs = _pq_subvectors(vecs, "vec_id", "sv").localCheckpoint()
+    ).transform(truncate_plan)
+    subs = _pq_subvectors(vecs, "vec_id", "sv").transform(truncate_plan)
 
     hkey = md5_long(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
     seed_ids = (
@@ -897,45 +904,57 @@ def pq_fit_encode(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     book = (
         subs.join(F.broadcast(seed_ids), "vec_id")
         .select("sub", "cell", F.col("sv").alias("cvec"))
-        .localCheckpoint()
+        .transform(truncate_plan)
     )
 
+    # Argmin as a map-side-combinable aggregation, not a window
+    # (round-9, guide-standard "aggregate before you shuffle"): min_by
+    # over the (d2, cell) struct picks EXACTLY the row_number()=1 row
+    # of the old ORDER BY d2, cell window — d2 ties break on the
+    # unique cell id — but the K-way blow-up of the broadcast join
+    # collapses 16->1 on the map side before the (vec_id, sub)
+    # exchange, and no per-group sort runs. PQ subvectors are
+    # NULL-free by construction (valid_vector filter upstream), so no
+    # NULL-ordering caveat applies.
     assign = None
     for _ in range(PQ_ITERS):
         joined = subs.join(F.broadcast(book), "sub")
-        wmin = Window.partitionBy("vec_id", "sub").orderBy(
-            F.col("d2"), F.col("cell")
-        )
         assign = (
             joined.select(
                 "vec_id", "sub", "sv", "cell",
                 _pq_d2(F.col("sv"), F.col("cvec")).alias("d2"),
             )
-            .withColumn("rk", F.row_number().over(wmin))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "sv"), F.struct("d2", "cell")
+                ).alias("m")
+            )
+            .select(
+                "vec_id", "sub",
+                F.col("m.cell").alias("cell"), F.col("m.sv").alias("sv"),
+            )
         )
         # Quantized-integer centroid means (see _qmean_centroids): exact
         # under any summation order, which is what lets PQ carry a
         # value-hash oracle despite the iterative training.
         book = _qmean_centroids(
             assign.select("sub", "cell", F.col("sv").alias("v")), ["sub", "cell"]
-        ).localCheckpoint()
+        ).transform(truncate_plan)
     # Final assignment against the FINAL codebook: the loop's last
     # `assign` predates the last centroid update, and ADC lookups
     # measure distances to the returned book — codes must be argmins
     # under that same book or every shifted vector is mis-encoded.
     joined = subs.join(F.broadcast(book), "sub")
-    wmin = Window.partitionBy("vec_id", "sub").orderBy(F.col("d2"), F.col("cell"))
-    final = (
+    codes = (
         joined.select(
             "vec_id", "sub", "cell",
             _pq_d2(F.col("sv"), F.col("cvec")).alias("d2"),
         )
-        .withColumn("rk", F.row_number().over(wmin))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cell", F.struct("d2", "cell")).alias("code"))
+        .select("vec_id", "sub", "code")
     )
-    codes = final.select("vec_id", "sub", F.col("cell").alias("code"))
     return book, codes
 
 

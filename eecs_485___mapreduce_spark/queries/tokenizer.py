@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import scoped_persist, tokens
+from ..functions import scoped_persist, tokens, truncate_plan
 from ..registry import register
 from ..sources import load_table
 
@@ -145,7 +145,7 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame
         # (a 1-row job) so neither consumer re-derives the whole
         # iteration chain, and the broadcast build reads a done RDD
         # instead of re-running the prior rounds.
-        best = _best_pair(cur).localCheckpoint()
+        best = _best_pair(cur).transform(truncate_plan)
         bests.append(best)
         cur = _merge_step(cur, best)
     return bests, words

@@ -128,14 +128,13 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "histogram_totalprice",
 )
 
-# Round-8 rotation queue: EMPTY — the one new registration this round
-# (dedup_jaccard_boundary_fixture) leads the round-8 window above, and
-# every other registered query already carries a green driver row from
-# rounds 1-7 (machine-checked by tests/test_registry_order.py, which
-# globs every CORRECTNESS_r*.json). New queries registered in a future
-# round must be appended here (or windowed) so the closure test keeps
-# holding.
-ROTATION_QUEUE: tuple[str, ...] = ()
+# Rotation queue: queries registered this round that still need a
+# driver row and are not yet in the window above (machine-checked by
+# tests/test_registry_order.py, which globs every CORRECTNESS_r*.json).
+# cpu_probe_lcg is round 9's one new registration (the
+# CPU-scaling probe the round-8 VERDICT ordered); it moves into the
+# round-9 window when that window is composed at end of round.
+ROTATION_QUEUE: tuple[str, ...] = ("cpu_probe_lcg",)
 
 
 def all_queries() -> dict[str, Query]:

@@ -16,6 +16,12 @@ Scale notes (100 TB / 1000-executor design):
   ceiling — set it high (2-3x total cores) there.
 - Arrow enabled so every pandas-UDF boundary is columnar batch
   transfer, never row pickling.
+- Iterative operators truncate per-round lineage via
+  ``functions.truncate_plan``: executor-local ``localCheckpoint`` by
+  default (right for this per-round driver process); set
+  ``SPARK_GRAFT_CHECKPOINT=reliable`` (+ ``SPARK_GRAFT_CHECKPOINT_DIR``
+  on durable shared storage) on a real cluster so a mid-query executor
+  loss replays from the checkpoint instead of failing the query.
 """
 
 from __future__ import annotations

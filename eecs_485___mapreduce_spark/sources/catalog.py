@@ -56,20 +56,25 @@ TABLES = (
 # eligible scan (the experiment mode the call-site list was measured
 # with), an integer pins the partition count.
 _FANOUT_MIN_ROWS = 1024
-_SCAN_META_CACHE: dict[str, tuple[int, int]] = {}
+# path -> (mtime, num_rows, num_row_groups)
+_SCAN_META_CACHE: dict[str, tuple[float, int, int]] = {}
 
 
 def _scan_meta(path: str) -> tuple[int, int]:
     """(num_rows, num_row_groups) from the parquet footer, cached —
-    one local footer read per (sf_dir, table) per process."""
+    one local footer read per (sf_dir, table) per process. Keyed on
+    (path, mtime): a table file rewritten in-process (tests, fixture
+    rebuilds) refreshes the decision instead of silently keeping a
+    stale fan-out verdict (round-8 ADVICE)."""
+    mtime = os.path.getmtime(path)
     meta = _SCAN_META_CACHE.get(path)
-    if meta is None:
+    if meta is None or meta[0] != mtime:
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(path)
-        meta = (f.metadata.num_rows, f.metadata.num_row_groups)
+        meta = (mtime, f.metadata.num_rows, f.metadata.num_row_groups)
         _SCAN_META_CACHE[path] = meta
-    return meta
+    return meta[1], meta[2]
 
 
 def _fanout_partitions(spark: SparkSession, path: str, requested: bool) -> int:
@@ -77,6 +82,11 @@ def _fanout_partitions(spark: SparkSession, path: str, requested: bool) -> int:
     leave the scan alone (disabled, already parallel enough, or too
     small for the extra exchange to pay)."""
     mode = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "")
+    # Directory-layout inputs skip fan-out BY DESIGN, not by accident
+    # (round-8 ADVICE asked for this to be explicit): a parquet
+    # DIRECTORY is the many-files/many-row-groups production layout
+    # whose scan is already splittable — the single-file gate below is
+    # exactly the unsplittable case the fan-out exists for.
     if mode == "off" or not os.path.isfile(path):
         return 0
     if not requested and mode not in ("auto",) and not mode.isdigit():

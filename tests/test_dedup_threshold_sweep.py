@@ -37,7 +37,7 @@ from hypothesis import strategies as st
 from eecs_485___mapreduce_spark.queries.dedup import INCREMENTAL_SPLIT
 from eecs_485___mapreduce_spark.registry import all_queries
 
-from .conftest import normalize
+from .conftest import normalize, sweep_examples
 
 # Every registered threshold, as an exact rational (intersection
 # multiplier, union multiplier): jaccard = (k*s) / (k*U) for scale s.
@@ -265,7 +265,7 @@ def test_planted_pairs_discriminate_each_threshold(
 
 @given(rows=boundary_corpus())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -278,7 +278,7 @@ def test_dedup_pair_family_matches_oracle_on_threshold_corpora(
 
 @given(rows=boundary_corpus())
 @settings(
-    max_examples=6,
+    max_examples=sweep_examples(6, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -51,6 +51,22 @@ def test_iterative_plans_stay_truncated(spark, name, max_exchanges):
     assert "Scan ExistingRDD" in plan, plan[:2000]
 
 
+def test_reliable_checkpoint_switch_same_shape(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_CHECKPOINT=reliable (cluster deployments: rounds
+    survive executor loss) must produce the SAME truncated plan shape
+    as the local default — only the checkpoint storage differs
+    (functions.truncate_plan)."""
+    from eecs_485___mapreduce_spark.registry import all_queries
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    df = all_queries()["pagerank_customer_supplier"].fn(spark, SF_SMALL)
+    plan = _formatted(df)
+    n = len(re.findall(r"\bExchange\b", plan))
+    assert n <= 40, f"reliable-checkpoint plan not truncated: {n} exchanges"
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+
+
 def test_pca_power_loop_is_one_arrow_batch(spark):
     from eecs_485___mapreduce_spark.registry import all_queries
 

@@ -787,6 +787,35 @@ def test_round4_ops_plan_shapes(spark):
     assert plan.count("InMemoryTableScan") >= 4, plan
 
 
+def test_tfidf_unigram_scalar_fold(spark):
+    """Round-9 stage-floor fix: the scalar branches (corpus total /
+    n_docs) fold into the VOCAB-sized relation, so the big (doc, term)
+    side never crosses a nested-loop join and the per-row score is one
+    multiply.
+
+    - unigram: the corpus total is a window over the term rollup —
+      NO BroadcastNestedLoopJoin anywhere, and the third pass over the
+      token relation (the old count(*) branch) is gone.
+    - tfidf: the one remaining nested-loop join (n_docs x df) sits on
+      the vocab branch BELOW the broadcast — the broadcast relation
+      carries the precomputed idf, and the big side crosses exactly
+      one BroadcastHashJoin built on the vocab side."""
+    import re
+
+    from eecs_485___mapreduce_spark.queries.curation import text_tfidf_top_terms
+    from eecs_485___mapreduce_spark.queries.mlprep import text_unigram_logprob
+
+    uni = physical_plan(text_unigram_logprob(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in uni, uni
+    assert "Window" in uni, uni
+
+    tfidf = physical_plan(text_tfidf_top_terms(spark, SF_SMALL))
+    # the broadcast relation carries idf (the fold happened below it)
+    assert re.search(r"BroadcastExchange\s*\nInput \[\d+\]: \[term#\d+, idf#\d+\]",
+                     tfidf), tfidf
+    assert "BroadcastHashJoin Inner BuildRight" in tfidf, tfidf
+
+
 def test_bench_headliners_exchange_budgets(spark):
     """Per-query shuffle ceilings for every bench headliner (round-5
     VERDICT Next round #7): a future edit that silently adds an
@@ -802,6 +831,10 @@ def test_bench_headliners_exchange_budgets(spark):
 
     budgets = {
         "asof_join_purchase_click": 2,
+        # the CPU-scaling probe: scan -> hash chain -> one agg (plus
+        # the opt-in fan-out exchange when enabled; the suite pins
+        # fan-out off)
+        "cpu_probe_lcg": 2,
         "ddsketch_price_quantiles": 10,
         "dedup_exact": 2,
         "dedup_minhash_lsh": 2,
@@ -819,6 +852,11 @@ def test_bench_headliners_exchange_budgets(spark):
         "rolling_1h_user_value": 2,
         "sessionize_two_level_stitch": 4,
         "similarity_topk_cosine": 2,
+        # round 9: tfidf/unigram scalar branches fold into the
+        # vocab-sized relation (BNLJ off the big path; unigram's third
+        # token-relation pass gone) — \bExchange\b counts are unchanged
+        # (BroadcastExchange never matched), so ceilings stay; the BNLJ
+        # placement is pinned by test_tfidf_unigram_scalar_fold below.
         "text_tfidf_top_terms": 9,
         "text_token_stats": 0,
         "text_unigram_logprob": 6,
@@ -975,8 +1013,13 @@ def test_window_orderby_source_sites_are_audited():
     audited_empty = {
         "queries/inference.py": 1,
         "queries/inference_order.py": 3,
-        # mlprep's site was the PCA per-hop norm window; the r8 numpy
-        # rewrite removed the windowed loop entirely (OPTIMIZATION_r08).
+        # text_unigram_logprob's corpus-total window: runs over the
+        # VOCAB-sized term rollup (bounded — term space, not corpus),
+        # replacing the old count(*) re-scan of the token relation
+        # (OPTIMIZATION_r09).
+        "queries/mlprep.py": 1,
+        # (the pre-r8 mlprep site was the PCA per-hop norm window; the
+        # r8 numpy rewrite removed that windowed loop entirely.)
         "queries/quality.py": 1,
         "queries/relational.py": 1,
     }

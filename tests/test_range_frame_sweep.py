@@ -23,7 +23,7 @@ from hypothesis import strategies as st
 
 from eecs_485___mapreduce_spark.registry import all_queries
 
-from .conftest import normalize
+from .conftest import normalize, sweep_examples
 from .test_session_boundary_sweep import _write_events
 
 ROLLING_QUERIES = [
@@ -95,7 +95,7 @@ def edge_events(draw):
 
 @given(rows=edge_events())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

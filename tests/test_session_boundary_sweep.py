@@ -29,7 +29,7 @@ from eecs_485___mapreduce_spark.queries.timeseries import (
 )
 from eecs_485___mapreduce_spark.registry import all_queries
 
-from .conftest import normalize
+from .conftest import normalize, sweep_examples
 
 # deltas in MICROSECONDS: exact boundaries, one second and one
 # microsecond either side, ties, and ordinary gaps
@@ -117,7 +117,7 @@ def _write_events(tmpdir: str, rows) -> str:
 
 @given(rows=boundary_events())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -153,7 +153,7 @@ def test_session_family_matches_oracle_on_boundary_corpora(
 
 @given(rows=boundary_events())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

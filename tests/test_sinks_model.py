@@ -19,13 +19,15 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from .conftest import sweep_examples
+
 _INTS = st.one_of(st.integers(-50, 50), st.none())
 _ROWS = st.lists(
     st.tuples(_INTS, st.integers(0, 9)), min_size=1, max_size=60
 )
 
 _SWEEP = settings(
-    max_examples=8,
+    max_examples=sweep_examples(8, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

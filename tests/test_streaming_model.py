@@ -28,6 +28,8 @@ import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
+from .conftest import sweep_examples
+
 from eecs_485___mapreduce_spark.queries.mining import (
     ANOMALY_MIN_BASELINE,
     ANOMALY_WINDOW,
@@ -183,7 +185,7 @@ def _read_chunked_stream(spark, path):
 
 
 _SWEEP = settings(
-    max_examples=6,
+    max_examples=sweep_examples(6, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -195,7 +197,7 @@ _SWEEP = settings(
 # every falsifying example ever found, so regressions never depend
 # on hypothesis luck again).
 _SWEEP_DEEP = settings(
-    max_examples=25,
+    max_examples=sweep_examples(25, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1286,7 +1288,7 @@ def test_stream_stream_left_join_multibatch_bounds(
     # Sound lower bound on WHICH unmatched purchases must have emitted
     # their NULL row. Two batch-structure conditions, both required
     # (the operator's documented one-batch watermark lag — found by
-    # the deepened sweep at max_examples=25, pinned below):
+    # the deepened sweep at max_examples=sweep_examples(25, 3), pinned below):
     #   1) the purchase is NOT in the final micro-batch (NULL emission
     #      happens during a LATER batch's processing; availableNow
     #      stops after the last one), and

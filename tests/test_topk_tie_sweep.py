@@ -26,7 +26,7 @@ from hypothesis import strategies as st
 
 from eecs_485___mapreduce_spark.registry import all_queries
 
-from .conftest import normalize
+from .conftest import normalize, sweep_examples
 from .test_dedup_threshold_sweep import _write_documents
 
 # Windowed-rank queries that read ONLY events. Each must hold under
@@ -193,7 +193,7 @@ def _assert_match(spark, sf_dir: str, view_sql: dict[str, str], names):
 
 @given(rows=tied_events())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -214,7 +214,7 @@ def test_events_rank_family_matches_oracle_on_tied_corpora(
 
 @given(rows=tied_events())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -235,7 +235,7 @@ def test_events_replay_family_matches_oracle_on_tied_corpora(
 
 @given(rows=tied_documents())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -256,7 +256,7 @@ def test_docs_rank_family_matches_oracle_on_tied_corpora(
 
 @given(rows=tied_documents())
 @settings(
-    max_examples=10,
+    max_examples=sweep_examples(10, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

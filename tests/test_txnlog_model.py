@@ -14,6 +14,8 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from .conftest import sweep_examples
 from pyspark.sql import functions as F  # noqa: F401  (predicate parity)
 
 from eecs_485___mapreduce_spark import txnlog
@@ -45,7 +47,7 @@ _op = st.one_of(
 
 
 @settings(
-    max_examples=8,
+    max_examples=sweep_examples(8, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -118,7 +120,7 @@ def test_random_dml_sequences_match_in_memory_model(spark, tmp_path_factory, fir
 
 
 @settings(
-    max_examples=5,
+    max_examples=sweep_examples(5, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -207,7 +209,7 @@ _eop = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    max_examples=sweep_examples(6, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -320,7 +322,7 @@ _mop = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    max_examples=sweep_examples(6, 2),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

@@ -24,6 +24,8 @@ import tempfile
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from .conftest import sweep_examples
+
 from eecs_485___mapreduce_spark.streaming import upsert_batch
 
 _T0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
@@ -46,7 +48,7 @@ def _row(eid: int) -> tuple:
 COLS = ["event_id", "user_id", "event_type", "ts", "value"]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=sweep_examples(10, 3), deadline=None)
 @given(
     st.lists(
         st.lists(st.integers(min_value=0, max_value=_POOL - 1),

@@ -43,6 +43,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+
+from .conftest import sweep_examples
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -210,7 +212,7 @@ def _last_emissions(spark, name, start_col):
 
 
 _SWEEP = settings(
-    max_examples=12,
+    max_examples=sweep_examples(12, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
