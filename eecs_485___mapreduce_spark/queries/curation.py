@@ -172,11 +172,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
-    # Explicit hint: the vocab-sized idf relation is the side that must
-    # broadcast (guide-standard deliberate join strategy) — without it
-    # the planner's post-crossJoin size estimate flipped the build side
-    # to the (doc, term) relation, which cannot broadcast at scale.
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    # No broadcast hint on purpose: locally the planner broadcasts
+    # whichever side its (cached-relation-accurate) stats say is
+    # smaller — measured faster than forcing the vocab side — and at
+    # 100 TB both sides outgrow the threshold and the join degrades to
+    # a spill-safe sort-merge on term. Forcing broadcast(dfreq) would
+    # pessimize locally AND gamble on vocabulary size at scale.
+    scored = tf.join(dfreq, "term").select(
         "doc_id",
         "term",
         "tf",

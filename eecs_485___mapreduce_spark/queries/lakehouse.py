@@ -113,13 +113,18 @@ def _dml_table(spark: SparkSession, sf_dir: str, variant: str) -> str:
     root = tempfile.mkdtemp(prefix=f"txnlog-q-{variant}-")
     tbl = os.path.join(root, "orders_tbl")
     orders = load_table(spark, sf_dir, "orders")
-    txnlog.txn_create(orders, tbl, num_files=4)  # v0
-    txnlog.txn_delete_where(spark, tbl, _DELETE_PRED)  # v1
-    txnlog.txn_update_where(spark, tbl, _UPDATE_PRED, _UPDATE_SET)  # v2
+    # num_files=2 (was 4): still multi-file (the CoW affected-file
+    # scoping stays exercised — these predicates hit every file under
+    # hash distribution anyway), half the write/rewrite tasks per
+    # commit. File counts never reach any query output.
+    txnlog.txn_create(orders, tbl, num_files=2)  # v0
+    txnlog.txn_delete_where(spark, tbl, _DELETE_PRED, num_files=2)  # v1
+    txnlog.txn_update_where(spark, tbl, _UPDATE_PRED, _UPDATE_SET,
+                            num_files=2)  # v2
     source = orders.where(_MERGE_MOD).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2  # *2 is IEEE-exact
     )
-    txnlog.txn_merge(spark, tbl, source, ["o_orderkey"])  # v3
+    txnlog.txn_merge(spark, tbl, source, ["o_orderkey"], num_files=2)  # v3
     _TABLES[key] = tbl
     return tbl
 

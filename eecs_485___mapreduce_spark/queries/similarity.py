@@ -614,17 +614,27 @@ def kmeans_fit(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        # NULLS LAST matches DuckDB's ASC default: a NULL-vector row's
-        # all-NULL distances then tie-break on cell id identically in
-        # both engines (edge-embeddings harness).
-        wmin = Window.partitionBy("vec_id").orderBy(
-            F.asc_nulls_last("dist2"), F.col("cell")
-        )
+        # Argmin as a map-side-combinable aggregation, not a window
+        # (round-9, same shape as pq_fit_encode): min_by over the
+        # (dist2, cell) struct picks EXACTLY the row_number()=1 row of
+        # the old ORDER BY dist2 NULLS LAST, cell window. Nullness is
+        # uniform within a vec_id group (a NULL vector yields NULL
+        # dist2 against EVERY centroid, a real vector against none),
+        # so NULLS placement can never reorder rows within a group:
+        # all-NULL groups tie on dist2 and resolve on the unique cell
+        # id in both formulations, matching DuckDB's replay. The k-way
+        # broadcast blow-up now collapses k->1 on the map side before
+        # the vec_id exchange and no per-group sort runs.
         assign = (
             joined.select("vec_id", "v", "cell", d2.alias("dist2"))
-            .withColumn("rk", F.row_number().over(wmin))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "v", "dist2"),
+                    F.struct("dist2", "cell"),
+                ).alias("m")
+            )
+            .select("vec_id", "m.cell", "m.v", "m.dist2")
         )
         cents = _qmean_centroids(assign, ["cell"]).transform(truncate_plan)
     return assign.select("vec_id", "cell", F.round("dist2", 6).alias("dist2"))

@@ -406,8 +406,15 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both ratios divide exact ints and round(6) with identical
     expression shape on the oracle side (float-stability rule,
     functions/__init__.py).
+
+    fanout=True (round-9, measured): the tokenize + bigram HOF work
+    otherwise sits in the single scan task — off 1.28-1.41 s vs
+    fanned-out 0.95-0.98 s at sf0.1 (min-of-3, two interleaved A/B
+    windows). Its single-task-HOF siblings were measured too and NOT
+    converted: text_fingerprint regressed under fan-out (md5 per row
+    is too cheap to pay the exchange) and text_lang_id was a wash.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # tok materialized in its own projection: the bigram lambda below
     # references it, and an inlined tokens() would re-run the regexp
     # split per emitted bigram (see functions.shingles).

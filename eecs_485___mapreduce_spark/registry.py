@@ -55,86 +55,78 @@ def register(
 # in registration order and keeps its prior-round green row as
 # evidence.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # Round-8 window: 50 slots, composed per the round-7 VERDICT
-    # ("Next round" items 3 and 7) — a pure AGE REFRESH plus the one
-    # registration the verdict authorized:
-    #   1) dedup_jaccard_boundary_fixture — NEW this round (the only
-    #      code change touching the registry): the threshold-fixture
-    #      twin that makes the oracle gate discriminate the Jaccard
-    #      keep/drop boundary on every run, the
-    #      events_session_boundary_fixture pattern applied to the
-    #      dedup family;
-    #   2) all 21 queries whose latest driver row dates from round 1,
-    #      text_fingerprint first (it was displaced from the r7 window
-    #      by the session fixture twin), then registration order
-    #      (includes approx_distinct_parts, rows-only by design — its
-    #      row refreshes as rows-only);
-    #   3) the first 28 round-2-rowed queries in registration order
-    #      (includes approx_percentiles_price, rows-only by design).
-    # The 13 remaining r2-rowed queries keep their hash-green r2 rows
-    # and compose the natural round-9 refresh window. All 50 verified
-    # via tools/driver_mimic.py at sf0.01 before this rotation.
-    "dedup_jaccard_boundary_fixture",
-    # -- round-1 age refresh (21) --
-    "text_fingerprint",
-    "text_top_bigrams",
-    "text_lang_id",
-    "wordcount",
-    "grep",
-    "grep_count_by_source",
-    "pipe_wordcount",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "topk_customers",
-    "semi_anti_join",
-    "set_ops_custkeys",
-    "window_events",
-    "topk_per_group",
-    "date_agg_orders",
-    "math_lineitem",
-    "agg_distinct_stats",
-    "approx_distinct_parts",
-    "rollup_orders",
-    "percentiles_lineitem",
-    # -- round-2 age refresh, oldest 28 in registration order --
-    "events_sliding_windows",
-    "events_hourly",
-    "events_multires_rollup",
-    "sessionize_users",
-    "events_gapfill_ffill",
-    "approx_percentiles_price",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "decontaminate_containment",
-    "pack_sequences_greedy",
-    "sample_fixed_per_source",
-    "skew_salted_join_events",
-    "pipeline_e2e_funnel",
-    "text_bpe_token_stats",
-    "text_repetition_signals",
-    "sample_stratified",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "set_ops_multiset",
-    "grouping_sets_revenue",
-    "histogram_totalprice",
+    # Round-9 window: 50 slots, a pure AGE REFRESH continuing the
+    # rotation the round-7 VERDICT ordered and round 8 began:
+    #   1) cpu_probe_lcg -- NEW this round (the CPU-scaling probe the
+    #      round-8 VERDICT item 2 ordered), promoted from
+    #      ROTATION_QUEUE for its first driver row;
+    #   2) the 13 queries whose latest driver row still dates from
+    #      round 2 (registration order; the r8 window took the oldest
+    #      28, this completes the r2 cohort);
+    #   3) the first 36 round-3-rowed queries in registration order.
+    # The 13 remaining r3-rowed queries keep their hash-green r3 rows
+    # and would compose the next refresh window. All 50 verified via
+    # tools/driver_mimic.py at sf0.01 before this rotation.
+    "cpu_probe_lcg",
+    # -- round-2 age refresh, the remaining 13, registration order --
+    "second_richest_per_nation",
+    "funnel_view_click_purchase",
+    "dedup_latest_event",
+    "q15_top_supplier",
+    "window_rank_suite",
+    "q2_min_offer_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "udf_token_stats_arrow",
+    "udf_grouped_rank_arrow",
+    "udf_mapinpandas_bytes",
+    # -- round-3 age refresh, oldest 36 in registration order --
+    "unpivot_lineitem_measures",
+    "ntile_price_bands",
+    "rolling_1h_user_value",
+    "user_decay_score",
+    "fk_integrity_audit",
+    "seq_pattern_conversion",
+    "skyline_orders_price_date",
+    "session_overlap_topk",
+    "basket_part_lift",
+    "split_train_val_test",
+    "text_tfidf_top_terms",
+    "sample_weighted_topk",
+    "embedding_quantize_int8",
+    "scd2_user_state",
+    "cohort_retention",
+    "outlier_orders_robust_z",
+    "fuzzy_match_customer_supplier",
+    "events_incremental_hourly_merge",
+    "daily_active_users_cumulative",
+    "source_overlap_matrix",
+    "dedup_embedding_cosine",
+    "dedup_survivorship",
+    "similarity_topk_cosine",
+    "embedding_label_centroids",
+    "pagerank_customer_supplier",
+    "approx_users_hll_mergeable",
+    "ir_inverted_index",
+    "ir_bm25_topk",
+    "ir_pmi_collocations",
+    "regr_qty_price_by_nation",
+    "dedup_prefix_filter_jaccard",
+    "text_unigram_logprob",
+    "source_mixture_weights",
+    "snapshot_diff_documents",
+    "merge_upsert_orders",
+    "shuffle_shard_assignment",
 )
 
 # Rotation queue: queries registered this round that still need a
 # driver row and are not yet in the window above (machine-checked by
 # tests/test_registry_order.py, which globs every CORRECTNESS_r*.json).
-# cpu_probe_lcg is round 9's one new registration (the
-# CPU-scaling probe the round-8 VERDICT ordered); it moves into the
-# round-9 window when that window is composed at end of round.
-ROTATION_QUEUE: tuple[str, ...] = ("cpu_probe_lcg",)
+# Empty: cpu_probe_lcg (round 9's one new registration) moved into the
+# round-9 window above.
+ROTATION_QUEUE: tuple[str, ...] = ()
 
 
 def all_queries() -> dict[str, Query]:
