@@ -1126,8 +1126,6 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    reps = spark.createDataFrame([(b,) for b in range(_BOOT_B)], "b long")
-    wts = spark.createDataFrame(_BOOT_ROWS, "w long, lo long, hi long")
     u32 = F.pmod(
         md5_long(
             F.concat(
@@ -1139,13 +1137,33 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(_BOOT_SCALE),
     )
+    # Replicate fan-out as a scan-side Generate and the Poisson(1)
+    # weight as a constant fold (round-9, guide-standard "no
+    # accidental nested-loop joins"): the CDF thresholds are known at
+    # plan time, and the buckets are contiguous [lo, hi) starting at
+    # 0, so bucket membership == counting the upper boundaries at or
+    # below u32 — w = sum_k(u32 >= hi_k) over the first MAX_W bucket
+    # bounds (an empty bucket, hi_k == hi_{k+1}, is skipped by both
+    # formulations identically; u32 past every bound lands on the
+    # lumped MAX_W bucket). This replaces a 32-row BNLJ fan-out plus
+    # an INEQUALITY BNLJ against the threshold table (~9 predicate
+    # evaluations per fanned row, off codegen) with two projections —
+    # same rows, exact integer math, oracle replays its own range
+    # join unchanged.
+    bounds = [hi for _w, _lo, hi in _BOOT_ROWS[:-1]]
+    w_expr = sum(
+        (F.col("u32") >= F.lit(bk)).cast("long") for bk in bounds
+    )
     weighted = (
-        v.crossJoin(F.broadcast(reps))
-        .withColumn("u32", u32)
-        .join(
-            F.broadcast(wts),
-            (F.col("u32") >= F.col("lo")) & (F.col("u32") < F.col("hi")),
+        v.select(
+            "o_orderkey",
+            "cents",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(_BOOT_B - 1).cast("long"))
+            ).alias("b"),
         )
+        .withColumn("u32", u32)
+        .withColumn("w", w_expr)
     )
     # A replicate whose weights all landed on 0 (possible on a tiny
     # corpus) is dropped on BOTH sides rather than risking 0/0

@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dec, md5_long, md5_long_sql, scoped_persist, tokens
+from ..functions import (
+    dec,
+    md5_long,
+    md5_long_sql,
+    scoped_persist,
+    tokens,
+    truncate_plan,
+)
 from ..registry import register
 from ..sources import load_table, load_tables
 
@@ -230,8 +237,16 @@ def naive_bayes_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.where(F.col("h") < _NB_SPLIT)
     train_tok = train.select("source", F.explode("tk").alias("term"))
-    ctab = train_tok.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("c")
+    # truncate_plan (round-9): ctab feeds three branches (vocab, the
+    # class totals, delta) — without the cut the train tokenize +
+    # (class, term) shuffle ran three times per invocation. ctab is
+    # MODEL-sized (vocabulary x classes), bounded at any corpus scale;
+    # the corpus-sized docs/tok relations are deliberately NOT
+    # materialized.
+    ctab = (
+        train_tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(truncate_plan)
     )
     vocab = ctab.agg(F.countDistinct("term").alias("v"))
     priors = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))

@@ -847,12 +847,33 @@ def equidepth_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.orderBy("cents")).alias("cc"),
         F.sum("c").over(Window.partitionBy()).alias("nn"),
     )
-    ks = spark.range(1, EQUIDEPTH_BUCKETS).select(F.col("id").alias("k"))
+    # Boundary pick as a crossing predicate (round-9, the ddsketch
+    # percentile-probe pattern): boundary k is the FIRST row whose
+    # cumulative count satisfies B*cc >= k*nn, and kmax = (B*cc) div nn
+    # is nondecreasing in cents — so each row is the boundary for
+    # exactly the ks in (kmax(prev), kmax(row)], emitted by one lag +
+    # explode over the already-present single-partition ordering.
+    # Algebraically identical to the old ks-crossJoin + per-k MIN
+    # (min over a monotone-satisfier set IS the first crossing row),
+    # but the k x |value domain| nested-loop fan-out on the collapsed
+    # relation is gone — B-1 rows are emitted, total, at any scale.
+    wo = Window.orderBy("cents")
+    kmax = F.least(
+        F.lit(EQUIDEPTH_BUCKETS - 1),
+        F.expr(f"({EQUIDEPTH_BUCKETS} * cc) div nn"),
+    )
     bd = (
-        ks.crossJoin(cum)
-        .where(F.lit(EQUIDEPTH_BUCKETS) * F.col("cc") >= F.col("k") * F.col("nn"))
-        .groupBy("k")
-        .agg(F.min("cents").alias("b"))
+        cum.select("cents", kmax.alias("kmax"))
+        .withColumn(
+            "kprev", F.coalesce(F.lag("kmax").over(wo), F.lit(0).cast("long"))
+        )
+        .where(F.col("kmax") > F.col("kprev"))
+        .select(
+            F.explode(
+                F.sequence(F.col("kprev") + 1, F.col("kmax"))
+            ).alias("k"),
+            F.col("cents").alias("b"),
+        )
     )
     arr = bd.agg(F.sort_array(F.collect_list("b")).alias("bs"))
     bucket = F.lit(1) + F.size(

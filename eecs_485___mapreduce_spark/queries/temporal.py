@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dec
+from ..functions import dec, truncate_plan
 from ..registry import register
 from ..sources import load_table
 
@@ -111,6 +111,13 @@ def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
     )
     types = events.select("event_type").distinct()
+    # NO truncate_plan here (round-9, measured): the two lag branches
+    # do replay this lineage, but cutting it regressed the interleaved
+    # A/B (warm min 1.16-1.41 s -> 1.37-1.40 s) — the eager checkpoint
+    # job costs more than the two cheap replays save, and the
+    # checkpointed relation loses the stats the downstream join
+    # planning uses. haar_energy_hourly (8 replays, aggregation-only
+    # consumers) is the shape where the same cut wins.
     dense = (
         types.crossJoin(F.broadcast(spine))
         .join(hourly, ["event_type", "hr"], "left")
@@ -867,11 +874,17 @@ def haar_energy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # truncate_plan (round-9): the final UNION has one branch per
+    # level and each branch replays its whole lineage — without the
+    # cut, the events scan + hour rollup ran 8 times (once per level).
+    # The grid is a bounded 256-row relation; cutting here makes every
+    # branch read it instead of the stream. Same rows, same integers.
     grid = (
         spark.range(_HAAR_N)
         .select(F.col("id").alias("idx"))
         .join(F.broadcast(counts), "idx", "left")
         .select("idx", F.coalesce("n", F.lit(0)).cast("bigint").alias("a"))
+        .transform(truncate_plan)
     )
     levels = []
     cur = grid
@@ -958,10 +971,17 @@ def mase_seasonal_naive_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md section 2.B timeseries family.
     """.format(m=MASE_PERIOD)
     events = load_table(spark, sf_dir, "events")
-    c = events.groupBy(
-        "event_type",
-        F.expr("unix_timestamp(ts) div 3600").alias("hi"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # truncate_plan (round-9): c self-joins twice below (the hour-1
+    # and hour-PERIOD shifts), so without the cut the events scan +
+    # rollup ran three times per invocation. c is calendar-bounded.
+    c = (
+        events.groupBy(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(truncate_plan)
+    )
     p1 = c.select(
         "event_type", (F.col("hi") + 1).alias("hi"), F.col("cnt").alias("c1")
     )
@@ -1087,6 +1107,10 @@ def ccf_event_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi")).alias("hi")
     )
     types = events.select("event_type").distinct()
+    # NO truncate_plan here (round-9, measured): cutting the two-sided
+    # replay regressed the A/B outright (warm min 0.96-1.05 s ->
+    # 1.28-1.49 s) — the checkpointed grid loses the stats the pair
+    # join plans with. See acf_hourly_events for the full reasoning.
     dense = (
         types.crossJoin(F.broadcast(spine))
         .join(hourly, ["event_type", "hi"], "left")
@@ -1231,6 +1255,9 @@ def pacf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
     )
     types = events.select("event_type").distinct()
+    # NO truncate_plan here (round-9, measured): same call as
+    # acf_hourly_events — the cut regressed the A/B (warm min
+    # 1.26-1.46 s -> 1.51-1.72 s) despite the three-branch replay.
     dense = (
         types.crossJoin(F.broadcast(spine))
         .join(hourly, ["event_type", "hr"], "left")
@@ -1417,6 +1444,10 @@ def hurst_rs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idx",
             F.coalesce("n", F.lit(0)).alias("x"),
         )
+        # NO truncate_plan here (round-9, measured): dense has exactly
+        # ONE consumer (the size fan-out below), so there is no branch
+        # replay to cut — the eager checkpoint only added its own job
+        # (A/B warm min 1.03 -> 1.94 s, strictly worse).
     )
     sizes = spark.range(1).select(
         F.explode(F.array(*[F.lit(s) for s in _HURST_SIZES])).alias("s")
