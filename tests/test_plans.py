@@ -1079,7 +1079,11 @@ def test_window_orderby_source_sites_are_audited():
         "queries/mining.py": 5,
         "queries/mining_behavioral.py": 4,
         "queries/privacy.py": 1,
-        "queries/quality.py": 1,
+        # equidepth_buckets_orders: the cumsum window plus the round-9
+        # lag(kmax) crossing window — BOTH over the (distinct value,
+        # count) collapsed relation (bounded by the value domain, the
+        # documented weighted-median trade), same ordering, one sort.
+        "queries/quality.py": 2,
         "queries/quality_sketch.py": 2,
         "queries/similarity.py": 2,
         "queries/temporal.py": 3,
